@@ -1,0 +1,43 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The same config block is what we'd ship to a 1000-executor cluster via
+spark-submit --conf; local[k] only swaps the master.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(app_name: str = "ocr_spark", master: str | None = None,
+                  shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: runtime coalescing + skew-join splitting. Explicit salting
+        # (plans/pipeline.py) still handles UDF-stage blob skew, which AQE
+        # cannot see (SURVEY.md §4).
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Rows carry multi-MB html blobs: keep Arrow batches small so a
+        # batch of giant blobs fits executor memory (ref caps uploads at
+        # 10 MB/file, config/config.go:25; 256 rows * 10 MB bounds a batch
+        # at ~2.5 GB worst-case, typical << that).
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Target split size for the scan; at 100 TB this yields ~800k
+        # input splits — Spark handles millions of tasks fine.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

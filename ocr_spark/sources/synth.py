@@ -1,0 +1,291 @@
+"""Deterministic synthetic input-table generator (north-rule shape).
+
+Seeded by row index only — no wall clock, no RNG state, no external
+data — so any two runs (and any two cluster sizes) see identical bytes.
+Covers every doc type and every cascade branch; embeds the reference's
+own test fixtures as the first rows (urls fx-*) so pytest can replay
+them through the batch path (BASELINE.json north_rule).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from . import payload as pl
+
+EPOCH = dt.datetime(2025, 1, 1, 0, 0, 0)
+
+DOC_TYPES = ("salary_slip", "bank_statement", "itr", "aadhaar", "pan",
+             "driving_license", "employee_id", "appointment_letter")
+
+_FIRST = ["John", "Jane", "Ravi", "Aashish", "Rohan", "Priya", "Amit",
+          "Sunita", "Vikram", "Neha", "Arjun", "Kavita", "Rajesh", "Meera",
+          "Sanjay", "Pooja", "Deepak", "Anita", "Manoj", "Shreya"]
+_LAST = ["Doe", "Smith", "Verma", "Rawat", "Sharma", "Patel", "Kumar",
+         "Singh", "Gupta", "Mehta", "Joshi", "Reddy", "Nair", "Iyer",
+         "Chopra", "Malhotra", "Bose", "Das", "Kapoor", "Saxena"]
+_COMPANIES = ["ABC Corp Ltd.", "TechNova Solutions Pvt Ltd", "Zenith Tech LLP",
+              "Orbit Private Limited", "Quanta Technology", "Nimbus Solutions"]
+_MONTHS = ["January", "February", "March", "April", "May", "June", "July",
+           "August", "September", "October", "November", "December"]
+_CITIES = ["Dehradun", "Agra", "Mumbai", "Pune", "Jaipur", "Kochi"]
+_STATES = ["Uttarakhand", "Uttar Pradesh", "Maharashtra", "Rajasthan", "Kerala"]
+
+# Exact reference test fixtures (see tests/test_textlib.py for the traces).
+FIXTURE_SALARY = (
+    "\n\t\t\tABC Corp Ltd.\n\t\t\tEmployee Name: John Doe\n"
+    "\t\t\tPay Slip for October 2025\n\t\t\tAccount No: 1234567890\n"
+    "\t\t\tNet Salary: Rs. 50,000.00\n\t\t"
+)
+FIXTURE_BANK = (
+    "\n\t\t\tHDFC Bank\n\t\t\tAccount Holder: John Doe\n"
+    "\t\t\tAccount Number: 1234567890\n"
+    "\t\t\tDate        Description             Amount\n"
+    "\t\t\t15/10/2025  SALARY CREDIT           50,000.00\n"
+    "\t\t\t20/10/2025  UPI PAYMENT             -500.00\n\t\t"
+)
+
+
+def _name(i: int) -> str:
+    return f"{_FIRST[i % 20]} {_LAST[(i // 20) % 20]}"
+
+
+def _applicant(i: int) -> int:
+    return i // len(DOC_TYPES)
+
+
+def _account(app: int) -> str:
+    return str(1234500000 + app)
+
+
+def _amount(app: int) -> int:
+    return 30000 + (app % 50) * 1000
+
+
+def salary_text(i: int) -> str:
+    app = _applicant(i)
+    month = _MONTHS[app % 12]
+    return (f"{_COMPANIES[app % len(_COMPANIES)]}\n"
+            f"Employee Name: {_name(app)}\n"
+            f"Pay Slip for {month} 2025\n"
+            f"Account No: {_account(app)}\n"
+            f"Net Salary: Rs. {_amount(app):,}.00")
+
+
+def bank_text(i: int) -> str:
+    app = _applicant(i)
+    # Deterministic mismatch families for cross-check coverage:
+    #   app % 7 == 3 -> different account; app % 11 == 5 -> missing credit;
+    #   app % 13 == 7 -> different holder name.
+    acct = _account(app + 1) if app % 7 == 3 else _account(app)
+    holder = _name(app + 1) if app % 13 == 7 else _name(app)
+    amount = _amount(app) + 1 if app % 11 == 5 else _amount(app)
+    mm = app % 12 + 1
+    return (f"HDFC Bank\n"
+            f"Account Holder: {holder}\n"
+            f"Account Number: {acct}\n"
+            f"Date        Description             Amount\n"
+            f"15/{mm:02d}/2025  SALARY CREDIT           {amount:,}.00\n"
+            f"20/{mm:02d}/2025  UPI PAYMENT             -500.00")
+
+
+def itr_text(i: int) -> str:
+    app = _applicant(i)
+    pan = f"{chr(65 + app % 26)}BCDE{1000 + app % 9000}F"
+    return ("INDIAN INCOME TAX RETURN ACKNOWLEDGEMENT\n"
+            "Assessment Year\n2020-21\nName\n"
+            f"{_name(app).upper()}\nPAN\n{pan}\n"
+            f"Total Income\n1\n{160000 + app * 13}\n"
+            f"Taxes Paid\n7\n{9000 + app % 900}\n"
+            "(+)Tax Payable /(-)Refundable\n8\n"
+            f"-{9000 + app % 900}\n"
+            "electronically transmitted on 21-08-2020")
+
+
+def aadhaar_text(i: int) -> str:
+    app = _applicant(i)
+    gender_line = "महिला" if app % 13 == 4 else ("Female" if app % 2 else "Male")
+    n1, n2, n3 = 6000 + app % 1000, 7000 + app % 1000, 8000 + app % 1000
+    return ("Government of India\n"
+            f"{_name(app)}\n"
+            f"DOB: {app % 28 + 1:02d}/{app % 12 + 1:02d}/199{app % 10}\n"
+            f"{gender_line}\n"
+            f"{n1} {n2} {n3}\n"
+            f"Address: S/O {_name(app + 3)}, {app % 99 + 1} MG Road,\n"
+            f"{_CITIES[app % len(_CITIES)]}, {_STATES[app % len(_STATES)]} 2480{app % 90 + 10:02d}\n"
+            "Aadhaar is proof of identity, not of citizenship")
+
+
+def aadhaar_qr_xml(i: int) -> str:
+    app = _applicant(i)
+    uid = f"{600000000000 + app}"
+    return (f'<PrintLetterBarcodeData uid="{uid}" name="{_name(app)}"'
+            f' gender="{"F" if app % 2 else "M"}" yob="199{app % 10}"'
+            f' co="{_name(app + 3)}" house="{app % 99 + 1}"'
+            f' street="MG Road" vtc="{_CITIES[app % len(_CITIES)]}"'
+            f' po="Rajpur" dist="{_CITIES[(app + 1) % len(_CITIES)]}"'
+            f' state="{_STATES[app % len(_STATES)]}" pc="2480{app % 90 + 10:02d}"/>')
+
+
+def pan_text(i: int) -> str:
+    app = _applicant(i)
+    pan = f"{chr(65 + app % 26)}BCDE{1000 + app % 9000}F"
+    return ("INCOME TAX DEPARTMENT GOVT. OF INDIA\nNAME\n"
+            f"{_name(app).upper()}\nFATHER'S NAME\n"
+            f"{_name(app + 5).upper()}\nDOB\n"
+            f"{app % 28 + 1:02d}/{app % 12 + 1:02d}/19{70 + app % 30}\n{pan}")
+
+
+def dl_text(i: int) -> str:
+    app = _applicant(i)
+    return ("DRIVING LICENCE\n"
+            f"DL NO: UP{app % 90 + 10} 20{app % 25:02d}00{10000 + app}\n"
+            f"NAME: {_name(app).upper()}\n"
+            f"DATE OF BIRTH {app % 28 + 1:02d}/{app % 12 + 1:02d}/19{70 + app % 25}\n"
+            f"DATE OF ISSUE 15/{app % 12 + 1:02d}/20{app % 20:02d}\n"
+            f"VALID TILL 14/{app % 12 + 1:02d}/20{app % 20 + 20:02d}\n"
+            f"ADDRESS: {app % 99 + 1} CIVIL LINES {_CITIES[app % len(_CITIES)].upper()} UP")
+
+
+def employee_id_text(i: int) -> str:
+    app = _applicant(i)
+    return ("TechNova Solutions Pvt Ltd\n"
+            f"EMP-{10000 + app}\n"
+            f"{_name(app)}\n"
+            "Software Engineer")
+
+
+def appointment_text(i: int) -> str:
+    app = _applicant(i)
+    # OCR-misread variants exercised deterministically.
+    desig = ["Software Engineer", "5arlware Engineer", "Soflvare Engineer"][app % 3]
+    loc = "Dengalore" if app % 2 else "Mumbai"
+    return ("To.\n\n"
+            f"{_name(app)}\n"
+            f"Dear {_name(app)},\n"
+            f"We are pleased to offer you the position of {desig}\n"
+            f"joining trom May {app % 28 + 1}. 2025\n"
+            f"Location: {loc}")
+
+
+_TEXT_FN = {
+    "salary_slip": salary_text, "bank_statement": bank_text, "itr": itr_text,
+    "aadhaar": aadhaar_text, "pan": pan_text, "driving_license": dl_text,
+    "employee_id": employee_id_text, "appointment_letter": appointment_text,
+}
+
+GIANT_BLOB_EVERY = 97          # skew rows (north_rule: explicit skew handling)
+GIANT_BLOB_BYTES = 2_000_000
+
+
+# Cascade-branch variants, cycled by row index:
+#   0: `text` column pre-recovered (cheap path; html present but unused)
+#   1: vector PDF, embedded text rows across 2 pages (PDF doc types)
+#   2: scanned PDF, paddle blocks across 2 pages; QR image for aadhaar-png
+#   3: paddle down -> tesseract fallback (with per-row confidence)
+#   4: plain image, paddle blocks
+_PDF_TYPES = ("salary_slip", "bank_statement", "itr")
+
+
+def make_row(i: int) -> dict:
+    """Row i of the synthetic table — pure function of i."""
+    doc_type = DOC_TYPES[i % len(DOC_TYPES)]
+    app = _applicant(i)
+    body = _TEXT_FN[doc_type](i)
+    variant = i % 5
+    lang = "hi" if (doc_type == "aadhaar" and app % 13 == 4) else "en"
+    pad = GIANT_BLOB_BYTES if i % GIANT_BLOB_EVERY == 96 else 0
+    conf = 55.0 + (i % 40)
+
+    pdfish = doc_type in _PDF_TYPES or (doc_type == "aadhaar" and variant in (1, 2, 3))
+    ext = "pdf" if pdfish and variant in (0, 1, 2, 3) else "png"
+    url = f"https://docs.synth.local/app{app:06d}/{doc_type}/{i:08d}.{ext}"
+
+    text = ""
+    lines = body.split("\n")
+    mid = len(lines) // 2
+
+    if variant == 0:
+        text = body
+        if ext == "pdf":
+            html = pl.make_pdf_payload([{"text_rows": lines}], pad_to=pad)
+        else:
+            html = pl.make_image_payload(pl.make_image(blocks=lines), pad_to=pad)
+    elif ext == "pdf" and variant == 1:
+        html = pl.make_pdf_payload(
+            [{"text_rows": lines[:mid]}, {"text_rows": lines[mid:]}], pad_to=pad)
+    elif ext == "pdf" and variant == 2:
+        pages = [{"image": pl.make_image(blocks=lines[:mid])},
+                 {"image": pl.make_image(blocks=lines[mid:])}]
+        if doc_type == "aadhaar" and app % 3 == 0:
+            # QR on page 2 (page-2 heuristic, ref aadhaar_service.go:66-72).
+            pages[1]["image"]["qr"] = aadhaar_qr_xml(i)
+        html = pl.make_pdf_payload(pages, pad_to=pad)
+    elif ext == "pdf" and variant == 3:
+        html = pl.make_pdf_payload(
+            [{"image": pl.make_image(paddle_fail=True,
+                                     tess_text=body, tess_conf=conf)}],
+            doc_tess_text=body, doc_tess_conf=conf, pad_to=pad)
+    elif variant == 3:
+        html = pl.make_image_payload(
+            pl.make_image(paddle_fail=True, tess_text=body, tess_conf=conf),
+            pad_to=pad)
+    elif doc_type == "aadhaar" and variant == 2:
+        html = pl.make_image_payload(
+            pl.make_image(blocks=lines, qr_xml=aadhaar_qr_xml(i)), pad_to=pad)
+    else:
+        html = pl.make_image_payload(pl.make_image(blocks=lines), pad_to=pad)
+
+    return {
+        "url": url,
+        "warc_ts": EPOCH + dt.timedelta(seconds=i * 37),
+        "html": html,
+        "text": text,
+        "lang": lang,
+    }
+
+
+def fixture_rows() -> list[dict]:
+    """The reference's own test fixtures, replayed through every payload
+    shape (north_rule: pytest replays fixture documents through the
+    batch path and extracted text must be byte-identical)."""
+    base = "https://docs.synth.local/fixtures"
+    ts = EPOCH
+    rows = [
+        # Cheap path: text column carries the fixture verbatim.
+        {"url": f"{base}/salary_slip/fx-salary-text.png", "warc_ts": ts,
+         "html": pl.make_image_payload(pl.make_image(blocks=[])),
+         "text": FIXTURE_SALARY, "lang": "en"},
+        {"url": f"{base}/bank_statement/fx-bank-text.png", "warc_ts": ts,
+         "html": pl.make_image_payload(pl.make_image(blocks=[])),
+         "text": FIXTURE_BANK, "lang": "en"},
+        # Scanned-PDF path: same fixtures as paddle blocks (one page).
+        {"url": f"{base}/salary_slip/fx-salary-scan.pdf", "warc_ts": ts,
+         "html": pl.make_pdf_payload(
+             [{"image": pl.make_image(blocks=FIXTURE_SALARY.split("\n"))}]),
+         "text": "", "lang": "en"},
+        {"url": f"{base}/bank_statement/fx-bank-scan.pdf", "warc_ts": ts,
+         "html": pl.make_pdf_payload(
+             [{"image": pl.make_image(blocks=FIXTURE_BANK.split("\n"))}]),
+         "text": "", "lang": "en"},
+    ]
+    return rows
+
+
+def generate_rows(n: int, start: int = 0) -> list[dict]:
+    return [make_row(i) for i in range(start, start + n)]
+
+
+def synth_input_df(spark, n: int, partitions: int | None = None):
+    """Synthesize the input table as a DataFrame, distributed: row
+    construction happens on executors (driver only ships indices), so
+    generation itself scales with the cluster."""
+    from .. import schemas
+    sc = spark.sparkContext
+    parts = partitions or sc.defaultParallelism
+    rdd = sc.parallelize(range(n), parts).map(make_row)
+    return spark.createDataFrame(rdd, schema=schemas.INPUT_SCHEMA)
+
+
+def write_synth_parquet(spark, path: str, n: int) -> None:
+    synth_input_df(spark, n).write.mode("overwrite").parquet(path)
