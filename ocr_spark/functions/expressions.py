@@ -1,0 +1,101 @@
+"""Catalyst column-expression forms of the regex-mappable operators.
+
+Everything here stays JVM-side inside whole-stage codegen — no Python
+in the hot path. Each expression's oracle is the same-named pure
+function in textlib (property-tested for equivalence).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def normalize_name(c: Column) -> Column:
+    """NormalizeString (ref utils/ocr_parser.go:390-395)."""
+    return F.replace(F.replace(F.lower(c), F.lit(" "), F.lit("")),
+                     F.lit("."), F.lit(""))
+
+
+def compare_names(a: Column, b: Column) -> Column:
+    """CompareNames (ref utils/ocr_parser.go:397-427) as a pure expression:
+    exact / substring-either-way / token-overlap >= 0.5 with the shorter
+    token list as base."""
+    a2 = normalize_name(a)
+    b2 = normalize_name(b)
+
+    wa = F.split(F.trim(F.lower(a)), r"\s+")
+    wb = F.split(F.trim(F.lower(b)), r"\s+")
+    base = F.when(F.size(wa) > F.size(wb), wb).otherwise(wa)
+    other = F.when(F.size(wa) > F.size(wb), wa).otherwise(wb)
+
+    matched = F.size(F.filter(
+        base,
+        lambda x: F.exists(other, lambda y: y.contains(x) | x.contains(y)),
+    ))
+    overlap_ok = (matched.cast("double") / F.size(base)) >= F.lit(0.5)
+
+    return F.when((a == "") | (b == ""), F.lit(False)).otherwise(
+        (a2 == b2) | a2.contains(b2) | b2.contains(a2) | overlap_ok
+    )
+
+
+def name_similarity(a: Column, b: Column) -> Column:
+    """CalculateNameSimilarity (ref utils/ocr_parser.go:429-446): maps 1:1
+    to the builtin levenshtein — V3/V4 need no UDF at all."""
+    a2 = normalize_name(a)
+    b2 = normalize_name(b)
+    sim = F.lit(1.0) - F.levenshtein(a2, b2) / F.greatest(F.length(a2), F.length(b2))
+    return (
+        F.when((a2 == "") & (b2 == ""), F.lit(1.0))
+        .when((a2 == "") | (b2 == ""), F.lit(0.0))
+        .otherwise(sim)
+    )
+
+
+def text_quality(c: Column) -> Column:
+    """evaluateTextQuality (ref service/income_service.go:428-467):
+    length buckets + 6.67/keyword over 9 tax keywords, capped at 100."""
+    n = F.length(F.trim(c))
+    length_score = (
+        F.when(n > 500, F.lit(40.0))
+        .when(n > 100, F.lit(20.0))
+        .when(n > 20, F.lit(10.0))
+        .otherwise(F.lit(0.0))
+    )
+    lower = F.lower(c)
+    keywords = ["income", "tax", "pan", "assessment", "return",
+                "total", "taxable", "refund", "filing"]
+    kw_count = None
+    for k in keywords:
+        term = F.when(lower.contains(k), 1).otherwise(0)
+        kw_count = term if kw_count is None else kw_count + term
+    score = length_score + kw_count.cast("double") * F.lit(6.67)
+    return F.when(c == "", F.lit(0.0)).otherwise(F.least(score, F.lit(100.0)))
+
+
+def extract_pan(c: Column) -> Column:
+    """extractPAN (ref utils/ocr_parser.go:585-591)."""
+    return F.regexp_extract(c, r"\b([A-Z]{5}[0-9]{4}[A-Z])\b", 1)
+
+
+def extract_salary_amount(c: Column) -> Column:
+    """extractSalaryAmount (ref utils/ocr_parser.go:88-105): prioritized
+    label regexes, comma-strip, cast."""
+    pats = [
+        r"(?i)net\s*(?:pay|salary|amount|payment)[\s:]*(?:Rs\.?|INR|₹)?\s*([0-9,]+\.?\d*)",
+        r"(?i)total\s*(?:pay|salary|amount)[\s:]*(?:Rs\.?|INR|₹)?\s*([0-9,]+\.?\d*)",
+        r"(?i)salary[\s:]*(?:Rs\.?|INR|₹)?\s*([0-9,]+\.?\d*)",
+        r"(?i)gross\s*(?:pay|salary)[\s:]*(?:Rs\.?|INR|₹)?\s*([0-9,]+\.?\d*)",
+    ]
+    cands = [
+        F.nullif(F.regexp_replace(F.regexp_extract(c, p, 1), ",", ""), F.lit(""))
+        .cast("double")
+        for p in pats
+    ]
+    return F.coalesce(*cands, F.lit(0.0))
+
+
+def token_count(c: Column) -> Column:
+    """Whitespace token count (text-analysis op for the documents table)."""
+    return F.size(F.split(F.trim(c), r"\s+"))
