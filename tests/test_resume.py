@@ -1,0 +1,73 @@
+"""Idempotent snapshot-resume semantics (north_rule)."""
+
+from ocr_spark import schemas
+from ocr_spark.sources import snapshot, synth
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, schema=schemas.INPUT_SCHEMA)
+
+
+def test_resume_no_duplicates(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    all_rows = synth.generate_rows(64)
+
+    # Run 1: first half only (simulates a partial ingest).
+    r1 = snapshot.run_with_checkpoint(spark, _df(spark, all_rows[:32]), root,
+                                      run_id="run1", num_partitions=4)
+    assert r1["processed"] == 32
+    assert r1["snapshot"] == 1
+
+    # Run 2: full input -> only the second half is processed.
+    r2 = snapshot.run_with_checkpoint(spark, _df(spark, all_rows), root,
+                                      run_id="run2", num_partitions=4)
+    assert r2["processed"] == 32
+    assert r2["snapshot"] == 2
+
+    table = snapshot.SnapshotTable(root)
+    final = table.read(spark)
+    urls = [r["url"] for r in final.select("url").collect()]
+    assert len(urls) == 64
+    assert len(set(urls)) == 64  # no duplicates
+    assert set(urls) == {r["url"] for r in all_rows}
+
+    # Run 3: nothing left -> no-op, snapshot chain unchanged.
+    r3 = snapshot.run_with_checkpoint(spark, _df(spark, all_rows), root,
+                                      run_id="run3", num_partitions=4)
+    assert r3["processed"] == 0
+    assert r3["snapshot"] == 2
+    assert table.read(spark).count() == 64
+
+
+def test_crash_before_commit_invisible(spark, tmp_path):
+    """A data dir written without a commit must be invisible and be
+    redone by the next run."""
+    from ocr_spark.plans.pipeline import run_extraction
+
+    root = str(tmp_path / "tbl2")
+    rows = synth.generate_rows(16)
+    table = snapshot.SnapshotTable(root)
+
+    # Simulate a crash: write the run dir but never commit.
+    extracted = run_extraction(spark, _df(spark, rows), run_id="crashed",
+                               num_partitions=2)
+    extracted.write.mode("overwrite").parquet(table.run_dir("crashed"))
+    assert table.read(spark) is None  # invisible
+
+    r = snapshot.run_with_checkpoint(spark, _df(spark, rows), root,
+                                     run_id="retry", num_partitions=2)
+    assert r["processed"] == 16
+    final = table.read(spark)
+    assert final.count() == 16
+    assert final.select("url").distinct().count() == 16
+    # Only the committed dir is read; the orphan stays orphaned.
+    assert table.committed_dirs() == [table.run_dir("retry")]
+
+
+def test_commit_idempotent_per_run(tmp_path):
+    table = snapshot.SnapshotTable(str(tmp_path / "tbl3"))
+    s1 = table.commit("runA", 10)
+    s2 = table.commit("runA", 10)  # re-commit of the same run: no-op
+    assert s1["sequence"] == 1
+    assert s2["sequence"] == 1
+    assert table.current_snapshot()["committed_rows"] == 10
