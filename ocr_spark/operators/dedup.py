@@ -1,0 +1,182 @@
+"""Deduplication operators for web-scale corpus curation.
+
+All candidate generation is expression-only (whole-stage codegen):
+shingling via sequence+substring, MinHash via seeded xxhash64, SimHash
+via bit arithmetic — no Python UDFs anywhere. The verify stages are
+exact n-gram Jaccard, also pure expressions.
+
+Scale design: every operator is a bounded-fanout bucket join (LSH bands
+/ simhash chunks), never an all-pairs cross join; exact dedup is one
+hash aggregation with map-side combine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_text(c):
+    """Canonical form for hashing: lowercase, collapse whitespace."""
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on normalized-text hash; survivor = min id per group.
+    One shuffle on the 128-bit digest; partial agg combines map-side."""
+    h = F.md5(normalize_text(F.col(text_col)).cast("binary")).alias("content_hash")
+    return (
+        df.select(F.col(id_col), h)
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("survivor_id"),
+             F.count("*").alias("dup_count"))
+    )
+
+
+def shingles(c, k: int = 8):
+    """Distinct character k-grams of the normalized text (expression)."""
+    norm = normalize_text(c)
+    n = F.length(norm)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda j: F.substring(norm, j, k)))
+
+
+def minhash_signature(shingle_arr, num_perm: int = 32):
+    """MinHash: per permutation p, min over shingles of xxhash64(s, p)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_perm - 1)),
+        lambda p: F.array_min(
+            F.transform(shingle_arr, lambda s: F.xxhash64(s, p))),
+    )
+
+
+def jaccard(a, b):
+    """Exact Jaccard over two shingle arrays (expression)."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 8,
+                      num_perm: int = 32, bands: int = 8,
+                      threshold: float = 0.7) -> DataFrame:
+    """MinHash + LSH near-dup pairs: shingle -> minhash -> band buckets ->
+    bucket self-join -> exact-Jaccard verify.
+
+    Shuffles once on (band, band_hash); candidate fanout is bounded by
+    bucket size, never all-pairs. rows_per_band = num_perm // bands.
+    """
+    rows_per_band = num_perm // bands
+    sig = (
+        df.select(F.col(id_col).alias("id"),
+                  shingles(F.col(text_col), k).alias("sh"))
+        .withColumn("mh", minhash_signature(F.col("sh"), num_perm))
+    )
+    banded = sig.select(
+        "id", "sh",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.concat_ws(
+                        ",", F.slice(F.col("mh"), b * rows_per_band + 1,
+                                     rows_per_band))).alias("band_hash")),
+            )).alias("bb"),
+    ).select("id", "sh", "bb.band", "bb.band_hash")
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(right, on=["band", "band_hash"], how="inner")
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+                F.col("l.sh").alias("sh_a"), F.col("r.sh").alias("sh_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(c, bits: int = 64):
+    """SimHash over whitespace tokens, packed into a BIGINT (expression):
+    bit b is 1 iff the sum over tokens of sign(xxhash64(token, b)) is
+    positive. Statically unrolled per bit (shift amounts must be Python
+    ints in the DataFrame API); the seeded hash replaces bit-of-one-hash
+    extraction — an equivalent simhash family."""
+    tokens = F.split(F.trim(normalize_text(c)), " ")
+
+    def _vote(seed: int):
+        # Closure factory: higher-order-function lambdas must have exactly
+        # the arity PySpark expects (no default-arg binding).
+        return F.aggregate(
+            tokens, F.lit(0),
+            lambda a, t: a + F.when(F.xxhash64(t, F.lit(seed)) > 0,
+                                    F.lit(1)).otherwise(F.lit(-1)))
+
+    fp = F.lit(0).cast("long")
+    for b in range(bits):
+        vote = _vote(b)
+        val = 1 << b
+        if val >= 1 << 63:  # sign bit: wrap to the signed-long bit pattern
+            val -= 1 << 64
+        fp = fp.bitwiseOR(
+            F.when(vote > 0, F.lit(val).cast("long"))
+            .otherwise(F.lit(0).cast("long")))
+    return fp
+
+
+def simhash_pairs(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit fingerprint, candidate buckets by
+    16-bit chunk (pigeonhole: hamming<=3 pairs share >=1 of 4 chunks),
+    verified with bit_count(xor)."""
+    fp = df.select(F.col(id_col).alias("id"),
+                   simhash(F.col(text_col)).alias("fp"))
+    chunked = fp.select(
+        "id", "fp",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("chunk"),
+                F.shiftright(F.col("fp"), i * 16)
+                .bitwiseAND(F.lit(0xFFFF)).alias("chunk_val"))
+            for i in range(4)])).alias("cc"),
+    ).select("id", "fp", "cc.chunk", "cc.chunk_val")
+    l, r = chunked.alias("l"), chunked.alias("r")
+    return (
+        l.join(r, on=["chunk", "chunk_val"], how="inner")
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+                F.bit_count(F.col("l.fp").bitwiseXOR(F.col("r.fp"))).alias("hamming"))
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 8,
+                        threshold: float = 0.5,
+                        length_band: int = 32) -> DataFrame:
+    """Exact n-gram Jaccard pairs with length-band blocking (docs whose
+    lengths differ by more than a band can't reach high Jaccard)."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        shingles(F.col(text_col), k).alias("sh"),
+        F.floor(F.length(normalize_text(F.col(text_col))) / length_band).alias("band"),
+    )
+    banded = base.select(
+        "id", "sh", F.explode(F.array(F.col("band"), F.col("band") + 1)).alias("b"))
+    l, r = banded.alias("l"), banded.alias("r")
+    return (
+        l.join(r, on=["b"], how="inner")
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+                jaccard(F.col("l.sh"), F.col("r.sh")).alias("jaccard"))
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,191 @@
+"""Corpus-curation operators: dedup, similarity search, text stats,
+multimodal plumbing, streaming ingest."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.operators import dedup, multimodal, similarity, textstats
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+class TestDedup:
+    def test_exact_dedup_planted(self, spark):
+        rows = [(0, "The quick brown fox"), (1, "the  quick   BROWN fox"),
+                (2, "something else"), (3, "The quick brown fox")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {r["survivor_id"]: r["dup_count"]
+               for r in dedup.exact_dedup(df).collect()}
+        # 0,1,3 normalize identically -> one group, survivor 0.
+        assert out == {0: 3, 2: 1}
+
+    def test_minhash_lsh_pairs(self, spark):
+        base = ("spark shuffles data between stages when wide dependencies "
+                "require repartitioning across the cluster nodes")
+        near = base.replace("cluster", "compute")
+        far = "completely different content about cooking pasta at home"
+        df = spark.createDataFrame(
+            [(0, base), (1, near), (2, far)], ["doc_id", "text"])
+        pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+                 for r in dedup.minhash_lsh_pairs(df, threshold=0.5).collect()}
+        assert (0, 1) in pairs
+        assert pairs[(0, 1)] > 0.6
+        assert (0, 2) not in pairs and (1, 2) not in pairs
+
+    def test_simhash_pairs(self, spark):
+        base = ("spark shuffles data between stages when wide dependencies "
+                "require repartitioning across the cluster nodes and tasks")
+        near = base.replace("tasks", "executors")
+        far = "totally unrelated short string"
+        df = spark.createDataFrame(
+            [(0, base), (1, near), (2, far)], ["doc_id", "text"])
+        pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+                 for r in dedup.simhash_pairs(df, max_hamming=6).collect()}
+        assert (0, 1) in pairs
+        assert (0, 2) not in pairs
+
+    def test_ngram_jaccard_on_documents(self, docs):
+        # Self-check: exact dup of a real doc must surface with jaccard 1.
+        two = docs.limit(1).select("doc_id", "text")
+        clone = two.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+        pairs = dedup.ngram_jaccard_pairs(two.union(clone), threshold=0.99).collect()
+        assert len(pairs) == 1
+        assert pairs[0]["jaccard"] == 1.0
+
+    def test_exact_dedup_scales_on_documents(self, docs):
+        out = dedup.exact_dedup(docs)
+        assert out.agg(F.sum("dup_count")).first()[0] == docs.count()
+
+
+class TestSimilarity:
+    def test_cosine_topk_vs_numpy(self, spark, embeddings):
+        import numpy as np
+        queries = embeddings.filter(F.col("vec_id") < 3)
+        got = similarity.cosine_topk(queries, embeddings, k=5).collect()
+        rows = embeddings.collect()
+        mat = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+               for r in rows}
+        for qid in range(3):
+            mine = sorted([r for r in got if r["query_id"] == qid],
+                          key=lambda r: r["rank"])
+            assert len(mine) == 5
+            q = mat[qid]
+            sims = {}
+            for cid, v in mat.items():
+                if cid == qid:
+                    continue
+                sims[cid] = float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v)))
+            expect = sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+            for m, (cid, s) in zip(mine, expect):
+                assert m["corpus_id"] == cid
+                assert abs(m["cos_sim"] - s) < 1e-9
+
+    def test_lsh_topk_is_subset_of_bruteforce_scores(self, spark, embeddings):
+        queries = embeddings.filter(F.col("vec_id") < 5)
+        ann = similarity.lsh_cosine_topk(queries, embeddings, k=3, planes=6)
+        rows = ann.collect()
+        assert rows, "LSH buckets should not all be singletons at 6 planes"
+        # Every ANN score must equal the exact cosine for that pair.
+        brute = similarity.cosine_topk(queries, embeddings, k=10**6)
+        exact = {(r["query_id"], r["corpus_id"]): r["cos_sim"]
+                 for r in brute.collect()}
+        for r in rows:
+            assert abs(exact[(r["query_id"], r["corpus_id"])] - r["cos_sim"]) < 1e-9
+
+    def test_embedding_near_dup(self, spark):
+        v = [0.5, 0.1, -0.2, 0.8]
+        v2 = [x * 1.0001 for x in v]  # same direction -> cos ~ 1
+        w = [-0.5, 0.9, 0.0, -0.1]
+        df = spark.createDataFrame(
+            [(0, v), (1, v2), (2, w)], ["vec_id", "embedding"])
+        pairs = similarity.embedding_near_dup_pairs(df, threshold=0.99).collect()
+        assert [(p["id_a"], p["id_b"]) for p in pairs] == [(0, 1)]
+
+
+class TestTextStats:
+    def test_stats_vs_python_oracle(self, spark):
+        text = "The quick brown fox, jumps over the lazy dog. The end!"
+        df = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+        r = textstats.document_stats(df).collect()[0]
+        toks = text.lower().split()
+        assert r["n_tokens"] == len(toks)
+        sw = set(textstats.LANG_STOPWORDS["en"])
+        # normalized text strips nothing but case/whitespace; punctuation
+        # stays attached to tokens, as in the expression form.
+        expected_ratio = sum(1 for t in toks if t in sw) / len(toks)
+        assert abs(r["stopword_ratio"] - round(expected_ratio, 6)) < 1e-9
+        assert r["lang_guess"] == "en"
+        assert 0.0 <= r["quality"] <= 1.0
+        import re as _re
+        assert r["n_bpe_tokens"] == len(_re.findall(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]", text))
+
+    def test_lang_id_votes(self, spark):
+        df = spark.createDataFrame(
+            [(0, "el perro y la casa de un los del por"),
+             (1, "the cat and the dog of a in is for"),
+             (2, "zzz qqq xxx")], ["doc_id", "text"])
+        out = {r["doc_id"]: r["lang_guess"]
+               for r in textstats.document_stats(df).collect()}
+        assert out == {0: "es", 1: "en", 2: "und"}
+
+    def test_fingerprint_stability(self, docs):
+        fp = docs.select(textstats.fingerprint(F.col("text")).alias("fp"),
+                         textstats.rolling_fingerprint(F.col("text")).alias("rfp"))
+        row = fp.first()
+        assert len(row["fp"]) == 32
+        assert isinstance(row["rfp"], int)
+
+
+class TestMultimodal:
+    def test_featurize_plumbing(self, spark):
+        rows = [("m1", "image", b"\x00\x01\x02" * 100,
+                 {"mime": "image/png", "width": 10, "height": 10, "duration_ms": None}),
+                ("m2", "audio", b"\xff" * 64,
+                 {"mime": "audio/wav", "width": None, "height": None, "duration_ms": 1000})]
+        df = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+        out = {r["media_id"]: r for r in
+               multimodal.extract_features(df, num_partitions=2).collect()}
+        assert out["m1"]["n_bytes"] == 300
+        assert abs(sum(out["m1"]["features"]) - 1.0) < 1e-9
+        assert out["m2"]["features"][-1] == 1.0  # all 0xff bytes -> last bin
+        assert out["m1"]["featurizer"] == "byte_histogram_v1"
+
+    def test_decode_stub_gated(self):
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_image(b"px")
+
+
+class TestStreaming:
+    def test_available_now_ingest(self, spark, tmp_path):
+        from ocr_spark import schemas
+        from ocr_spark.sources import synth
+        from ocr_spark.streaming.jobs import stream_extract
+
+        in_dir = str(tmp_path / "in")
+        rows = synth.generate_rows(24)
+        spark.createDataFrame(rows, schema=schemas.INPUT_SCHEMA) \
+            .repartition(3).write.parquet(in_dir)
+
+        table = stream_extract(spark, in_dir, str(tmp_path / "tbl"),
+                               str(tmp_path / "ckpt"))
+        out = table.read(spark)
+        assert out.count() == 24
+        assert out.select("url").distinct().count() == 24
+
+        # Re-run the stream over the same dir: checkpoint + anti-join
+        # keep it exactly-once.
+        table2 = stream_extract(spark, in_dir, str(tmp_path / "tbl"),
+                                str(tmp_path / "ckpt"))
+        assert table2.read(spark).count() == 24
