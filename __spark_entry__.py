@@ -539,6 +539,37 @@ FROM r WHERE rank <= 5 ORDER BY query_id, rank
 """
 
 
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs, brute-force variant (the
+    exact baseline the LSH path approximates): self cross-join with
+    id_a < id_b, keep cos_sim >= 0.35
+    (~p99.9 of the synthetic corpus pair distribution)."""
+    e = _emb(spark, sf_dir)
+    a = e.select(F.col("vec_id").alias("id_a"),
+                 F.col("embedding").cast("array<double>").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"),
+                 F.col("embedding").cast("array<double>").alias("vb"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    cos = similarity.cosine(F.col("va"), F.col("vb"))
+    return (pairs.select("id_a", "id_b", F.round(cos, 4).alias("cos_sim"))
+            .filter(F.col("cos_sim") >= 0.35))
+
+
+def _sql_embedding_neardup():
+    return """
+WITH e AS (SELECT vec_id, embedding::double[] AS v FROM embeddings),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_sum(list_transform(range(1, len(a.v) + 1),
+                        i -> a.v[i::int] * b.v[i::int]))
+               / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 4) AS cos_sim
+  FROM e a, e b WHERE a.vec_id < b.vec_id)
+SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.35
+ORDER BY id_a, id_b
+"""
+
+
 def q_tx_line_parse(spark, sf_dir):
     """P13 tabular-transaction field extraction over derived statement
     lines (date / description / amount / credit flag)."""
@@ -641,6 +672,22 @@ def q_lsh_ann(spark, sf_dir):
                       F.round("cos_sim", 4).alias("cos_sim"))
 
 
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing: opaque binary payloads -> deterministic
+    byte-histogram features via Arrow mapInPandas (real image/audio
+    decode is stubbed behind NotImplementedError; see
+    operators/multimodal.py)."""
+    from ocr_spark.operators import multimodal
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.col("text").cast("binary").alias("payload"))
+    out = multimodal.extract_features(media, num_partitions=8)
+    return out.select("media_id", "kind", "n_bytes",
+                      F.round(F.element_at("features", 1), 6).alias("f0"),
+                      "featurizer")
+
+
 def q_extract_pipeline(spark, sf_dir):
     """Flagship extraction pipeline over synthesized north-rule input
     (cascade + parsers are pytest-golden-verified byte-identical; the
@@ -712,11 +759,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_bruteforce": q_ann_bruteforce,
+        "embedding_neardup": q_embedding_neardup,
         "tx_line_parse": q_tx_line_parse,
         "pricing_summary": q_pricing_summary,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "lsh_ann": q_lsh_ann,
+        "media_features": q_media_features,
         "extract_pipeline": q_extract_pipeline,
         "crosscheck_pipeline": q_crosscheck_pipeline,
     }
@@ -741,10 +790,13 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _sql_lang_id(),
         "ngram_jaccard": _sql_ngram_jaccard(),
         "ann_bruteforce": _sql_ann_bruteforce(),
+        "embedding_neardup": _sql_embedding_neardup(),
         "tx_line_parse": _sql_tx_line_parse(),
         "pricing_summary": _sql_pricing_summary(),
         # minhash_pairs / simhash_pairs / lsh_ann: xxhash64-seeded
         # candidate generation has no DuckDB equivalent -> rows-only.
+        # media_features: byte-level blob histogram not expressible in
+        # DuckDB SQL -> rows-only (python-oracle pytest covers it).
         # extract_pipeline / crosscheck_pipeline: non-SQL cascade +
         # pandas-UDF semantics -> rows-only (byte-identical correctness
         # is enforced by the pytest goldens instead).

@@ -33,11 +33,12 @@ def main():
     from ocr_spark import schemas
     from ocr_spark.operators import crosscheck, dedup, similarity, textstats
     from ocr_spark.plans.pipeline import run_extraction
-    from ocr_spark.session import build_session
+    from ocr_spark.session import TMPFS_SCRATCH, build_session
     from ocr_spark.sources import synth
 
     spark = build_session("ocr_spark_bench", master=f"local[{cpus}]",
-                          shuffle_partitions=cpus)
+                          shuffle_partitions=cpus,
+                          extra_conf=TMPFS_SCRATCH)
     spark.sparkContext.setLogLevel("ERROR")
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -57,7 +58,7 @@ def main():
             timings[name] = round(time.perf_counter() - t0, 3)
         return deco
 
-    extracted_path = f"/tmp/ocr_spark_bench_extracted_{os.getpid()}"
+    extracted_path = f"/dev/shm/ocr_spark_bench_extracted_{os.getpid()}"
 
     @timed("extract_pipeline")
     def _extract():

@@ -41,11 +41,22 @@ def classify(df: DataFrame) -> DataFrame:
 
 
 def salt_partitions(df: DataFrame, num_partitions: int) -> DataFrame:
-    """Explicit url-hash salting with giant-blob isolation (north_rule)."""
+    """Explicit url-hash salting with giant-blob isolation (north_rule).
+
+    The salt domain is num_partitions * 256 buckets, NOT num_partitions:
+    repartition() hash-partitions the salt *value*, so a salt domain
+    equal to the partition count collides (birthday problem — ~37% of
+    partitions would stay empty while others get 2-3 buckets). A 256x
+    oversized domain smooths occupancy to ~256 buckets/partition
+    (relative partition-size stddev ~ 1/sqrt(256) = 6%).
+    Giant blobs salt per-url so a burst of multi-MB documents spreads
+    individually instead of clumping.
+    """
     salt = (
         F.when(F.length("html") >= GIANT_BLOB_THRESHOLD,
                F.concat(F.lit("giant:"), F.col("url")))
-        .otherwise(F.pmod(F.xxhash64("url"), F.lit(num_partitions)).cast("string"))
+        .otherwise(F.pmod(F.xxhash64("url"),
+                          F.lit(num_partitions * 256)).cast("string"))
     )
     return df.withColumn("_salt", salt).repartition(num_partitions, "_salt").drop("_salt")
 

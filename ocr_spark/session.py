@@ -12,7 +12,8 @@ from pyspark.sql import SparkSession
 
 
 def build_session(app_name: str = "ocr_spark", master: str | None = None,
-                  shuffle_partitions: int | None = None) -> SparkSession:
+                  shuffle_partitions: int | None = None,
+                  extra_conf: dict | None = None) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
@@ -40,4 +41,16 @@ def build_session(app_name: str = "ocr_spark", master: str | None = None,
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+# Shuffle/spill scratch on RAM-backed tmpfs for benchmarks. On this
+# single-virtio-disk sandbox VM, shuffle+output writeback through /tmp
+# couples all executor threads on the block layer (measured: systemwide
+# 85-95%% sys-time stalls and 3-16x bimodal walls above ~8 workers; all
+# of it vanishes with tmpfs scratch). A real cluster gives each node its
+# own local NVMe, which scales with node count — RAM scratch is the
+# faithful single-box stand-in.
+TMPFS_SCRATCH = {"spark.local.dir": "/dev/shm/spark-local"}

@@ -177,6 +177,30 @@ _TEXT_FN = {
 GIANT_BLOB_EVERY = 97          # skew rows (north_rule: explicit skew handling)
 GIANT_BLOB_BYTES = 2_000_000
 
+# "cc" corpus profile (bench realism): Common-Crawl-ish document sizes.
+# Default-profile docs are a few hundred bytes — far below real CC pages
+# (tens of KB) — which makes benches floor-dominated and understates
+# parallel work. The cc profile appends deterministic parser-neutral
+# filler (no digits, no label keywords: nothing a field extractor can
+# accidentally match) so per-doc parse work is realistic, and uses
+# rarer/smaller giant rows (real multi-MB pages are <<1%).
+CC_GIANT_EVERY = 499
+CC_GIANT_BYTES = 512_000
+
+_FILLER_WORDS = (
+    "synergy", "ledger", "portal", "quarterly", "revision", "cadence",
+    "briefing", "alignment", "outreach", "vendor", "registry", "manifest",
+    "profile", "summary", "charter", "liaison", "overview", "workshop",
+    "catalog", "digest")
+
+
+def filler_block(i: int, n_lines: int) -> str:
+    """Deterministic neutral filler: pure function of (i, line, word)."""
+    k = len(_FILLER_WORDS)
+    return "\n".join(
+        " ".join(_FILLER_WORDS[(i * 7 + j * 3 + w) % k] for w in range(8))
+        for j in range(n_lines))
+
 
 # Cascade-branch variants, cycled by row index:
 #   0: `text` column pre-recovered (cheap path; html present but unused)
@@ -187,14 +211,18 @@ GIANT_BLOB_BYTES = 2_000_000
 _PDF_TYPES = ("salary_slip", "bank_statement", "itr")
 
 
-def make_row(i: int) -> dict:
-    """Row i of the synthetic table — pure function of i."""
+def make_row(i: int, profile: str = "default") -> dict:
+    """Row i of the synthetic table — pure function of (i, profile)."""
     doc_type = DOC_TYPES[i % len(DOC_TYPES)]
     app = _applicant(i)
     body = _TEXT_FN[doc_type](i)
     variant = i % 5
     lang = "hi" if (doc_type == "aadhaar" and app % 13 == 4) else "en"
-    pad = GIANT_BLOB_BYTES if i % GIANT_BLOB_EVERY == 96 else 0
+    if profile == "cc":
+        body = body + "\n" + filler_block(i, 60 + (i * 13) % 180)
+        pad = CC_GIANT_BYTES if i % CC_GIANT_EVERY == 96 else 0
+    else:
+        pad = GIANT_BLOB_BYTES if i % GIANT_BLOB_EVERY == 96 else 0
     conf = 55.0 + (i % 40)
 
     pdfish = doc_type in _PDF_TYPES or (doc_type == "aadhaar" and variant in (1, 2, 3))
@@ -272,18 +300,19 @@ def fixture_rows() -> list[dict]:
     return rows
 
 
-def generate_rows(n: int, start: int = 0) -> list[dict]:
-    return [make_row(i) for i in range(start, start + n)]
+def generate_rows(n: int, start: int = 0, profile: str = "default") -> list[dict]:
+    return [make_row(i, profile) for i in range(start, start + n)]
 
 
-def synth_input_df(spark, n: int, partitions: int | None = None):
+def synth_input_df(spark, n: int, partitions: int | None = None,
+                   profile: str = "default"):
     """Synthesize the input table as a DataFrame, distributed: row
     construction happens on executors (driver only ships indices), so
     generation itself scales with the cluster."""
     from .. import schemas
     sc = spark.sparkContext
     parts = partitions or sc.defaultParallelism
-    rdd = sc.parallelize(range(n), parts).map(make_row)
+    rdd = sc.parallelize(range(n), parts).map(lambda i: make_row(i, profile))
     return spark.createDataFrame(rdd, schema=schemas.INPUT_SCHEMA)
 
 
