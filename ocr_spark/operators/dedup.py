@@ -42,13 +42,43 @@ def shingles(c, k: int = 8):
     return F.array_distinct(F.transform(idx, lambda j: F.substring(norm, j, k)))
 
 
-def minhash_signature(shingle_arr, num_perm: int = 32):
-    """MinHash: per permutation p, min over shingles of xxhash64(s, p)."""
+_MERSENNE31 = 2_147_483_647  # 2^31 - 1, prime
+
+
+def _perm_consts(num_perm: int) -> list[tuple[int, int]]:
+    """Deterministic 31-bit affine constants (A_p odd in [1,2^31),
+    B_p in [0,2^31)), one pair per permutation, via a fixed-seed LCG —
+    no RNG state, identical on every executor and run."""
+    consts = []
+    x = 0x9E3779B97F4A7C15
+    for _ in range(num_perm):
+        x = (x * 6364136223846793005 + 1442695040888963407) % 2**64
+        a = (x >> 33) | 1
+        x = (x * 6364136223846793005 + 1442695040888963407) % 2**64
+        consts.append((a, x >> 33))
+    return consts
+
+
+def shingle_hashes(shingle_arr):
+    """31-bit hash of every shingle — materialize this ONCE (its own
+    projection) before fanning out to permutations."""
     return F.transform(
-        F.sequence(F.lit(0), F.lit(num_perm - 1)),
-        lambda p: F.array_min(
-            F.transform(shingle_arr, lambda s: F.xxhash64(s, p))),
-    )
+        shingle_arr,
+        lambda s: F.xxhash64(s).bitwiseAND(F.lit(0x7FFFFFFF).cast("long")))
+
+
+def minhash_signature(hash_arr, num_perm: int = 32):
+    """One-hash MinHash over pre-hashed shingles: permutation p is the
+    classic universal hash h -> (h * A_p + B_p) mod (2^31 - 1). With
+    31-bit h and constants the product stays under 2^62, so the long
+    arithmetic can never overflow (Spark 4 runs ANSI mode). One string
+    hash + num_perm multiply-add-mods per shingle instead of num_perm
+    string hashes. Pass shingle_hashes(...) as input."""
+    return F.array(*[
+        F.array_min(F.transform(
+            hash_arr,
+            lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE31))))
+        for a, b in _perm_consts(num_perm)])
 
 
 def jaccard(a, b):
@@ -56,6 +86,17 @@ def jaccard(a, b):
     inter = F.size(F.array_intersect(a, b)).cast("double")
     union = F.size(F.array_union(a, b)).cast("double")
     return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Small scans (one parquet file -> one task) would serialize the
+    compute-heavy signature stages on a single core; spread them to the
+    cluster's parallelism. At production scale the scan already has
+    >= defaultParallelism splits and this is a no-op (no shuffle)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
@@ -69,13 +110,23 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     bucket size, never all-pairs. rows_per_band = num_perm // bands.
     """
     rows_per_band = num_perm // bands
+    df = _spread(df)
+    # hs materialized in its own projection so the 8-gram string hashes
+    # run once per doc; the num_perm permutations are multiply-adds over
+    # hs (CollapseProject won't inline an alias referenced num_perm
+    # times, so the scan stays single-pass).
     sig = (
         df.select(F.col(id_col).alias("id"),
                   shingles(F.col(text_col), k).alias("sh"))
-        .withColumn("mh", minhash_signature(F.col("sh"), num_perm))
+        .withColumn("hs", shingle_hashes(F.col("sh")))
+        .withColumn("mh", minhash_signature(F.col("hs"), num_perm))
     )
+    # Band rows carry ONLY (id, band, band_hash): at 10^12 docs the
+    # bands-x duplication of shingle arrays through the shuffle would
+    # dominate the job; ids shuffle in bytes, shingles re-derive later
+    # for the (small) candidate set.
     banded = sig.select(
-        "id", "sh",
+        "id",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -85,19 +136,23 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                         ",", F.slice(F.col("mh"), b * rows_per_band + 1,
                                      rows_per_band))).alias("band_hash")),
             )).alias("bb"),
-    ).select("id", "sh", "bb.band", "bb.band_hash")
+    ).select("id", "bb.band", "bb.band_hash")
 
-    left = banded.alias("l")
-    right = banded.alias("r")
     cand = (
-        left.join(right, on=["band", "band_hash"], how="inner")
+        banded.alias("l").join(banded.alias("r"),
+                               on=["band", "band_hash"], how="inner")
         .filter(F.col("l.id") < F.col("r.id"))
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
-                F.col("l.sh").alias("sh_a"), F.col("r.sh").alias("sh_b"))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    sh_df = df.select(F.col(id_col).alias("id"),
+                      shingles(F.col(text_col), k).alias("sh"))
     return (
-        cand.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        cand.join(sh_df.select(F.col("id").alias("id_a"),
+                               F.col("sh").alias("sh_a")), "id_a")
+        .join(sh_df.select(F.col("id").alias("id_b"),
+                           F.col("sh").alias("sh_b")), "id_b")
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -136,8 +191,8 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
     """SimHash near-dup pairs: 64-bit fingerprint, candidate buckets by
     16-bit chunk (pigeonhole: hamming<=3 pairs share >=1 of 4 chunks),
     verified with bit_count(xor)."""
-    fp = df.select(F.col(id_col).alias("id"),
-                   simhash(F.col(text_col)).alias("fp"))
+    fp = _spread(df).select(F.col(id_col).alias("id"),
+                            simhash(F.col(text_col)).alias("fp"))
     chunked = fp.select(
         "id", "fp",
         F.explode(F.array(*[
@@ -164,7 +219,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         length_band: int = 32) -> DataFrame:
     """Exact n-gram Jaccard pairs with length-band blocking (docs whose
     lengths differ by more than a band can't reach high Jaccard)."""
-    base = df.select(
+    base = _spread(df).select(
         F.col(id_col).alias("id"),
         shingles(F.col(text_col), k).alias("sh"),
         F.floor(F.length(normalize_text(F.col(text_col))) / length_band).alias("band"),
