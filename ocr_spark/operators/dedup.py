@@ -158,25 +158,27 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     )
 
 
-def simhash(c, bits: int = 64):
-    """SimHash over whitespace tokens, packed into a BIGINT (expression):
-    bit b is 1 iff the sum over tokens of sign(xxhash64(token, b)) is
-    positive. Statically unrolled per bit (shift amounts must be Python
-    ints in the DataFrame API); the seeded hash replaces bit-of-one-hash
-    extraction — an equivalent simhash family."""
-    tokens = F.split(F.trim(normalize_text(c)), " ")
+def token_hashes(c):
+    """xxhash64 of every whitespace token — materialize ONCE (its own
+    projection) before the per-bit vote fanout."""
+    return F.transform(F.split(F.trim(normalize_text(c)), " "),
+                       lambda t: F.xxhash64(t))
 
-    def _vote(seed: int):
-        # Closure factory: higher-order-function lambdas must have exactly
-        # the arity PySpark expects (no default-arg binding).
-        return F.aggregate(
-            tokens, F.lit(0),
-            lambda a, t: a + F.when(F.xxhash64(t, F.lit(seed)) > 0,
-                                    F.lit(1)).otherwise(F.lit(-1)))
 
+def simhash_from_hashes(hash_arr, bits: int = 64):
+    """Classic one-hash SimHash packed into a BIGINT: bit b of the
+    fingerprint is 1 iff the sum over tokens of (+1 if bit b of the
+    token's hash is set, else -1) is positive. One string hash per
+    token; the 64 per-bit votes are shift/and/add arithmetic (the old
+    form re-hashed every token once per bit). Statically unrolled —
+    shift amounts must be Python ints in the DataFrame API."""
     fp = F.lit(0).cast("long")
     for b in range(bits):
-        vote = _vote(b)
+        # vote_b = sum(2*bit_b(h) - 1) over tokens
+        vote = F.aggregate(
+            hash_arr, F.lit(0).cast("long"),
+            lambda a, h: a + F.shiftrightunsigned(h, b)
+            .bitwiseAND(F.lit(1).cast("long")) * 2 - 1)
         val = 1 << b
         if val >= 1 << 63:  # sign bit: wrap to the signed-long bit pattern
             val -= 1 << 64
@@ -186,13 +188,22 @@ def simhash(c, bits: int = 64):
     return fp
 
 
+def simhash(c, bits: int = 64):
+    """SimHash of a text column (convenience wrapper; inside a plan
+    prefer materializing token_hashes in its own projection first so
+    the token hashing runs once, not once per bit)."""
+    return simhash_from_hashes(token_hashes(c), bits)
+
+
 def simhash_pairs(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
     """SimHash near-dup pairs: 64-bit fingerprint, candidate buckets by
     16-bit chunk (pigeonhole: hamming<=3 pairs share >=1 of 4 chunks),
     verified with bit_count(xor)."""
-    fp = _spread(df).select(F.col(id_col).alias("id"),
-                            simhash(F.col(text_col)).alias("fp"))
+    fp = (_spread(df)
+          .select(F.col(id_col).alias("id"),
+                  token_hashes(F.col(text_col)).alias("hs"))
+          .select("id", simhash_from_hashes(F.col("hs")).alias("fp")))
     chunked = fp.select(
         "id", "fp",
         F.explode(F.array(*[
