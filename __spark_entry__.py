@@ -691,27 +691,39 @@ def q_media_features(spark, sf_dir):
 def q_extract_pipeline(spark, sf_dir):
     """Flagship extraction pipeline over synthesized north-rule input
     (cascade + parsers are pytest-golden-verified byte-identical; the
-    driver records a rows-only check here)."""
+    driver records a rows-only check here).
+
+    Struct/array output columns are flattened to JSON strings for the
+    driver's canonicalizer (pandas lexsort can't order list cells); the
+    raw nested schema is unchanged for library users and pytest.
+    """
     from ocr_spark import schemas
     from ocr_spark.plans.pipeline import run_extraction
     from ocr_spark.sources import synth
     rows = synth.fixture_rows() + synth.generate_rows(256)
     df = spark.createDataFrame(rows, schema=schemas.INPUT_SCHEMA)
     out = run_extraction(spark, df, run_id="driver", num_partitions=8)
+    nested = ["quality", "salary", "bank", "itr", "aadhaar",
+              "pan", "dl", "employee", "appointment"]
     return out.select("url", "doc_type", "extracted_text", "error",
-                      "quality", "salary", "bank", "itr", "aadhaar",
-                      "pan", "dl", "employee", "appointment")
+                      *[F.to_json(c).alias(c) for c in nested])
 
 
 def q_crosscheck_pipeline(spark, sf_dir):
+    """CrossCheck over the full pipeline output (array columns JSON-
+    flattened for the driver canonicalizer, same as q_extract_pipeline)."""
     from ocr_spark import schemas
     from ocr_spark.operators.crosscheck import cross_check
     from ocr_spark.plans.pipeline import run_extraction
     from ocr_spark.sources import synth
     rows = synth.generate_rows(256)
     df = spark.createDataFrame(rows, schema=schemas.INPUT_SCHEMA)
-    return cross_check(run_extraction(spark, df, run_id="driver-cc",
-                                      num_partitions=8))
+    cc = cross_check(run_extraction(spark, df, run_id="driver-cc",
+                                    num_partitions=8))
+    return cc.select(
+        "applicant_id", "name_match", "name_similarity", "account_match",
+        F.to_json("missing_salary_credits").alias("missing_salary_credits"),
+        F.to_json("notes").alias("notes"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
