@@ -205,6 +205,95 @@ def extract_itr_filing_date(lines: list[str]) -> str:
     return ""
 
 
+# ---------------------------------------------------------------------------
+# Legacy parsers (P26/P28/P29): dead code in the reference — ParseITR
+# calls the *Smart variants instead — ported verbatim for inventory
+# completeness (SURVEY.md §2.4). Not reachable from parse_itr, matching
+# the reference call graph.
+# ---------------------------------------------------------------------------
+
+_ITR_NAME_PATTERNS = [
+    re.compile(r"(?i)name\s*of\s*(?:the\s*)?(?:assessee|taxpayer)[:\s]*([A-Z][a-zA-Z\s\.]{2,50})"),
+    re.compile(r"(?i)assessee\s*name[:\s]*([A-Z][a-zA-Z\s\.]{2,50})"),
+    re.compile(r"(?i)taxpayer\s*name[:\s]*([A-Z][a-zA-Z\s\.]{2,50})"),
+    re.compile(r"(?i)name[:\s]*([A-Z][a-zA-Z\s\.]{2,50})"),
+]
+_TRAILING_NON_ALPHA = re.compile(r"[^a-zA-Z\s]+$")
+
+
+def extract_itr_name_from_lines(lines: list[str]) -> str:
+    """P29a extractITRNameFromLines (ref utils/ocr_parser.go:607-629;
+    legacy — superseded by extractNameSmart). Note its reject set differs
+    from the smart variant: huf/company instead of form/itr, and
+    substring (not equality) checks for those two."""
+    for i, line in enumerate(lines):
+        if clean_label(line).lower() == "name":
+            for j in range(1, 4):
+                if i + j >= len(lines):
+                    break
+                cand = clean_label(lines[i + j])
+                if cand == "":
+                    continue
+                lower = cand.lower()
+                if (lower == "address" or lower == "status"
+                        or "individual" in lower or "huf" in lower
+                        or "company" in lower):
+                    continue
+                if _ALPHA_START.match(cand):
+                    return cand
+    return ""
+
+
+def extract_itr_name(text: str) -> str:
+    """P29b extractITRName (ref utils/ocr_parser.go:632-652; legacy).
+    Prioritized label regexes; trailing non-alpha stripped; 2<len<50."""
+    for pat in _ITR_NAME_PATTERNS:
+        m = pat.search(text)
+        if m:
+            name = m.group(1).strip()
+            name = _TRAILING_NON_ALPHA.sub("", name).strip()
+            if 2 < len(name) < 50:
+                return name
+    return ""
+
+
+def extract_number_under_label(lines: list[str], label: str) -> float:
+    """P28 extractNumberUnderLabel (ref utils/ocr_parser.go:680-696;
+    legacy — superseded by extractNumberUnderLabelSmart). Exact
+    (case-sensitive) label match, next 4 lines, skip len<=1 row codes."""
+    for i, line in enumerate(lines):
+        if clean_label(line) == label:
+            for j in range(1, 5):
+                if i + j >= len(lines):
+                    break
+                cand = clean_label(lines[i + j])
+                if len(cand) <= 1:
+                    continue
+                v = parse_float(cand.replace(",", ""))
+                if v is not None:
+                    return v
+    return 0.0
+
+
+def extract_refund_from_lines(lines: list[str], tax_paid: float = 0.0) -> float:
+    """P26 extractRefundFromLines (ref utils/ocr_parser.go:741-765;
+    legacy — superseded by extractRefundSmart). Unlike the smart variant
+    it scans only 3 lines, has no len>2 or >1000 guards (a bare row code
+    like '8' parses and returns — the quirk that motivated the rewrite),
+    and ignores tax_paid."""
+    for i, line in enumerate(lines):
+        lower = line.lower()
+        if "refundable" in lower or "refund" in lower:
+            for j in range(1, 4):
+                if i + j >= len(lines):
+                    break
+                cand = clean_label(lines[i + j]).replace(",", "")
+                f = parse_float(cand)
+                if f is not None:
+                    return -f if f < 0 else f
+    return 0.0
+
+
 def parse_itr(ocr_text: str) -> dict:
     """ParseITR (ref utils/ocr_parser.go:510-564)."""
     lines = split_and_trim_lines(ocr_text)

@@ -229,6 +229,37 @@ class TestITR:
         # 99-99-2020 parses under neither layout -> raw match returned.
         assert itr.extract_itr_filing_date(["submitted on 99-99-2020"]) == "99-99-2020"
 
+    def test_legacy_name_from_lines(self):
+        # P29a (dead in ref): huf/company are substring rejects here,
+        # unlike the smart variant's form/itr equality set.
+        lines = ["Name", "HUF entity", "Some Company Ltd", "RAVI K"]
+        assert itr.extract_itr_name_from_lines(lines) == "RAVI K"
+        # No early-return-after-first-label quirk: when the first label's
+        # lookahead is exhausted the scan continues to later labels.
+        assert itr.extract_itr_name_from_lines(
+            ["Name", "Address", "Status", "Individual",
+             "Name", "JOHN DOE"]) == "JOHN DOE"
+
+    def test_legacy_name_regex(self):
+        # P29b (dead in ref): trailing non-alpha stripped, 2<len<50.
+        assert itr.extract_itr_name("Name of Assessee: Ravi Kumar 123") == "Ravi Kumar"
+        assert itr.extract_itr_name("assessee name: Jo") == ""  # len 2 rejected
+
+    def test_legacy_number_under_label(self):
+        # P28 (dead in ref): case-SENSITIVE exact label, 4-line lookahead,
+        # len<=1 row codes skipped.
+        lines = ["Total Income", "1", "1,60,850"]
+        assert itr.extract_number_under_label(lines, "Total Income") == 160850.0
+        assert itr.extract_number_under_label(lines, "total income") == 0.0
+
+    def test_legacy_refund_from_lines(self):
+        # P26 (dead in ref): no len>2 guard -> a bare row code parses
+        # and returns (the quirk that motivated extractRefundSmart).
+        lines = ["(+)Tax Payable /(-)Refundable", "8", "-9500"]
+        assert itr.extract_refund_from_lines(lines) == 8.0
+        assert itr.extract_refund_from_lines(
+            ["refund due", "pending", "-1,200.50"]) == 1200.5
+
 
 class TestAadhaar:
     def test_reference_fixture(self):
