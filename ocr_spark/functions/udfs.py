@@ -30,11 +30,12 @@ def extract_batches(iterator: Iterator[pd.DataFrame],
 
     for pdf in iterator:
         out: list[dict] = []
-        for url, warc_ts, html, text, lang, doc_type in zip(
+        for url, warc_ts, html, text, lang, doc_type, password in zip(
                 pdf["url"], pdf["warc_ts"], pdf["html"], pdf["text"],
-                pdf["lang"], pdf["doc_type"]):
+                pdf["lang"], pdf["doc_type"], pdf["password"]):
             html_bytes = bytes(html) if html is not None else None
-            rec = extract_record(url, html_bytes, text or "", doc_type)
+            rec = extract_record(url, html_bytes, text or "", doc_type,
+                                 password or "")
             rec["warc_ts"] = warc_ts
             rec["lang"] = lang
             rec["run_id"] = run_id

@@ -34,10 +34,26 @@ DOC_TYPE_PATTERN = r"/([a-z_]+)/[^/]*$"
 
 
 def classify(df: DataFrame) -> DataFrame:
-    """Derive doc_type from the url — pure expression, no UDF (mirrors the
-    extension/endpoint dispatch, ref service/income_service.go:137,
-    main.go:85-121)."""
-    return df.withColumn("doc_type", F.regexp_extract("url", DOC_TYPE_PATTERN, 1))
+    """Derive doc_type + password — pure expressions, no UDF.
+
+    doc_type: the metadata JSON channel wins when present (ref
+    service/income_service.go:43-46 parses per-file DocumentMeta), else
+    the url path segment (mirroring the extension/endpoint dispatch,
+    ref service/income_service.go:137, main.go:85-121).
+    password: from the same metadata channel (ref dto/models.go:15,
+    threaded into PDF decrypt at service/income_service.go:141,151 /
+    service/pdf_processor.go:34-60); '' when absent.
+    """
+    if "meta" not in df.columns:
+        df = df.withColumn("meta", F.lit(None).cast("string"))
+    m = F.from_json("meta", schemas.META_TYPE)
+    return (
+        df.withColumn(
+            "doc_type",
+            F.coalesce(F.nullif(m["doc_type"], F.lit("")),
+                       F.regexp_extract("url", DOC_TYPE_PATTERN, 1)))
+        .withColumn("password", F.coalesce(m["password"], F.lit("")))
+    )
 
 
 def salt_partitions(df: DataFrame, num_partitions: int) -> DataFrame:

@@ -7,13 +7,24 @@ from pyspark.sql.types import (
     LongType, StringType, StructField, StructType, TimestampType,
 )
 
-# BASELINE.json input_hint: Common-Crawl-style pages.
+# BASELINE.json input_hint: Common-Crawl-style pages, plus an optional
+# per-row metadata JSON sidecar column mirroring the reference's upload
+# metadata channel (ref dto/models.go:12-16 DocumentMeta{DocType,
+# Password}, parsed at service/income_service.go:43-46). `meta` is
+# nullable and may be absent entirely — run_extraction tolerates both.
 INPUT_SCHEMA = StructType([
     StructField("url", StringType(), False),
     StructField("warc_ts", TimestampType(), True),
     StructField("html", BinaryType(), True),
     StructField("text", StringType(), True),
     StructField("lang", StringType(), True),
+    StructField("meta", StringType(), True),
+])
+
+# Parsed shape of the `meta` JSON column (S2).
+META_TYPE = StructType([
+    StructField("doc_type", StringType(), True),
+    StructField("password", StringType(), True),
 ])
 
 QUALITY_TYPE = StructType([

@@ -172,10 +172,15 @@ def tesseract_extract(img: dict) -> tuple[str, float]:
 
 def doc_tesseract(data: bytes) -> tuple[str, float]:
     """Tesseract invoked on the original uploaded file (ref
-    client/tesseract_client.go:93-107 via ExtractTextAndQualityFromFile)."""
+    client/tesseract_client.go:93-107 via ExtractTextAndQualityFromFile).
+    The reference feeds the raw (possibly still-encrypted) bytes to the
+    engine; on an encrypted PDF that yields no readable text, so the
+    fake engine fails deterministically."""
     kind, body = _decode(data)
     if kind == "png":
         return tesseract_extract(body["image"])
+    if body.get("password"):
+        raise PayloadError("tesseract failed")
     tess = body.get("doc_tess")
     if tess is None:
         raise PayloadError("tesseract failed")

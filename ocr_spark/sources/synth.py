@@ -10,6 +10,7 @@ them through the batch path (BASELINE.json north_rule).
 from __future__ import annotations
 
 import datetime as dt
+import json
 
 from . import payload as pl
 
@@ -229,6 +230,22 @@ def make_row(i: int, profile: str = "default") -> dict:
     ext = "pdf" if pdfish and variant in (0, 1, 2, 3) else "png"
     url = f"https://docs.synth.local/app{app:06d}/{doc_type}/{i:08d}.{ext}"
 
+    # Metadata channel (S2/S4, ref dto/models.go:12-16 + income_service.go:43-46):
+    #   i % 23 == 9  -> encrypted payload, meta carries the CORRECT password
+    #   i % 23 == 17 -> encrypted payload, meta carries a WRONG password
+    #                   (decrypt-failure error path, ref pdf_processor.go:34-60)
+    #   i % 31 == 11 -> url advertises a bogus 'misc' segment; meta.doc_type
+    #                   must win the classify coalesce
+    password = ""
+    meta = None
+    if ext == "pdf" and variant in (1, 2, 3) and i % 23 in (9, 17):
+        password = f"pw-{app:06d}"
+        given = password if i % 23 == 9 else "wrong-password"
+        meta = json.dumps({"doc_type": doc_type, "password": given})
+    elif i % 31 == 11:
+        meta = json.dumps({"doc_type": doc_type})
+        url = url.replace(f"/{doc_type}/", "/misc/")
+
     text = ""
     lines = body.split("\n")
     mid = len(lines) // 2
@@ -241,18 +258,20 @@ def make_row(i: int, profile: str = "default") -> dict:
             html = pl.make_image_payload(pl.make_image(blocks=lines), pad_to=pad)
     elif ext == "pdf" and variant == 1:
         html = pl.make_pdf_payload(
-            [{"text_rows": lines[:mid]}, {"text_rows": lines[mid:]}], pad_to=pad)
+            [{"text_rows": lines[:mid]}, {"text_rows": lines[mid:]}],
+            password=password, pad_to=pad)
     elif ext == "pdf" and variant == 2:
         pages = [{"image": pl.make_image(blocks=lines[:mid])},
                  {"image": pl.make_image(blocks=lines[mid:])}]
         if doc_type == "aadhaar" and app % 3 == 0:
             # QR on page 2 (page-2 heuristic, ref aadhaar_service.go:66-72).
             pages[1]["image"]["qr"] = aadhaar_qr_xml(i)
-        html = pl.make_pdf_payload(pages, pad_to=pad)
+        html = pl.make_pdf_payload(pages, password=password, pad_to=pad)
     elif ext == "pdf" and variant == 3:
         html = pl.make_pdf_payload(
             [{"image": pl.make_image(paddle_fail=True,
                                      tess_text=body, tess_conf=conf)}],
+            password=password,
             doc_tess_text=body, doc_tess_conf=conf, pad_to=pad)
     elif variant == 3:
         html = pl.make_image_payload(
@@ -270,6 +289,7 @@ def make_row(i: int, profile: str = "default") -> dict:
         "html": html,
         "text": text,
         "lang": lang,
+        "meta": meta,
     }
 
 
@@ -283,19 +303,41 @@ def fixture_rows() -> list[dict]:
         # Cheap path: text column carries the fixture verbatim.
         {"url": f"{base}/salary_slip/fx-salary-text.png", "warc_ts": ts,
          "html": pl.make_image_payload(pl.make_image(blocks=[])),
-         "text": FIXTURE_SALARY, "lang": "en"},
+         "text": FIXTURE_SALARY, "lang": "en", "meta": None},
         {"url": f"{base}/bank_statement/fx-bank-text.png", "warc_ts": ts,
          "html": pl.make_image_payload(pl.make_image(blocks=[])),
-         "text": FIXTURE_BANK, "lang": "en"},
+         "text": FIXTURE_BANK, "lang": "en", "meta": None},
         # Scanned-PDF path: same fixtures as paddle blocks (one page).
         {"url": f"{base}/salary_slip/fx-salary-scan.pdf", "warc_ts": ts,
          "html": pl.make_pdf_payload(
              [{"image": pl.make_image(blocks=FIXTURE_SALARY.split("\n"))}]),
-         "text": "", "lang": "en"},
+         "text": "", "lang": "en", "meta": None},
         {"url": f"{base}/bank_statement/fx-bank-scan.pdf", "warc_ts": ts,
          "html": pl.make_pdf_payload(
              [{"image": pl.make_image(blocks=FIXTURE_BANK.split("\n"))}]),
-         "text": "", "lang": "en"},
+         "text": "", "lang": "en", "meta": None},
+        # Password/metadata channel (S2/S4, ref income_service.go:43-46
+        # + pdf_processor.go:34-60): encrypted vector PDF with the
+        # correct password in meta; same payload with a wrong password
+        # (soft-degrades to empty text + quality issues per ref
+        # ProcessDocument); encrypted Aadhaar PDF whose decrypt failure
+        # surfaces the reference error string verbatim.
+        {"url": f"{base}/salary_slip/fx-salary-enc-ok.pdf", "warc_ts": ts,
+         "html": pl.make_pdf_payload(
+             [{"text_rows": FIXTURE_SALARY.split("\n")}], password="s3cret"),
+         "text": "", "lang": "en",
+         "meta": json.dumps({"doc_type": "salary_slip", "password": "s3cret"})},
+        {"url": f"{base}/salary_slip/fx-salary-enc-bad.pdf", "warc_ts": ts,
+         "html": pl.make_pdf_payload(
+             [{"text_rows": FIXTURE_SALARY.split("\n")}], password="s3cret"),
+         "text": "", "lang": "en",
+         "meta": json.dumps({"doc_type": "salary_slip", "password": "nope"})},
+        {"url": f"{base}/aadhaar/fx-aadhaar-enc-bad.pdf", "warc_ts": ts,
+         "html": pl.make_pdf_payload(
+             [{"image": pl.make_image(blocks=["Government of India"])}],
+             password="s3cret"),
+         "text": "", "lang": "en",
+         "meta": json.dumps({"doc_type": "aadhaar", "password": "nope"})},
     ]
     return rows
 

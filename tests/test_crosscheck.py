@@ -99,11 +99,16 @@ def test_crosscheck_full_pipeline_vs_oracle(spark):
     # Oracle: group extraction records per applicant in plain Python.
     slips_by_app, stmts_by_app = {}, {}
     for row in rows:
+        import json
         m = re.search(r"/app(\d+)/([a-z_]+)/", row["url"])
-        app, doc_type = f"app{m.group(1)}", m.group(2)
+        meta = json.loads(row["meta"]) if row.get("meta") else {}
+        app = f"app{m.group(1)}"
+        doc_type = meta.get("doc_type") or m.group(2)
+        password = meta.get("password") or ""
         if doc_type not in ("salary_slip", "bank_statement"):
             continue
-        rec = extract_record(row["url"], row["html"], row["text"], doc_type)
+        rec = extract_record(row["url"], row["html"], row["text"], doc_type,
+                             password)
         assert rec["error"] is None, row["url"]
         if doc_type == "salary_slip":
             slips_by_app.setdefault(app, []).append((row["url"], rec["salary"]))

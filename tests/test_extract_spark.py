@@ -21,9 +21,13 @@ def _doc_type_of(url: str) -> str:
 
 
 def _oracle(rows):
+    import json
     out = {}
     for r in rows:
-        rec = extract_record(r["url"], r["html"], r["text"], _doc_type_of(r["url"]))
+        meta = json.loads(r["meta"]) if r.get("meta") else {}
+        doc_type = meta.get("doc_type") or _doc_type_of(r["url"])
+        password = meta.get("password") or ""
+        rec = extract_record(r["url"], r["html"], r["text"], doc_type, password)
         out[r["url"]] = rec
     return out
 
@@ -114,6 +118,43 @@ def test_fixture_docs_replay(extracted):
     assert s2["salary"]["employee_name"] == "ABC Corp"
     assert s2["quality"]["ocr_confidence"] == 75.0
     assert s2["quality"]["final_score"] == 77.5
+
+
+def test_password_channel(extracted):
+    """S2/S4: per-row metadata JSON supplies doc_type + password (ref
+    dto/models.go:12-16, income_service.go:43-46, pdf_processor.go:34-60)."""
+    _, collected = extracted
+    base = "https://docs.synth.local/fixtures"
+
+    # Correct password: decrypt succeeds, vector-PDF path, full parse.
+    ok = collected[f"{base}/salary_slip/fx-salary-enc-ok.pdf"]
+    assert ok["error"] is None
+    assert ok["extracted_text"] == synth.FIXTURE_SALARY + "\n"
+    assert ok["salary"]["net_salary"] == 50000.0
+    assert ok["quality"]["final_score"] == 100.0
+
+    # Wrong password on the income path: soft degrade — both extraction
+    # stages fail, issues recorded, parser sees empty text (ref
+    # ProcessDocument never hard-fails on decrypt errors).
+    bad = collected[f"{base}/salary_slip/fx-salary-enc-bad.pdf"]
+    assert bad["error"] is None
+    assert bad["extracted_text"] == ""
+    assert bad["quality"]["issues"] == [
+        "pdf_text_extraction_failed", "pdf_image_extraction_failed"]
+    assert bad["salary"]["net_salary"] == 0.0
+
+    # Wrong password on the Aadhaar path: the decrypt error string
+    # surfaces verbatim (ref pdf_processor.go:56 'failed to decrypt PDF').
+    enc = collected[f"{base}/aadhaar/fx-aadhaar-enc-bad.pdf"]
+    assert enc["error"] == "failed to decrypt PDF"
+    assert enc["aadhaar"] is None
+
+    # Metadata doc_type override: urls with a bogus 'misc' segment must
+    # still classify via meta (i % 31 == 11 synth family).
+    misc = [u for u in collected if "/misc/" in u]
+    assert misc, "expected meta-override rows in the synth sample"
+    for u in misc:
+        assert collected[u]["doc_type"] in synth.DOC_TYPES
 
 
 def test_giant_blob_isolated(extracted):
