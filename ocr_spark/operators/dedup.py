@@ -12,8 +12,48 @@ hash aggregation with map-side combine.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def cap_buckets(df: DataFrame, keys: list[str],
+                max_bucket: int) -> DataFrame:
+    """Hot-bucket guard for LSH self-joins (the 100 TB scale-killer).
+
+    A degenerate bucket — millions of empty/boilerplate docs sharing a
+    band hash — turns the within-bucket self-join quadratic inside one
+    join key. Production near-dup pipelines therefore cap bucket
+    occupancy: buckets above ``max_bucket`` are dropped entirely.
+    Dropping (rather than sampling) is safe for dedup semantics because
+    a bucket that hot means the signature carries no discriminating
+    information for those rows — true duplicates among them are caught
+    by exact_dedup (always run first), and near-dup recall for such rows
+    is recovered by their OTHER bands/chunks/tables, which remain
+    subject to the same cap individually.
+
+    Cost: one window count over the bucket keys. The window shuffles on
+    exactly the keys the subsequent self-join uses, so the exchange is
+    reused (verify: single Exchange feeding Window + both join sides).
+    Use bucket_report() for the drop counters.
+    """
+    w = Window.partitionBy(*keys)
+    return (df.withColumn("_bucket_n", F.count("*").over(w))
+            .filter(F.col("_bucket_n") <= max_bucket).drop("_bucket_n"))
+
+
+def bucket_report(df: DataFrame, keys: list[str],
+                  max_bucket: int) -> DataFrame:
+    """Observability for cap_buckets: one row with bucket/occupancy
+    stats and how many rows the cap would drop. Callers (bench, jobs)
+    log this next to the pair output — silent truncation is an
+    anti-pattern (a capped run must say what it capped)."""
+    per = df.groupBy(*keys).agg(F.count("*").alias("n"))
+    return per.agg(
+        F.count("*").alias("n_buckets"),
+        F.max("n").alias("max_bucket_size"),
+        F.sum(F.when(F.col("n") > max_bucket, 1).otherwise(0)).alias("n_hot_buckets"),
+        F.sum(F.when(F.col("n") > max_bucket, F.col("n")).otherwise(0)).alias("rows_dropped"),
+        F.lit(max_bucket).alias("max_bucket"))
 
 
 def normalize_text(c):
@@ -67,18 +107,25 @@ def shingle_hashes(shingle_arr):
         lambda s: F.xxhash64(s).bitwiseAND(F.lit(0x7FFFFFFF).cast("long")))
 
 
-def minhash_signature(hash_arr, num_perm: int = 32):
-    """One-hash MinHash over pre-hashed shingles: permutation p is the
-    classic universal hash h -> (h * A_p + B_p) mod (2^31 - 1). With
-    31-bit h and constants the product stays under 2^62, so the long
-    arithmetic can never overflow (Spark 4 runs ANSI mode). One string
-    hash + num_perm multiply-add-mods per shingle instead of num_perm
-    string hashes. Pass shingle_hashes(...) as input."""
+def minhash_signature_from_hashes(hash_arr, num_perm: int = 32):
+    """One-hash MinHash over PRE-HASHED shingles (elements must be longs
+    in [0, 2^31-1] — pass shingle_hashes(...), not raw shingle strings):
+    permutation p is the classic universal hash h -> (h * A_p + B_p)
+    mod (2^31 - 1). With 31-bit h and constants the product stays under
+    2^62, so the long arithmetic can never overflow (Spark 4 runs ANSI
+    mode). One string hash + num_perm multiply-add-mods per shingle
+    instead of num_perm string hashes."""
     return F.array(*[
         F.array_min(F.transform(
             hash_arr,
             lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE31))))
         for a, b in _perm_consts(num_perm)])
+
+
+# Backwards-compat alias for the pre-rename call sites (the name change
+# makes the pre-hashed input domain explicit, mirroring
+# simhash_from_hashes).
+minhash_signature = minhash_signature_from_hashes
 
 
 def jaccard(a, b):
@@ -88,11 +135,17 @@ def jaccard(a, b):
     return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
 
 
-def _spread(df: DataFrame) -> DataFrame:
+def _spread(df: DataFrame, enabled: bool = True) -> DataFrame:
     """Small scans (one parquet file -> one task) would serialize the
     compute-heavy signature stages on a single core; spread them to the
-    cluster's parallelism. At production scale the scan already has
-    >= defaultParallelism splits and this is a no-op (no shuffle)."""
+    cluster's parallelism. An unconditional repartition would be a
+    full-corpus shuffle at production scale, so this probes the current
+    partition count first — df.rdd.getNumPartitions() is driver-side
+    plan work only (no job runs); callers that KNOW their scan is
+    already wide (production pipelines over many-file tables) pass
+    spread=False to skip the probe entirely."""
+    if not enabled:
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
@@ -102,15 +155,17 @@ def _spread(df: DataFrame) -> DataFrame:
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", k: int = 8,
                       num_perm: int = 32, bands: int = 8,
-                      threshold: float = 0.7) -> DataFrame:
+                      threshold: float = 0.7, max_bucket: int = 1000,
+                      spread: bool = True) -> DataFrame:
     """MinHash + LSH near-dup pairs: shingle -> minhash -> band buckets ->
-    bucket self-join -> exact-Jaccard verify.
+    hot-bucket cap -> bucket self-join -> exact-Jaccard verify.
 
     Shuffles once on (band, band_hash); candidate fanout is bounded by
-    bucket size, never all-pairs. rows_per_band = num_perm // bands.
+    bucket size (cap_buckets guards the degenerate-bucket quadratic),
+    never all-pairs. rows_per_band = num_perm // bands.
     """
     rows_per_band = num_perm // bands
-    df = _spread(df)
+    df = _spread(df, spread)
     # hs materialized in its own projection so the 8-gram string hashes
     # run once per doc; the num_perm permutations are multiply-adds over
     # hs (CollapseProject won't inline an alias referenced num_perm
@@ -119,7 +174,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
         df.select(F.col(id_col).alias("id"),
                   shingles(F.col(text_col), k).alias("sh"))
         .withColumn("hs", shingle_hashes(F.col("sh")))
-        .withColumn("mh", minhash_signature(F.col("hs"), num_perm))
+        .withColumn("mh", minhash_signature_from_hashes(F.col("hs"), num_perm))
     )
     # Band rows carry ONLY (id, band, band_hash): at 10^12 docs the
     # bands-x duplication of shingle arrays through the shuffle would
@@ -137,6 +192,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                                      rows_per_band))).alias("band_hash")),
             )).alias("bb"),
     ).select("id", "bb.band", "bb.band_hash")
+    banded = cap_buckets(banded, ["band", "band_hash"], max_bucket)
 
     cand = (
         banded.alias("l").join(banded.alias("r"),
@@ -196,11 +252,12 @@ def simhash(c, bits: int = 64):
 
 
 def simhash_pairs(df: DataFrame, text_col: str = "text",
-                  id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+                  id_col: str = "doc_id", max_hamming: int = 3,
+                  max_bucket: int = 1000, spread: bool = True) -> DataFrame:
     """SimHash near-dup pairs: 64-bit fingerprint, candidate buckets by
     16-bit chunk (pigeonhole: hamming<=3 pairs share >=1 of 4 chunks),
-    verified with bit_count(xor)."""
-    fp = (_spread(df)
+    hot-bucket cap, verified with bit_count(xor)."""
+    fp = (_spread(df, spread)
           .select(F.col(id_col).alias("id"),
                   token_hashes(F.col(text_col)).alias("hs"))
           .select("id", simhash_from_hashes(F.col("hs")).alias("fp")))
@@ -213,6 +270,7 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
                 .bitwiseAND(F.lit(0xFFFF)).alias("chunk_val"))
             for i in range(4)])).alias("cc"),
     ).select("id", "fp", "cc.chunk", "cc.chunk_val")
+    chunked = cap_buckets(chunked, ["chunk", "chunk_val"], max_bucket)
     l, r = chunked.alias("l"), chunked.alias("r")
     return (
         l.join(r, on=["chunk", "chunk_val"], how="inner")
@@ -227,16 +285,19 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 8,
                         threshold: float = 0.5,
-                        length_band: int = 32) -> DataFrame:
+                        length_band: int = 32, max_bucket: int = 1000,
+                        spread: bool = True) -> DataFrame:
     """Exact n-gram Jaccard pairs with length-band blocking (docs whose
-    lengths differ by more than a band can't reach high Jaccard)."""
-    base = _spread(df).select(
+    lengths differ by more than a band can't reach high Jaccard) and a
+    hot-bucket cap (a popular length band is quadratic without it)."""
+    base = _spread(df, spread).select(
         F.col(id_col).alias("id"),
         shingles(F.col(text_col), k).alias("sh"),
         F.floor(F.length(normalize_text(F.col(text_col))) / length_band).alias("band"),
     )
     banded = base.select(
         "id", "sh", F.explode(F.array(F.col("band"), F.col("band") + 1)).alias("b"))
+    banded = cap_buckets(banded, ["b"], max_bucket)
     l, r = banded.alias("l"), banded.alias("r")
     return (
         l.join(r, on=["b"], how="inner")

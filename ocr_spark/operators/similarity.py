@@ -50,16 +50,18 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
             .filter(F.col("rank") <= k))
 
 
-def lsh_sign_bucket(vec, planes: int = 12, dim: int | None = None):
+def lsh_sign_bucket(vec, planes: int = 12, table: int = 0):
     """Deterministic random-hyperplane signature packed into a BIGINT.
 
-    Plane weights derive from xxhash64(plane, dim_index) mapped to
-    [-0.5, 0.5] — no RNG state, identical on every executor and run.
+    Plane weights derive from xxhash64(table, plane, dim_index) mapped
+    to [-0.5, 0.5] — no RNG state, identical on every executor and run.
+    ``table`` seeds independent hash tables for multi-table LSH.
     """
     def _weights(plane: int):
         return F.transform(
             F.sequence(F.lit(0), F.size(vec) - 1),
-            lambda d: (F.pmod(F.xxhash64(F.lit(plane), d), F.lit(1000))
+            lambda d: (F.pmod(F.xxhash64(F.lit(table), F.lit(plane), d),
+                              F.lit(1000))
                        .cast("double") / 1000.0 - 0.5))
 
     sig = F.lit(0).cast("long")
@@ -73,23 +75,60 @@ def lsh_sign_bucket(vec, planes: int = 12, dim: int | None = None):
     return sig
 
 
+def _lsh_tables(vec, planes: int, tables: int):
+    """ARRAY<STRUCT<table,bucket>>: one sign signature per hash table.
+    Multi-table LSH: a pair is a candidate if it collides in ANY table —
+    recall no longer depends on a single lucky signature (the
+    single-table exact-match form has uncontrolled recall at scale)."""
+    return F.array(*[
+        F.struct(F.lit(t).alias("table"),
+                 lsh_sign_bucket(vec, planes, table=t).alias("bucket"))
+        for t in range(tables)])
+
+
+def _cap_buckets(df: DataFrame, keys: list[str], max_bucket: int) -> DataFrame:
+    from .dedup import cap_buckets
+    return cap_buckets(df, keys, max_bucket)
+
+
 def lsh_cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
-                    planes: int = 12, query_id: str = "vec_id",
-                    corpus_id: str = "vec_id",
-                    vec_col: str = "embedding") -> DataFrame:
-    """ANN: bucket corpus and queries by LSH signature, score only
-    within-bucket candidates. Recall trades off with `planes`."""
+                    planes: int = 12, tables: int = 4,
+                    query_id: str = "vec_id", corpus_id: str = "vec_id",
+                    vec_col: str = "embedding",
+                    max_bucket: int = 10_000) -> DataFrame:
+    """ANN: multi-table sign-LSH candidate generation, then exact cosine
+    scoring of the (deduplicated) candidate set.
+
+    Scale shape: bucket rows carry ids only — corpus vectors never
+    duplicate through the tables-x bucket shuffle; hot corpus buckets
+    (signature carries no information there) are capped; candidate ids
+    re-join the corpus scan once for scoring. Recall rises with
+    `tables`, cost with tables x occupancy.
+    """
     q = queries.select(
         F.col(query_id).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("qv"),
-    ).withColumn("bucket", lsh_sign_bucket(F.col("qv"), planes))
+        F.col(vec_col).cast("array<double>").alias("qv"))
     c = corpus.select(
         F.col(corpus_id).alias("corpus_id"),
-        F.col(vec_col).cast("array<double>").alias("cv"),
-    ).withColumn("bucket", lsh_sign_bucket(F.col("cv"), planes))
-    scored = (
-        c.join(F.broadcast(q), "bucket", "inner")
+        F.col(vec_col).cast("array<double>").alias("cv"))
+
+    q_buckets = q.select(
+        "query_id", F.explode(_lsh_tables(F.col("qv"), planes, tables)).alias("tb")
+    ).select("query_id", "tb.table", "tb.bucket")
+    c_buckets = c.select(
+        "corpus_id", F.explode(_lsh_tables(F.col("cv"), planes, tables)).alias("tb")
+    ).select("corpus_id", "tb.table", "tb.bucket")
+    c_buckets = _cap_buckets(c_buckets, ["table", "bucket"], max_bucket)
+
+    cand = (
+        c_buckets.join(F.broadcast(q_buckets), ["table", "bucket"], "inner")
         .filter(F.col("query_id") != F.col("corpus_id"))
+        .select("query_id", "corpus_id")
+        .dropDuplicates(["query_id", "corpus_id"])
+    )
+    scored = (
+        cand.join(c, "corpus_id")
+        .join(F.broadcast(q), "query_id")
         .select("query_id", "corpus_id",
                 cosine(F.col("qv"), F.col("cv")).alias("cos_sim"))
     )
@@ -100,19 +139,34 @@ def lsh_cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
 
 
 def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
-                             planes: int = 10, id_col: str = "vec_id",
-                             vec_col: str = "embedding") -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via LSH self-join."""
+                             planes: int = 10, tables: int = 4,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             max_bucket: int = 1000) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via multi-table LSH
+    self-join: ids-only bucket shuffle, hot-bucket cap, candidate pairs
+    deduped across tables, vectors re-joined once for exact scoring."""
     base = df.select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-    ).withColumn("bucket", lsh_sign_bucket(F.col("v"), planes))
-    l, r = base.alias("l"), base.alias("r")
-    return (
-        l.join(r, "bucket", "inner")
+        F.col(vec_col).cast("array<double>").alias("v"))
+    buckets = base.select(
+        "id", F.explode(_lsh_tables(F.col("v"), planes, tables)).alias("tb")
+    ).select("id", "tb.table", "tb.bucket")
+    buckets = _cap_buckets(buckets, ["table", "bucket"], max_bucket)
+
+    l, r = buckets.alias("l"), buckets.alias("r")
+    cand = (
+        l.join(r, ["table", "bucket"], "inner")
         .filter(F.col("l.id") < F.col("r.id"))
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
-                cosine(F.col("l.v"), F.col("r.v")).alias("cos_sim"))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.join(base.select(F.col("id").alias("id_a"),
+                              F.col("v").alias("va")), "id_a")
+        .join(base.select(F.col("id").alias("id_b"),
+                          F.col("v").alias("vb")), "id_b")
+        .select("id_a", "id_b",
+                cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )

@@ -68,6 +68,48 @@ class TestDedup:
         out = dedup.exact_dedup(docs)
         assert out.agg(F.sum("dup_count")).first()[0] == docs.count()
 
+    def test_minhash_hot_bucket_cap(self, spark):
+        """A degenerate cluster (thousands of identical docs -> every
+        band bucket hot) must NOT produce a quadratic candidate set; a
+        planted near-pair outside the cluster must still surface."""
+        base = ("spark shuffles data between stages when wide dependencies "
+                "require repartitioning across the cluster nodes")
+        near = base.replace("cluster", "compute")
+        boiler = "lorem ipsum boilerplate footer text appears everywhere"
+        rows = [(0, base), (1, near)] + [(100 + i, boiler) for i in range(4000)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        pairs = dedup.minhash_lsh_pairs(df, threshold=0.5, max_bucket=100).collect()
+        ids = {(r["id_a"], r["id_b"]) for r in pairs}
+        assert (0, 1) in ids
+        # The 4000-doc clique would be ~8M pairs; the cap drops it
+        # (exact_dedup owns identical docs).
+        assert len(ids) == 1
+        # Drop counters are observable, not silent.
+        rep = dedup.bucket_report(
+            df.select("doc_id",
+                      dedup.shingles(F.col("text"), 8).alias("sh")).select(
+                "doc_id",
+                dedup.minhash_signature_from_hashes(
+                    dedup.shingle_hashes(F.col("sh")), 32).alias("mh")
+            ).select("doc_id", F.xxhash64(F.concat_ws(
+                ",", F.slice("mh", 1, 4))).alias("band_hash")),
+            ["band_hash"], 100).first()
+        assert rep["n_hot_buckets"] >= 1
+        assert rep["rows_dropped"] >= 4000
+
+    def test_simhash_hot_bucket_cap(self, spark):
+        base = ("spark shuffles data between stages when wide dependencies "
+                "require repartitioning across the cluster nodes and tasks")
+        near = base.replace("tasks", "executors")
+        boiler = "identical boilerplate body"
+        rows = [(0, base), (1, near)] + [(100 + i, boiler) for i in range(4000)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        pairs = {(r["id_a"], r["id_b"])
+                 for r in dedup.simhash_pairs(df, max_hamming=6,
+                                              max_bucket=100).collect()}
+        assert (0, 1) in pairs
+        assert len(pairs) == 1
+
 
 class TestSimilarity:
     def test_cosine_topk_vs_numpy(self, spark, embeddings):
@@ -112,6 +154,29 @@ class TestSimilarity:
             [(0, v), (1, v2), (2, w)], ["vec_id", "embedding"])
         pairs = similarity.embedding_near_dup_pairs(df, threshold=0.99).collect()
         assert [(p["id_a"], p["id_b"]) for p in pairs] == [(0, 1)]
+
+    def test_embedding_hot_bucket_cap(self, spark):
+        """Thousands of identical vectors share every table's bucket; the
+        cap must drop that clique while a distinct planted near-pair in
+        quiet buckets survives."""
+        v = [0.5, 0.1, -0.2, 0.8]
+        v2 = [x * 1.0001 for x in v]
+        boiler = [-0.3, 0.7, 0.4, -0.6]
+        rows = [(0, v), (1, v2)] + [(100 + i, boiler) for i in range(2000)]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        pairs = {(p["id_a"], p["id_b"])
+                 for p in similarity.embedding_near_dup_pairs(
+                     df, threshold=0.99, max_bucket=100).collect()}
+        assert pairs == {(0, 1)}
+
+    def test_multi_table_lsh_recall_at_least_single_table(self, spark, embeddings):
+        """Multi-table candidate union can only grow recall vs one table."""
+        queries = embeddings.filter(F.col("vec_id") < 5)
+        one = similarity.lsh_cosine_topk(queries, embeddings, k=3,
+                                         planes=6, tables=1)
+        four = similarity.lsh_cosine_topk(queries, embeddings, k=3,
+                                          planes=6, tables=4)
+        assert four.count() >= one.count()
 
 
 class TestTextStats:
