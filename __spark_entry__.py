@@ -651,25 +651,140 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
-# ---- Spark-native ops (hash-seeded: no cross-engine oracle; driver
-# records rows-only checks) ----
+# ---- Hash-seeded ops, oracle-checked via the md5 hash family ----
+# Production runs hash_mode='xxhash64' (JVM intrinsic, covered by
+# pytest); the driver queries run the IDENTICAL algorithm with
+# hash_mode='md5' so DuckDB can replay every stage (shingle hash ->
+# signature -> banding -> bucket join -> verify) in pure SQL.
 
 def q_minhash_pairs(spark, sf_dir):
     d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
-    return dedup.minhash_lsh_pairs(d, threshold=0.3)
+    out = dedup.minhash_lsh_pairs(d, threshold=0.3, hash_mode="md5")
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _sql_minhash_pairs():
+    consts = dedup._perm_consts(32)
+    rows_per_band = 4  # num_perm=32 / bands=8
+    mh_terms = ",\n    ".join(
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % 2147483647))"
+        for a, b in consts)
+    band_structs = ",\n    ".join(
+        "{'band': %d, 'bh': ('0x' || substr(md5(%s), 1, 8))::bigint}" % (
+            b, " || ',' || ".join(
+                f"mh[{b * rows_per_band + j + 1}]::varchar"
+                for j in range(rows_per_band)))
+        for b in range(8))
+    return f"""
+WITH d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS n
+           FROM documents WHERE doc_id < 200),
+s AS (SELECT doc_id, list_distinct(list_transform(
+        range(1, greatest(length(n) - 7, 1) + 1), j -> substr(n, j::int, 8))) AS sh
+      FROM d),
+h AS (SELECT doc_id, sh, list_transform(
+        sh, x -> ('0x' || substr(md5(x), 1, 8))::bigint & 2147483647) AS hs
+      FROM s),
+m AS (SELECT doc_id, [
+    {mh_terms}] AS mh FROM h),
+bn AS (SELECT doc_id, unnest([
+    {band_structs}]) AS u FROM m),
+bb AS (SELECT doc_id, u.band AS band, u.bh AS band_hash FROM bn),
+bc AS (SELECT * FROM bb QUALIFY count(*) OVER (PARTITION BY band, band_hash) <= 1000),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bc a JOIN bc b
+           ON a.band = b.band AND a.band_hash = b.band_hash
+          AND a.doc_id < b.doc_id),
+j AS (SELECT cand.id_a, cand.id_b,
+        CASE WHEN len(list_distinct(list_concat(sa.sh, sb.sh))) = 0 THEN 0.0
+             ELSE len(list_intersect(sa.sh, sb.sh))::double
+                  / len(list_distinct(list_concat(sa.sh, sb.sh))) END AS jac
+      FROM cand JOIN s sa ON sa.doc_id = cand.id_a
+                JOIN s sb ON sb.doc_id = cand.id_b)
+SELECT id_a, id_b, round(jac, 6) AS jaccard
+FROM j WHERE jac >= 0.3 ORDER BY id_a, id_b
+"""
 
 
 def q_simhash_pairs(spark, sf_dir):
     d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
-    return dedup.simhash_pairs(d, max_hamming=10)
+    return dedup.simhash_pairs(d, max_hamming=10, hash_mode="md5")
+
+
+def _sql_simhash_pairs():
+    # Per-bit votes recomputed from the two 32-bit md5 hex words (DuckDB
+    # overflow-checks 64-bit shifts, so the fingerprint stays in halves:
+    # Spark's packed BIGINT == (fp_hi << 32) | fp_lo bit-for-bit).
+    fp_lo = " + ".join(
+        f"(CASE WHEN 2 * list_sum(list_transform(lo, h -> (h >> {b}) & 1)) > nt"
+        f" THEN {1 << b} ELSE 0 END)" for b in range(32))
+    fp_hi = " + ".join(
+        f"(CASE WHEN 2 * list_sum(list_transform(hi, h -> (h >> {b}) & 1)) > nt"
+        f" THEN {1 << b} ELSE 0 END)" for b in range(32))
+    return f"""
+WITH d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS n
+           FROM documents WHERE doc_id < 200),
+t AS (SELECT doc_id, regexp_split_to_array(trim(n), ' ') AS tok FROM d),
+h AS (SELECT doc_id,
+        list_transform(tok, x -> ('0x' || substr(md5(x), 1, 8))::bigint) AS lo,
+        list_transform(tok, x -> ('0x' || substr(md5(x), 9, 8))::bigint) AS hi,
+        len(tok) AS nt FROM t),
+f AS (SELECT doc_id, ({fp_lo}) AS fp_lo, ({fp_hi}) AS fp_hi FROM h),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        bit_count(xor(a.fp_lo, b.fp_lo)) + bit_count(xor(a.fp_hi, b.fp_hi)) AS hamming
+      FROM f a JOIN f b
+        ON a.doc_id < b.doc_id
+       AND ((a.fp_lo & 65535) = (b.fp_lo & 65535)
+         OR (a.fp_lo >> 16) = (b.fp_lo >> 16)
+         OR (a.fp_hi & 65535) = (b.fp_hi & 65535)
+         OR (a.fp_hi >> 16) = (b.fp_hi >> 16)))
+SELECT id_a, id_b, hamming FROM p WHERE hamming <= 10 ORDER BY id_a, id_b
+"""
 
 
 def q_lsh_ann(spark, sf_dir):
     e = _emb(spark, sf_dir)
     out = similarity.lsh_cosine_topk(e.filter(F.col("vec_id") < 5), e,
-                                     k=3, planes=6)
+                                     k=3, planes=6, tables=4,
+                                     hash_mode="md5")
     return out.select("query_id", "rank", "corpus_id",
                       F.round("cos_sim", 4).alias("cos_sim"))
+
+
+def _sql_lsh_ann():
+    def proj(t, p):
+        w = (f"((('0x' || substr(md5('{t},{p},' || (i - 1)::varchar), 1, 8))::bigint"
+             f" % 1000) / 1000.0 - 0.5)")
+        return (f"list_sum(list_transform(range(1, len(v) + 1),"
+                f" i -> v[i::int] * {w}))")
+    buckets = ",\n    ".join(
+        "(" + " + ".join(
+            f"(CASE WHEN {proj(t, p)} > 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(6)) + f") AS b{t}"
+        for t in range(4))
+    anytab = " OR ".join(f"q.b{t} = c.b{t}" for t in range(4))
+    return f"""
+WITH e AS (SELECT vec_id, embedding::double[] AS v FROM embeddings),
+b AS (SELECT vec_id, v,
+    {buckets}
+  FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, b0, b1, b2, b3 FROM b WHERE vec_id < 5),
+c AS (SELECT vec_id AS corpus_id, v AS cv, b0, b1, b2, b3 FROM b),
+cand AS (SELECT DISTINCT query_id, corpus_id, qv, cv
+         FROM q JOIN c ON ({anytab})
+         WHERE query_id <> corpus_id),
+s AS (SELECT query_id, corpus_id,
+        list_sum(list_transform(range(1, len(qv) + 1),
+                 i -> qv[i::int] * cv[i::int]))
+        / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+           * sqrt(list_sum(list_transform(cv, x -> x * x)))) AS cos_sim
+      FROM cand),
+r AS (SELECT query_id, corpus_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, corpus_id ASC) AS rank
+      FROM s)
+SELECT query_id, rank, corpus_id, round(cos_sim, 4) AS cos_sim
+FROM r WHERE rank <= 3 ORDER BY query_id, rank
+"""
 
 
 def q_media_features(spark, sf_dir):
@@ -805,8 +920,12 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": _sql_embedding_neardup(),
         "tx_line_parse": _sql_tx_line_parse(),
         "pricing_summary": _sql_pricing_summary(),
-        # minhash_pairs / simhash_pairs / lsh_ann: xxhash64-seeded
-        # candidate generation has no DuckDB equivalent -> rows-only.
+        # md5-hash-family twins of the LSH operators: DuckDB replays
+        # every stage (hash -> signature -> banding -> bucket join ->
+        # verify) in SQL. Production paths stay xxhash64 (pytest-covered).
+        "minhash_pairs": _sql_minhash_pairs(),
+        "simhash_pairs": _sql_simhash_pairs(),
+        "lsh_ann": _sql_lsh_ann(),
         # media_features: byte-level blob histogram not expressible in
         # DuckDB SQL -> rows-only (python-oracle pytest covers it).
         # extract_pipeline / crosscheck_pipeline: non-SQL cascade +

@@ -107,6 +107,33 @@ def shingle_hashes(shingle_arr):
         lambda s: F.xxhash64(s).bitwiseAND(F.lit(0x7FFFFFFF).cast("long")))
 
 
+def md5_hash31(c):
+    """31-bit hash from the first 8 hex chars of md5 — the DuckDB-
+    expressible twin of the xxhash64 shingle hash
+    (('0x' || substr(md5(s),1,8))::bigint & 2147483647 in DuckDB).
+    Used by the oracle-checked hash_mode='md5' operator variants; the
+    production default stays xxhash64 (one JVM intrinsic vs an md5 +
+    hex parse per shingle)."""
+    return (F.conv(F.substring(F.md5(c.cast("binary")), 1, 8), 16, 10)
+            .cast("long").bitwiseAND(F.lit(0x7FFFFFFF).cast("long")))
+
+
+def md5_hash64(c):
+    """64-bit hash from md5 assembled from two 32-bit hex words (lo =
+    hex chars 1-8, hi = 9-16). The signed-long bit pattern matches
+    (hi << 32) | lo; DuckDB reproduces per-bit math from the halves
+    (its << overflow-checks, so the oracle never assembles the 64-bit
+    value)."""
+    hexs = F.md5(c.cast("binary"))
+    lo = F.conv(F.substring(hexs, 1, 8), 16, 10).cast("long")
+    hi = F.conv(F.substring(hexs, 9, 8), 16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
+def shingle_hashes_md5(shingle_arr):
+    return F.transform(shingle_arr, md5_hash31)
+
+
 def minhash_signature_from_hashes(hash_arr, num_perm: int = 32):
     """One-hash MinHash over PRE-HASHED shingles (elements must be longs
     in [0, 2^31-1] — pass shingle_hashes(...), not raw shingle strings):
@@ -156,15 +183,21 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", k: int = 8,
                       num_perm: int = 32, bands: int = 8,
                       threshold: float = 0.7, max_bucket: int = 1000,
-                      spread: bool = True) -> DataFrame:
+                      spread: bool = True,
+                      hash_mode: str = "xxhash64") -> DataFrame:
     """MinHash + LSH near-dup pairs: shingle -> minhash -> band buckets ->
     hot-bucket cap -> bucket self-join -> exact-Jaccard verify.
 
     Shuffles once on (band, band_hash); candidate fanout is bounded by
     bucket size (cap_buckets guards the degenerate-bucket quadratic),
     never all-pairs. rows_per_band = num_perm // bands.
+
+    hash_mode: 'xxhash64' (production, JVM intrinsic) or 'md5'
+    (DuckDB-expressible — the driver oracle runs the identical
+    algorithm in SQL against this mode).
     """
     rows_per_band = num_perm // bands
+    hash_shingles = shingle_hashes if hash_mode == "xxhash64" else shingle_hashes_md5
     df = _spread(df, spread)
     # hs materialized in its own projection so the 8-gram string hashes
     # run once per doc; the num_perm permutations are multiply-adds over
@@ -173,24 +206,25 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     sig = (
         df.select(F.col(id_col).alias("id"),
                   shingles(F.col(text_col), k).alias("sh"))
-        .withColumn("hs", shingle_hashes(F.col("sh")))
+        .withColumn("hs", hash_shingles(F.col("sh")))
         .withColumn("mh", minhash_signature_from_hashes(F.col("hs"), num_perm))
     )
     # Band rows carry ONLY (id, band, band_hash): at 10^12 docs the
     # bands-x duplication of shingle arrays through the shuffle would
     # dominate the job; ids shuffle in bytes, shingles re-derive later
     # for the (small) candidate set.
+    def band_hash(b):
+        joined = F.concat_ws(
+            ",", F.slice(F.col("mh"), b * rows_per_band + 1, rows_per_band))
+        return (F.xxhash64(joined) if hash_mode == "xxhash64"
+                else F.conv(F.substring(F.md5(joined.cast("binary")), 1, 8),
+                            16, 10).cast("long"))
+
     banded = sig.select(
         "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(F.concat_ws(
-                        ",", F.slice(F.col("mh"), b * rows_per_band + 1,
-                                     rows_per_band))).alias("band_hash")),
-            )).alias("bb"),
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"), band_hash(b).alias("band_hash"))
+            for b in range(bands)])).alias("bb"),
     ).select("id", "bb.band", "bb.band_hash")
     banded = cap_buckets(banded, ["band", "band_hash"], max_bucket)
 
@@ -219,6 +253,13 @@ def token_hashes(c):
     projection) before the per-bit vote fanout."""
     return F.transform(F.split(F.trim(normalize_text(c)), " "),
                        lambda t: F.xxhash64(t))
+
+
+def token_hashes_md5(c):
+    """md5-derived 64-bit token hashes (DuckDB-expressible twin of
+    token_hashes; the oracle recomputes per-bit votes from the two
+    32-bit md5 hex words)."""
+    return F.transform(F.split(F.trim(normalize_text(c)), " "), md5_hash64)
 
 
 def simhash_from_hashes(hash_arr, bits: int = 64):
@@ -253,13 +294,18 @@ def simhash(c, bits: int = 64):
 
 def simhash_pairs(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", max_hamming: int = 3,
-                  max_bucket: int = 1000, spread: bool = True) -> DataFrame:
+                  max_bucket: int = 1000, spread: bool = True,
+                  hash_mode: str = "xxhash64") -> DataFrame:
     """SimHash near-dup pairs: 64-bit fingerprint, candidate buckets by
     16-bit chunk (pigeonhole: hamming<=3 pairs share >=1 of 4 chunks),
-    hot-bucket cap, verified with bit_count(xor)."""
+    hot-bucket cap, verified with bit_count(xor).
+
+    hash_mode: 'xxhash64' (production) or 'md5' (DuckDB-oracle twin).
+    """
+    hash_tokens = token_hashes if hash_mode == "xxhash64" else token_hashes_md5
     fp = (_spread(df, spread)
           .select(F.col(id_col).alias("id"),
-                  token_hashes(F.col(text_col)).alias("hs"))
+                  hash_tokens(F.col(text_col)).alias("hs"))
           .select("id", simhash_from_hashes(F.col("hs")).alias("fp")))
     chunked = fp.select(
         "id", "fp",

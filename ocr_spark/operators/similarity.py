@@ -50,19 +50,30 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
             .filter(F.col("rank") <= k))
 
 
-def lsh_sign_bucket(vec, planes: int = 12, table: int = 0):
+def lsh_sign_bucket(vec, planes: int = 12, table: int = 0,
+                    hash_mode: str = "xxhash64"):
     """Deterministic random-hyperplane signature packed into a BIGINT.
 
-    Plane weights derive from xxhash64(table, plane, dim_index) mapped
-    to [-0.5, 0.5] — no RNG state, identical on every executor and run.
+    Plane weights derive from hash(table, plane, dim_index) mapped to
+    [-0.5, 0.5] — no RNG state, identical on every executor and run.
     ``table`` seeds independent hash tables for multi-table LSH.
+    hash_mode 'md5' derives weights from md5 hex (DuckDB-expressible,
+    used by the driver oracle); production default is xxhash64.
     """
     def _weights(plane: int):
+        if hash_mode == "xxhash64":
+            return F.transform(
+                F.sequence(F.lit(0), F.size(vec) - 1),
+                lambda d: (F.pmod(F.xxhash64(F.lit(table), F.lit(plane), d),
+                                  F.lit(1000))
+                           .cast("double") / 1000.0 - 0.5))
         return F.transform(
             F.sequence(F.lit(0), F.size(vec) - 1),
-            lambda d: (F.pmod(F.xxhash64(F.lit(table), F.lit(plane), d),
-                              F.lit(1000))
-                       .cast("double") / 1000.0 - 0.5))
+            lambda d: (F.pmod(
+                F.conv(F.substring(F.md5(F.concat(
+                    F.lit(f"{table},{plane},"), d.cast("string")
+                ).cast("binary")), 1, 8), 16, 10).cast("long"),
+                F.lit(1000)).cast("double") / 1000.0 - 0.5))
 
     sig = F.lit(0).cast("long")
     for p in range(planes):
@@ -75,14 +86,15 @@ def lsh_sign_bucket(vec, planes: int = 12, table: int = 0):
     return sig
 
 
-def _lsh_tables(vec, planes: int, tables: int):
+def _lsh_tables(vec, planes: int, tables: int, hash_mode: str = "xxhash64"):
     """ARRAY<STRUCT<table,bucket>>: one sign signature per hash table.
     Multi-table LSH: a pair is a candidate if it collides in ANY table —
     recall no longer depends on a single lucky signature (the
     single-table exact-match form has uncontrolled recall at scale)."""
     return F.array(*[
         F.struct(F.lit(t).alias("table"),
-                 lsh_sign_bucket(vec, planes, table=t).alias("bucket"))
+                 lsh_sign_bucket(vec, planes, table=t,
+                                 hash_mode=hash_mode).alias("bucket"))
         for t in range(tables)])
 
 
@@ -95,7 +107,8 @@ def lsh_cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
                     planes: int = 12, tables: int = 4,
                     query_id: str = "vec_id", corpus_id: str = "vec_id",
                     vec_col: str = "embedding",
-                    max_bucket: int = 10_000) -> DataFrame:
+                    max_bucket: int = 10_000,
+                    hash_mode: str = "xxhash64") -> DataFrame:
     """ANN: multi-table sign-LSH candidate generation, then exact cosine
     scoring of the (deduplicated) candidate set.
 
@@ -113,10 +126,12 @@ def lsh_cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
         F.col(vec_col).cast("array<double>").alias("cv"))
 
     q_buckets = q.select(
-        "query_id", F.explode(_lsh_tables(F.col("qv"), planes, tables)).alias("tb")
+        "query_id", F.explode(_lsh_tables(F.col("qv"), planes, tables,
+                                          hash_mode)).alias("tb")
     ).select("query_id", "tb.table", "tb.bucket")
     c_buckets = c.select(
-        "corpus_id", F.explode(_lsh_tables(F.col("cv"), planes, tables)).alias("tb")
+        "corpus_id", F.explode(_lsh_tables(F.col("cv"), planes, tables,
+                                           hash_mode)).alias("tb")
     ).select("corpus_id", "tb.table", "tb.bucket")
     c_buckets = _cap_buckets(c_buckets, ["table", "bucket"], max_bucket)
 
