@@ -1,7 +1,7 @@
 """End-to-end extraction job assembly.
 
 read -> classify (expression) -> salt/repartition (explicit skew
-handling) -> mapInPandas extract -> output + metrics.
+handling) -> mapInArrow extract -> output + metrics.
 
 Scale notes (designed for 10^12 docs / 100 TB, tested on local[32]):
   * doc_type classification is a Catalyst expression on `url`, so text-
@@ -86,8 +86,10 @@ def run_extraction(spark: SparkSession, input_df: DataFrame,
         num_partitions = spark.sparkContext.defaultParallelism * 2
 
     df = classify(input_df)
-    df = salt_partitions(df, num_partitions)
-    return df.mapInPandas(make_extractor(run_id), schema=schemas.EXTRACT_SCHEMA)
+    # meta is fully parsed into doc_type/password expressions — drop it
+    # so the JSON blob doesn't ride the salt shuffle + Arrow boundary.
+    df = salt_partitions(df.drop("meta"), num_partitions)
+    return df.mapInArrow(make_extractor(run_id), schema=schemas.EXTRACT_SCHEMA)
 
 
 def partition_metrics(extracted: DataFrame) -> DataFrame:

@@ -5,7 +5,7 @@ The reference is a stateless request/response service (SURVEY.md §2.8:
 no streaming operators exist), so the streaming surface here is the
 batch pipeline lifted into an incremental file-ingest job: new parquet
 files landing under an input directory flow through the same salted
-mapInPandas extraction via foreachBatch, and each micro-batch commits
+mapInArrow extraction via foreachBatch, and each micro-batch commits
 atomically to the snapshot table — the anti-join makes redelivered
 files idempotent.
 """
