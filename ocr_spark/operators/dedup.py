@@ -262,13 +262,50 @@ def token_hashes_md5(c):
     return F.transform(F.split(F.trim(normalize_text(c)), " "), md5_hash64)
 
 
-def simhash_from_hashes(hash_arr, bits: int = 64):
-    """Classic one-hash SimHash packed into a BIGINT: bit b of the
-    fingerprint is 1 iff the sum over tokens of (+1 if bit b of the
-    token's hash is set, else -1) is positive. One string hash per
-    token; the 64 per-bit votes are shift/and/add arithmetic (the old
-    form re-hashed every token once per bit). Statically unrolled —
-    shift amounts must be Python ints in the DataFrame API."""
+def _signed64(val: int):
+    """Python int bit pattern -> signed-long literal."""
+    return F.lit(val - (1 << 64) if val >= 1 << 63 else val).cast("long")
+
+
+# Bits k, k+16, k+32, k+48 of (h >>> k) land exactly at lane offsets
+# 0/16/32/48 under this mask — one shift+and+add accumulates FOUR
+# per-bit set counts per token.
+_LANE_MASK = 0x0001_0001_0001_0001
+
+
+def _simhash_packed(hash_arr):
+    """16 array traversals instead of 64: aggregate k accumulates the
+    set-bit counts of bit positions {k, k+16, k+32, k+48} in four
+    16-bit lanes of one long. Lanes can't carry into each other while
+    every count < 2^16, i.e. docs under 65536 tokens (the caller
+    guards). Fingerprint bit b = (2 * count_b > n_tokens) — identical
+    tie semantics to the +1/-1 vote form (vote > 0 <=> 2c - n > 0)."""
+    n = F.size(hash_arr).cast("long")
+
+    # NB: a `lambda a, h, k=k:` default-arg capture would change the
+    # visible arity — pyspark builds the lambda expression from the
+    # signature — so bind k via a closure factory instead.
+    def step(k: int):
+        return lambda a, h: a + F.shiftrightunsigned(h, k).bitwiseAND(
+            _signed64(_LANE_MASK))
+
+    packs = [F.aggregate(hash_arr, F.lit(0).cast("long"), step(k))
+             for k in range(16)]
+    fp = F.lit(0).cast("long")
+    for k in range(16):
+        for j in range(4):
+            b = k + 16 * j
+            cnt = (F.shiftrightunsigned(packs[k], 16 * j)
+                   .bitwiseAND(F.lit(0xFFFF).cast("long")))
+            fp = fp.bitwiseOR(
+                F.when(cnt * 2 > n, _signed64(1 << b))
+                .otherwise(F.lit(0).cast("long")))
+    return fp
+
+
+def _simhash_unpacked(hash_arr, bits: int = 64):
+    """One aggregate per bit — the always-correct form for degenerate
+    >=65536-token documents where the packed lanes would overflow."""
     fp = F.lit(0).cast("long")
     for b in range(bits):
         # vote_b = sum(2*bit_b(h) - 1) over tokens
@@ -276,13 +313,24 @@ def simhash_from_hashes(hash_arr, bits: int = 64):
             hash_arr, F.lit(0).cast("long"),
             lambda a, h: a + F.shiftrightunsigned(h, b)
             .bitwiseAND(F.lit(1).cast("long")) * 2 - 1)
-        val = 1 << b
-        if val >= 1 << 63:  # sign bit: wrap to the signed-long bit pattern
-            val -= 1 << 64
         fp = fp.bitwiseOR(
-            F.when(vote > 0, F.lit(val).cast("long"))
+            F.when(vote > 0, _signed64(1 << b))
             .otherwise(F.lit(0).cast("long")))
     return fp
+
+
+def simhash_from_hashes(hash_arr, bits: int = 64):
+    """One-hash SimHash packed into a BIGINT: bit b of the fingerprint
+    is 1 iff the sum over tokens of (+1 if bit b of the token's hash is
+    set, else -1) is positive. One string hash per token; per-bit votes
+    are shift/and/add arithmetic, lane-packed 4-per-aggregate for
+    normal documents (16 array passes) with a per-row fallback to the
+    unpacked form for >=2^16-token monsters. Statically unrolled —
+    shift amounts must be Python ints in the DataFrame API."""
+    if bits != 64:
+        return _simhash_unpacked(hash_arr, bits)
+    return F.when(F.size(hash_arr) < (1 << 16), _simhash_packed(hash_arr)) \
+        .otherwise(_simhash_unpacked(hash_arr))
 
 
 def simhash(c, bits: int = 64):

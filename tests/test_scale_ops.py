@@ -97,6 +97,15 @@ class TestDedup:
         assert rep["n_hot_buckets"] >= 1
         assert rep["rows_dropped"] >= 4000
 
+    def test_simhash_packed_equals_unpacked(self, docs):
+        """The 4-lane-packed vote accumulation must produce the exact
+        fingerprint of the one-aggregate-per-bit form on real docs."""
+        from pyspark.sql import functions as F
+        both = docs.limit(64).select(
+            dedup._simhash_packed(dedup.token_hashes(F.col("text"))).alias("p"),
+            dedup._simhash_unpacked(dedup.token_hashes(F.col("text"))).alias("u"))
+        assert both.filter(F.col("p") != F.col("u")).count() == 0
+
     def test_simhash_hot_bucket_cap(self, spark):
         base = ("spark shuffles data between stages when wide dependencies "
                 "require repartitioning across the cluster nodes and tasks")

@@ -253,13 +253,29 @@ def main() -> None:
     os.makedirs(f"{REPO}/BENCH", exist_ok=True)
     with open(f"{REPO}/BENCH/scaling.json", "w") as f:
         json.dump(report, f, indent=2)
+    write_report(report)
+    print(json.dumps(report))
+
+
+def write_report(report: dict) -> None:
+    """Render BENCH/BASELINE.md from a scaling.json-shaped report dict.
+    `--report-from BENCH/scaling.json` re-renders the committed MD from
+    saved measurements without re-measuring, so narrative edits in this
+    function can never diverge from the committed artifact."""
+    results = {int(k): v for k, v in report["levels"].items()}
+    levels = sorted(results)
+    delivery = report["cpu_delivery_m_iter_per_sec"]
+    pair_rows = report["pairs"]
+    docs = report["docs"]
+    trials = report["trials"]
+    runs = report["runs_per_trial"]
 
     lvl_rows = "\n".join(
         f"| local[{lv}] | {results[lv]['wall_s']} | "
         f"{results[lv]['docs_per_sec']} | "
         f"{round(results[lv]['docs_per_sec'] / lv, 1)} | "
         f"{results[lv].get('cores_used', '')} |"
-        for lv in levels if lv in results)
+        for lv in levels)
     pair_md = "\n".join(
         f"| local[{p['n']}] -> local[{p['n4']}] | {p['efficiency']:.3f} | "
         f"{p['cpu_delivery_efficiency']:.3f} | "
@@ -267,7 +283,7 @@ def main() -> None:
         for p in pair_rows)
     delivery_md = "\n".join(
         f"| {lv} procs | {delivery[str(lv)]} |"
-        for lv in burn_levels)
+        for lv in levels if str(lv) in delivery)
     verdict = "PASS" if report["pass"] else "FAIL"
     md = f"""# BENCH/BASELINE.md — measured numbers (sandbox)
 
@@ -320,19 +336,21 @@ this tool adjacent to each trial — the hypervisor-granted compute:
 Two measured facts pick the evidence pair (brief: "N and 4N cores"):
 
 1. **The hypervisor quota.** The VM advertises 32 cores but raw
-   arithmetic scales 8 -> 32 at only ~0.6-0.65 — a ceiling NO job on
-   this box can exceed, independent of Spark.
-2. **Per-thread demand > 1.** Each local[k] task thread drives
-   ~1.3-1.5 cores of concurrent demand (the `cores used` column:
-   JVM scan/shuffle/parquet-encode pipelined with the Arrow python
-   worker), so local[16] demands ~22 cores and local[32] ~45 — both
-   beyond the ~20 delivered cores. Their docs/sec measure the quota,
-   not the pipeline (visible as the local[32] inversion in the curve).
+   arithmetic scales 8 -> 32 at only ~0.6-0.8 depending on the window —
+   a ceiling NO job on this box can exceed, independent of Spark.
+2. **Per-thread CPU demand > 1 meets the quota.** The `cores used`
+   column (system-wide /proc/stat over each child) shows the narrow
+   legs consuming MORE cores than their thread count (the JVM
+   scan/shuffle/parquet-encode pipeline runs concurrently with the
+   Arrow python workers — e.g. local[2] uses ~2.3 cores), while the
+   wide legs saturate well below it (local[32] obtains ~20 of 32) —
+   direct evidence that above ~16 threads docs/sec measures the
+   delivered-core quota, not the pipeline.
 
-local[2] -> local[8] (~3 -> ~12 cores of demand) is the widest 4x
-pair with BOTH legs inside the quota — the widest pair where the
-measurement observes the pipeline. On a real cluster the pipelined
-JVM+python demand is a FEATURE (it uses each node's cores), and the
+local[2] -> local[8] is the widest 4x pair whose BOTH legs keep their
+full demand inside the quota — the widest pair where the measurement
+observes the pipeline. On a real cluster the pipelined JVM+python
+demand is a FEATURE (it uses each node's cores), and the
 N-vs-4N-machines relationship has no analogous shared-quota ceiling.
 
 ## Methodology: what the sandbox does to naive measurements
@@ -357,8 +375,12 @@ anything (full history in tools/scaling_bench.py):
 """
     with open(f"{REPO}/BENCH/BASELINE.md", "w") as f:
         f.write(md)
-    print(json.dumps(report))
 
 
 if __name__ == "__main__":
-    main()
+    if "--report-from" in sys.argv:
+        with open(sys.argv[sys.argv.index("--report-from") + 1]) as fh:
+            write_report(json.load(fh))
+        print("re-rendered BENCH/BASELINE.md from saved measurements")
+    else:
+        main()
