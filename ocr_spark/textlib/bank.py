@@ -21,7 +21,7 @@ def normalize_lines(text: str) -> list[str]:
     """normalizeLines (ref utils/aadhaar_parser.go:34-48): strip \\r, split,
     trim, drop blanks. Shared by the bank and aadhaar paths."""
     text = text.replace("\r", "")
-    return [l.strip() for l in text.split("\n") if l.strip() != ""]
+    return [t for t in (l.strip() for l in text.split("\n")) if t != ""]
 
 
 def must_parse_amount(s: str) -> float:

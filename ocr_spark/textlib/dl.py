@@ -49,10 +49,11 @@ def parse_dl(raw: str) -> dict:
     def find_date_after(marker: re.Pattern) -> str:
         m = marker.search(text)
         if m:
-            after = text[m.end():]
-            dates = _ANY_DATE.findall(after)
-            if dates:
-                return dates[0]
+            # Ref findAllString[0] == first match: search() short-
+            # circuits instead of scanning the whole remainder.
+            d = _ANY_DATE.search(text, m.end())
+            if d:
+                return d.group(0)
         return ""
 
     # Issue date: marker first, else first date.
