@@ -111,10 +111,11 @@ def main():
 
     @timed("lsh_ann")
     def _lsh():
-        # tables=2: multi-table recall (>= the r1 single-table form) at
-        # 2x signature cost instead of the default 4x.
+        # 4-table multi-table LSH on the BLAS signature path (default
+        # hash_mode='md5'): higher recall than the r1 single-table form
+        # AND faster — signatures are one matmul per Arrow batch.
         similarity.lsh_cosine_topk(emb.filter(F.col("vec_id") < 32), emb,
-                                   k=10, planes=8, tables=2).count()
+                                   k=10, planes=8, tables=4).count()
 
     @timed("textstats")
     def _ts():

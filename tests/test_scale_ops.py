@@ -178,6 +178,20 @@ class TestSimilarity:
                      df, threshold=0.99, max_bucket=100).collect()}
         assert pairs == {(0, 1)}
 
+    def test_pandas_buckets_equal_expression_buckets(self, spark, embeddings):
+        """The BLAS fast path must produce bit-identical md5-family
+        buckets to the Catalyst expression form."""
+        base = embeddings.select(
+            F.col("vec_id").alias("id"),
+            F.col("embedding").cast("array<double>").alias("v"))
+        fast = similarity._bucket_rows(base, "id", "v", 6, 3, "md5")
+        slow = base.select(
+            "id", F.explode(similarity._lsh_tables(
+                F.col("v"), 6, 3, "md5")).alias("tb")
+        ).select("id", "tb.table", "tb.bucket")
+        assert fast.exceptAll(slow).count() == 0
+        assert slow.exceptAll(fast).count() == 0
+
     def test_multi_table_lsh_recall_at_least_single_table(self, spark, embeddings):
         """Multi-table candidate union can only grow recall vs one table."""
         queries = embeddings.filter(F.col("vec_id") < 5)
