@@ -12,6 +12,7 @@ hash aggregation with map-side combine.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — resolves pandas_udf type hints
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -155,6 +156,54 @@ def minhash_signature_from_hashes(hash_arr, num_perm: int = 32):
 minhash_signature = minhash_signature_from_hashes
 
 
+def _minhash_signatures_pandas_udf(k: int, num_perm: int):
+    """Vectorized MinHash signatures: numpy rolling polynomial shingle
+    hashes + the SAME affine permutations as the expression form, one
+    matrix op per document instead of num_perm interpreted
+    higher-order-function passes (Catalyst HOFs don't codegen).
+
+    Hash-family note: shingles are hashed with a base-257 rolling
+    polynomial over UTF-8 BYTES (wraparound uint64, masked to 31 bits)
+    instead of xxhash64 over character substrings — an equally uniform
+    family for LSH banding (collision behavior is what matters; the
+    exact-Jaccard verify stage downstream is hash-independent). The
+    permutation constants are _perm_consts, identical to the
+    expression form.
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    consts = _perm_consts(num_perm)
+
+    @pandas_udf(ArrayType(LongType()))
+    def sig(texts: pd.Series) -> pd.Series:
+        import numpy as np
+        norm = (texts.fillna("").str.strip().str.lower()
+                .str.replace(r"\s+", " ", regex=True))
+        A = np.array([a for a, _ in consts], dtype=np.uint64)
+        B = np.array([b for _, b in consts], dtype=np.uint64)
+        M31 = np.uint64(_MERSENNE31)
+        powers = (np.uint64(257) **
+                  np.arange(k - 1, -1, -1, dtype=np.uint64))
+        out = []
+        for s in norm:
+            b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
+            if len(b) < k:
+                b = np.pad(b, (0, k - len(b)))  # lone short shingle
+                n_sh = 1
+            else:
+                n_sh = len(b) - k + 1
+            win = np.lib.stride_tricks.sliding_window_view(b, k)[:n_sh]
+            h = (win.astype(np.uint64) @ powers) & np.uint64(0x7FFFFFFF)
+            h = np.unique(h)
+            # (n_sh, num_perm): h*A+B < 2^62 fits uint64 exactly.
+            perms = (h[:, None] * A[None, :] + B[None, :]) % M31
+            out.append(perms.min(axis=0).astype(np.int64))
+        return pd.Series(out)
+
+    return sig
+
+
 def jaccard(a, b):
     """Exact Jaccard over two shingle arrays (expression)."""
     inter = F.size(F.array_intersect(a, b)).cast("double")
@@ -192,23 +241,34 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     bucket size (cap_buckets guards the degenerate-bucket quadratic),
     never all-pairs. rows_per_band = num_perm // bands.
 
-    hash_mode: 'xxhash64' (production, JVM intrinsic) or 'md5'
-    (DuckDB-expressible — the driver oracle runs the identical
-    algorithm in SQL against this mode).
+    hash_mode selects the shingle-hash family for CANDIDATE generation
+    (the exact-Jaccard verify stage downstream is hash-independent):
+      'poly'     — numpy rolling-hash pandas UDF, one matmul per doc
+                   (fastest; recommended at scale)
+      'xxhash64' — pure-expression JVM form (no python workers needed)
+      'md5'      — DuckDB-expressible; the driver oracle replays the
+                   identical algorithm in SQL against this mode
     """
     rows_per_band = num_perm // bands
-    hash_shingles = shingle_hashes if hash_mode == "xxhash64" else shingle_hashes_md5
     df = _spread(df, spread)
-    # hs materialized in its own projection so the 8-gram string hashes
-    # run once per doc; the num_perm permutations are multiply-adds over
-    # hs (CollapseProject won't inline an alias referenced num_perm
-    # times, so the scan stays single-pass).
-    sig = (
-        df.select(F.col(id_col).alias("id"),
-                  shingles(F.col(text_col), k).alias("sh"))
-        .withColumn("hs", hash_shingles(F.col("sh")))
-        .withColumn("mh", minhash_signature_from_hashes(F.col("hs"), num_perm))
-    )
+    if hash_mode == "poly":
+        sig_udf = _minhash_signatures_pandas_udf(k, num_perm)
+        sig = df.select(F.col(id_col).alias("id"),
+                        sig_udf(F.col(text_col)).alias("mh"))
+    else:
+        hash_shingles = (shingle_hashes if hash_mode == "xxhash64"
+                         else shingle_hashes_md5)
+        # hs materialized in its own projection so the 8-gram string
+        # hashes run once per doc; the num_perm permutations are
+        # multiply-adds over hs (CollapseProject won't inline an alias
+        # referenced num_perm times, so the scan stays single-pass).
+        sig = (
+            df.select(F.col(id_col).alias("id"),
+                      shingles(F.col(text_col), k).alias("sh"))
+            .withColumn("hs", hash_shingles(F.col("sh")))
+            .withColumn("mh",
+                        minhash_signature_from_hashes(F.col("hs"), num_perm))
+        )
     # Band rows carry ONLY (id, band, band_hash): at 10^12 docs the
     # bands-x duplication of shingle arrays through the shuffle would
     # dominate the job; ids shuffle in bytes, shingles re-derive later

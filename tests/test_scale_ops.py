@@ -31,7 +31,8 @@ class TestDedup:
         # 0,1,3 normalize identically -> one group, survivor 0.
         assert out == {0: 3, 2: 1}
 
-    def test_minhash_lsh_pairs(self, spark):
+    @pytest.mark.parametrize("mode", ["xxhash64", "md5", "poly"])
+    def test_minhash_lsh_pairs(self, spark, mode):
         base = ("spark shuffles data between stages when wide dependencies "
                 "require repartitioning across the cluster nodes")
         near = base.replace("cluster", "compute")
@@ -39,8 +40,11 @@ class TestDedup:
         df = spark.createDataFrame(
             [(0, base), (1, near), (2, far)], ["doc_id", "text"])
         pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
-                 for r in dedup.minhash_lsh_pairs(df, threshold=0.5).collect()}
+                 for r in dedup.minhash_lsh_pairs(
+                     df, threshold=0.5, hash_mode=mode).collect()}
         assert (0, 1) in pairs
+        # The verify stage is hash-independent: jaccard is exact in
+        # every mode.
         assert pairs[(0, 1)] > 0.6
         assert (0, 2) not in pairs and (1, 2) not in pairs
 
