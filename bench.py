@@ -73,13 +73,13 @@ def main():
                    run_id="warmup", num_partitions=cpus)\
         .write.mode("overwrite").parquet(extracted_path)
 
-    # Min of 3 timed runs: the sandbox VM has minutes-long hypervisor
+    # Min of 4 timed runs: the sandbox VM has minutes-long hypervisor
     # steal waves that can triple a single wall reading (see
     # BENCH/BASELINE.md methodology); min is the steady-state estimate.
     # All walls + the estimator name are emitted in the JSON so the
     # methodology travels with the number.
     extract_walls = []
-    for r in range(3):
+    for r in range(4):
         t0 = time.perf_counter()
         out = run_extraction(spark, input_df, run_id=f"bench{r}",
                              num_partitions=cpus * 2)
@@ -152,7 +152,7 @@ def main():
         # on tmpfs scratch; docs/sec divides by docs ATTEMPTED, which
         # includes the deliberate error-path coverage rows (they run the
         # full cascade and fail by design — see sources/synth.py).
-        "estimator": "min_of_3_warm_tmpfs",
+        "estimator": "min_of_4_warm_tmpfs",
         "extract_walls": extract_walls,
         "docs_attempted": n_docs,
         "docs_extracted": n_docs - n_failed,
