@@ -1,0 +1,91 @@
+"""spark-submit entrypoint (north_rule: deployed via spark-submit
+--py-files on multi-executor clusters).
+
+Package + launch:
+
+    zip -r /tmp/ocr_spark.zip ocr_spark
+    spark-submit --master <cluster> --py-files /tmp/ocr_spark.zip \\
+        ocr_spark/job.py --input /data/pages.parquet \\
+        --table /data/extracted --metrics /data/metrics
+
+The job is a resumable pass over the input table: anti-join against
+the snapshot manifest (already-committed urls are skipped), salted
+mapInArrow extraction, atomic snapshot commit, then the per-partition
+metrics table appended for this run (north_rule lineage + metrics).
+Re-running the same command after a crash redoes only uncommitted
+work; re-running after success is a no-op.
+
+Configuration (shuffle partitions, AQE, Arrow batch size, memory)
+comes from spark-submit --conf on a real cluster; launched standalone
+(python ocr_spark/job.py) it falls back to the local build_session
+defaults so the same file works in tests.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _parse(argv):
+    p = argparse.ArgumentParser(description="ocr_spark batch extraction job")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--input", help="input parquet path (north-rule schema)")
+    src.add_argument("--synth", type=int, metavar="N",
+                     help="synthesize a deterministic N-doc input instead")
+    p.add_argument("--table", required=True,
+                   help="snapshot-table root for the extraction output")
+    p.add_argument("--metrics", default=None,
+                   help="parquet dir to append this run's partition metrics")
+    p.add_argument("--run-id", default=None,
+                   help="stable run id (default: derived from input+snapshot)")
+    p.add_argument("--partitions", type=int, default=None,
+                   help="extraction partitions (default: 2x parallelism)")
+    p.add_argument("--synth-profile", default="cc",
+                   choices=("default", "cc"))
+    return p.parse_args(argv)
+
+
+def main(argv=None, spark=None) -> dict:
+    args = _parse(argv if argv is not None else sys.argv[1:])
+
+    from pyspark.sql import SparkSession
+    if spark is None:
+        spark = SparkSession.getActiveSession()
+    if spark is None:
+        # spark-submit provides the session config; standalone falls
+        # back to local defaults.
+        from ocr_spark.session import build_session
+        spark = build_session("ocr_spark_job")
+
+    from ocr_spark.plans.pipeline import partition_metrics
+    from ocr_spark.sources.snapshot import SnapshotTable, run_with_checkpoint
+
+    if args.input:
+        input_df = spark.read.parquet(args.input)
+    else:
+        from ocr_spark.sources import synth
+        input_df = synth.synth_input_df(spark, args.synth,
+                                        profile=args.synth_profile)
+
+    table = SnapshotTable(args.table)
+    prev = table.current_snapshot()
+    run_id = args.run_id or f"run-{(prev['sequence'] if prev else 0) + 1:06d}"
+
+    result = run_with_checkpoint(spark, input_df, args.table, run_id=run_id,
+                                 num_partitions=args.partitions)
+
+    if args.metrics and result["processed"] > 0:
+        out = spark.read.parquet(table.run_dir(run_id))
+        partition_metrics(out).write.mode("append").parquet(args.metrics)
+
+    summary = {"run_id": run_id, **result,
+               "committed_rows": (table.current_snapshot() or {}).get(
+                   "committed_rows", 0)}
+    print(json.dumps(summary))
+    return summary
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,73 @@
+"""spark-submit job entrypoint: resumable CLI pass + real --py-files
+deployment (north_rule: run via spark-submit --py-files)."""
+
+import json
+import os
+import subprocess
+import sys
+import zipfile
+
+from ocr_spark import job, schemas
+from ocr_spark.sources import synth
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_job_main_resumable(spark, tmp_path):
+    inp = str(tmp_path / "in.parquet")
+    rows = synth.generate_rows(48)
+    spark.createDataFrame(rows, schema=schemas.INPUT_SCHEMA) \
+        .repartition(4).write.parquet(inp)
+
+    table = str(tmp_path / "table")
+    metrics = str(tmp_path / "metrics")
+
+    r1 = job.main(["--input", inp, "--table", table, "--metrics", metrics,
+                   "--partitions", "4"], spark=spark)
+    assert r1["processed"] == 48
+    assert r1["committed_rows"] == 48
+
+    # Second run over the same input: anti-join skips everything.
+    r2 = job.main(["--input", inp, "--table", table, "--metrics", metrics,
+                   "--partitions", "4"], spark=spark)
+    assert r2["processed"] == 0
+    assert r2["committed_rows"] == 48
+
+    m = spark.read.parquet(metrics)
+    assert m.agg({"docs_total": "sum"}).first()[0] == 48
+    assert set(m.select("extractor_version").distinct().toPandas()
+               ["extractor_version"]) == {"0.1.0"}
+
+
+def test_job_via_spark_submit(tmp_path):
+    """The actual deployment path: package ocr_spark into a zip, launch
+    a fresh JVM via spark-submit --py-files, run the job end-to-end."""
+    pkg = tmp_path / "ocr_spark.zip"
+    with zipfile.ZipFile(pkg, "w") as z:
+        for root, _dirs, files in os.walk(os.path.join(REPO, "ocr_spark")):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, REPO))
+
+    spark_submit = os.path.join(
+        os.path.dirname(sys.executable), "spark-submit")
+    if not os.path.exists(spark_submit):
+        import pyspark
+        spark_submit = os.path.join(
+            os.path.dirname(pyspark.__file__), "bin", "spark-submit")
+
+    table = str(tmp_path / "table")
+    p = subprocess.run(
+        [spark_submit, "--master", "local[4]",
+         "--conf", "spark.ui.enabled=false",
+         "--conf", "spark.sql.shuffle.partitions=4",
+         "--py-files", str(pkg),
+         os.path.join(REPO, "ocr_spark", "job.py"),
+         "--synth", "64", "--table", table, "--partitions", "4"],
+        capture_output=True, text=True, timeout=300)
+    lines = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
+    assert lines, f"no summary line.\nstdout:{p.stdout[-2000:]}\nstderr:{p.stderr[-2000:]}"
+    summary = json.loads(lines[-1])
+    assert summary["processed"] == 64
+    assert os.path.isdir(os.path.join(table, "snapshots"))
