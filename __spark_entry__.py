@@ -803,6 +803,302 @@ def q_media_features(spark, sf_dir):
                       "featurizer")
 
 
+# ---------------------------------------------------------------------------
+# Driver-green end-to-end pipeline queries (round-3 top ask): cheap-path
+# documents derived from documents.parquet via expressions, pushed through
+# the REAL run_extraction plan (classify -> salt -> mapInArrow cascade ->
+# parsers), with a DuckDB oracle replaying the parser semantics on the
+# same derived text. The cascade takes the non-PDF cheap path (text
+# column stands in for Paddle output, ref service/income_service.go:
+# 210-218), so every oracle-checked value went through the actual
+# classify/salt/Arrow/extract_record machinery — not a parser shortcut.
+#
+# The derived corpus is constructed so the SQL replay is exact:
+#   * names/employers contain no month substrings, no clean_name
+#     stopwords, and only [A-Za-z ] (salary.py:52,124-143)
+#   * the line above 'Name:' always fails is_clean_name (digits), so
+#     the prev-line preference (salary.py:146-159) never fires
+#   * every transaction line parses (leading DD/MM/YYYY date, >=3
+#     fields, nonzero amount), so the tabular branch (bank.py:36-56)
+#     is deterministic
+# ---------------------------------------------------------------------------
+
+_FIRSTS = ["RAVI", "KIRAN", "SUNIL", "ANITA", "VIKRAM", "POOJA", "RAHUL", "DEEPA"]
+_LASTS = ["SHARMA", "VERMA", "PATEL", "SINGH", "GUPTA", "REDDY", "MISHRA", "IYER"]
+_EMPLOYERS = ["ZENITH PRIVATE LIMITED", "ORBITAL TECH PVT LTD",
+              "HELIX SOLUTIONS LLP", "QUANTA TECHNOLOGY GROUP"]
+_CORP_MARKERS = ("PVT", "PRIVATE", "LTD", "LIMITED", "LLP",
+                 "TECHNOLOGY", "TECH", "SOLUTIONS")
+
+
+def _pick(options, idx_expr):
+    return F.element_at(F.array(*[F.lit(o) for o in options]),
+                        (idx_expr + 1).cast("int"))
+
+
+def _sql_pick(options, idx_sql):
+    opts = ",".join(f"'{o}'" for o in options)
+    return f"([{opts}])[({idx_sql} + 1)::int]"
+
+
+def _salary_slip_text_expr():
+    """Cheap-path salary-slip document: employer line, month line, acct
+    line, 'Name:' line, label+amount line (newline-joined)."""
+    doc_id = F.col("doc_id")
+    employer = _pick(_EMPLOYERS, doc_id % 4)
+    month = F.element_at(F.array(*[F.lit(m) for m in _MONTHS]),
+                         (doc_id % 24 + 1).cast("int"))
+    year_part = F.when(doc_id % 2 == 0, F.lit(" 2025")).otherwise(F.lit(""))
+    acct_label = F.when(doc_id % 4 == 0, F.lit("Account No: "))\
+        .when(doc_id % 4 == 1, F.lit("A/C No: "))\
+        .when(doc_id % 4 == 2, F.lit("acc no "))\
+        .otherwise(F.lit("ref "))
+    masked = F.when(doc_id % 5 == 0,
+                    F.concat(F.lit("xxxx"), (doc_id % 9000 + 1000).cast("string")))
+    acct = F.coalesce(masked, F.concat(acct_label,
+                                       (F.lit(1234500000) + doc_id).cast("string")))
+    name = F.concat(_pick(_FIRSTS, doc_id % 8), F.lit(" "),
+                    _pick(_LASTS, (doc_id * 5) % 8))
+    label = F.when(doc_id % 3 == 0, F.lit("Gross Pay"))\
+        .when(doc_id % 3 == 1, F.lit("Net Salary"))\
+        .otherwise(F.lit("Total Amount"))
+    amount = (F.lit(30000) + doc_id % 50000).cast("string")
+    return F.concat_ws(
+        "\n", employer,
+        F.concat(F.lit("Pay Slip for "), month, year_part),
+        acct,
+        F.concat(F.lit("Name: "), name),
+        F.concat(label, F.lit(": Rs. "), amount, F.lit(".50")))
+
+
+_SALARY_SLIP_TEXT_SQL = f"""
+concat_ws(chr(10),
+  {_sql_pick(_EMPLOYERS, "doc_id % 4")},
+  'Pay Slip for ' || {_sql_pick(_MONTHS, "doc_id % 24")}
+    || CASE WHEN doc_id % 2 = 0 THEN ' 2025' ELSE '' END,
+  coalesce(
+    CASE WHEN doc_id % 5 = 0 THEN 'xxxx' || cast(doc_id % 9000 + 1000 AS varchar) END,
+    (CASE WHEN doc_id % 4 = 0 THEN 'Account No: '
+          WHEN doc_id % 4 = 1 THEN 'A/C No: '
+          WHEN doc_id % 4 = 2 THEN 'acc no '
+          ELSE 'ref ' END) || cast(1234500000 + doc_id AS varchar)),
+  'Name: ' || {_sql_pick(_FIRSTS, "doc_id % 8")} || ' '
+           || {_sql_pick(_LASTS, "(doc_id * 5) % 8")},
+  (CASE WHEN doc_id % 3 = 0 THEN 'Gross Pay'
+        WHEN doc_id % 3 = 1 THEN 'Net Salary'
+        ELSE 'Total Amount' END)
+    || ': Rs. ' || cast(30000 + doc_id % 50000 AS varchar) || '.50')
+"""
+
+
+def _pipeline_input(spark, sf_dir, doc_type: str, text_expr):
+    """Wrap derived doc text into the north-rule input shape; url path
+    carries the doc_type for classify() (plans/pipeline.py:36)."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        F.concat(F.lit("https://cc.synth.local/doc"),
+                 F.col("doc_id").cast("string"),
+                 F.lit(f"/{doc_type}/"), F.col("doc_id").cast("string"),
+                 F.lit(".png")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        text_expr.alias("text"),
+        F.col("lang"))
+
+
+_URL_SQL_TMPL = ("'https://cc.synth.local/doc' || cast(doc_id AS varchar)"
+                 " || '/{dt}/' || cast(doc_id AS varchar) || '.png'")
+
+
+def q_extract_pipeline_sql(spark, sf_dir):
+    """Flagship end-to-end, oracle-checked: derived salary slips through
+    the REAL run_extraction (classify -> salt -> mapInArrow -> T5 cheap
+    path -> P1 ParseSalarySlip), scalar output fields only."""
+    from ocr_spark.plans.pipeline import run_extraction
+    inp = _pipeline_input(spark, sf_dir, "salary_slip",
+                          _salary_slip_text_expr())
+    out = run_extraction(spark, inp, run_id="driver-sql", num_partitions=8)
+    return out.select(
+        "url", "doc_type", "extracted_text",
+        F.col("quality.resolution_score").alias("resolution_score"),
+        F.col("quality.ocr_confidence").alias("ocr_confidence"),
+        F.col("quality.final_score").alias("final_score"),
+        F.size("quality.issues").alias("n_issues"),
+        F.col("salary.pay_month").alias("pay_month"),
+        F.round(F.col("salary.net_salary"), 2).alias("net_salary"),
+        F.col("salary.account_number").alias("account_number"),
+        F.col("salary.employee_name").alias("employee_name"),
+        F.col("salary.employer_name").alias("employer_name"),
+        "error")
+
+
+def _sql_extract_pipeline_sql():
+    # Month replay (P3): first month in fixed list order wins, with
+    # adjacent-year capture — identical branch order to salary.py:68-81.
+    month_branches = "\n".join(
+        f"  WHEN contains(lower(t), '{m.lower()}') THEN "
+        f"CASE WHEN regexp_extract(t, '(?i){m}[\\s\\-,]*(\\d{{4}})', 1) <> '' "
+        f"THEN '{m} ' || regexp_extract(t, '(?i){m}[\\s\\-,]*(\\d{{4}})', 1) "
+        f"ELSE '{m}' END"
+        for m in _MONTHS)
+    salary_cands = ",\n      ".join(
+        f"nullif(regexp_replace(regexp_extract(t, '{p}', 1), ',', ''), '')::double"
+        for p in _SALARY_RES)
+    acct_explicit = ",\n      ".join(
+        f"nullif(regexp_extract(c, '{p}', 1), '')" for p in _ACCT_RES)
+    marker_check = " OR ".join(
+        f"contains(upper(l1), '{m}')" for m in _CORP_MARKERS)
+    url = _URL_SQL_TMPL.format(dt="salary_slip")
+    return f"""
+WITH d AS (SELECT doc_id, {url} AS url, {_SALARY_SLIP_TEXT_SQL} AS t
+           FROM documents),
+n AS (SELECT *,
+        lower(replace(replace(t, '—', '-'), ':', ' ')) AS c,
+        string_split(t, chr(10))[1] AS l1,
+        string_split(trim(regexp_extract(t, '(?i)name\\s*:\\s*([A-Za-z ]+)', 1)),
+                     ' ') AS nmw
+      FROM d)
+SELECT url,
+  regexp_extract(url, '/([a-z_]+)/[^/]*$', 1) AS doc_type,
+  t AS extracted_text,
+  -- cheap-path (Paddle-accepted) quality constants, cascade.py:121 /
+  -- ref service/income_service.go:213-218
+  80.0::double AS resolution_score, 75.0::double AS ocr_confidence,
+  77.5::double AS final_score,
+  0 AS n_issues,
+  CASE
+{month_branches}
+  ELSE 'Unknown' END AS pay_month,
+  round(coalesce(
+      {salary_cands}, 0.0), 2) AS net_salary,
+  coalesce(
+      {acct_explicit},
+      nullif(regexp_extract(regexp_extract(c, 'x{{4,}}[0-9]{{3,6}}', 0),
+                            '[0-9]+', 0), ''),
+      nullif(regexp_extract(c, '([0-9]{{10,18}})', 1), ''),
+      '') AS account_number,
+  -- P7/P8/P9 replay: label capture, 2-word cap, both-alpha check (the
+  -- prev line always carries digits, so the P6 prev-line branch is
+  -- statically dead on this corpus)
+  CASE WHEN len(nmw) >= 2
+        AND regexp_matches(nmw[1], '^[A-Za-z]+$')
+        AND regexp_matches(nmw[2], '^[A-Za-z]+$')
+       THEN nmw[1] || ' ' || nmw[2] ELSE '' END AS employee_name,
+  -- P2 replay: first line wins when it carries a corp marker
+  CASE WHEN {marker_check} THEN trim(l1, '-:•* ') ELSE '' END AS employer_name,
+  NULL::varchar AS error
+FROM n ORDER BY url
+"""
+
+
+def _bank_statement_text_expr():
+    """Cheap-path bank statement: holder line, two tabular transaction
+    lines, acct line."""
+    doc_id = F.col("doc_id")
+    name = F.concat(_pick(_FIRSTS, doc_id % 8), F.lit(" "),
+                    _pick(_LASTS, (doc_id * 5) % 8))
+    d1 = F.lpad((doc_id % 28 + 1).cast("string"), 2, "0")
+    m1 = F.lpad((doc_id % 12 + 1).cast("string"), 2, "0")
+    d2 = F.lpad(((doc_id * 7) % 28 + 1).cast("string"), 2, "0")
+    m2 = F.lpad(((doc_id * 5) % 12 + 1).cast("string"), 2, "0")
+    amt1 = (F.lit(40000) + doc_id % 10000).cast("string")
+    amt2 = (F.lit(100) + doc_id % 900).cast("string")
+    desc2 = F.when(doc_id % 3 == 0, F.lit("POS DEBIT STORE"))\
+        .when(doc_id % 3 == 1, F.lit("ATM WDL CASH"))\
+        .otherwise(F.lit("UPI PAYMENT FOOD"))
+    return F.concat_ws(
+        "\n",
+        F.concat(F.lit("Customer Name: "), name),
+        F.concat(d1, F.lit("/"), m1, F.lit("/2025  SALARY CREDIT NEFT  "),
+                 amt1, F.lit(".00")),
+        F.concat(d2, F.lit("/"), m2, F.lit("/2025  "), desc2, F.lit("  "),
+                 amt2, F.lit(".50")),
+        F.concat(F.lit("Account No: "),
+                 (F.lit(9876500000) + doc_id).cast("string")))
+
+
+_BANK_TEXT_SQL = f"""
+concat_ws(chr(10),
+  'Customer Name: ' || {_sql_pick(_FIRSTS, "doc_id % 8")} || ' '
+                    || {_sql_pick(_LASTS, "(doc_id * 5) % 8")},
+  lpad(cast(doc_id % 28 + 1 AS varchar), 2, '0') || '/'
+    || lpad(cast(doc_id % 12 + 1 AS varchar), 2, '0')
+    || '/2025  SALARY CREDIT NEFT  '
+    || cast(40000 + doc_id % 10000 AS varchar) || '.00',
+  lpad(cast((doc_id * 7) % 28 + 1 AS varchar), 2, '0') || '/'
+    || lpad(cast((doc_id * 5) % 12 + 1 AS varchar), 2, '0') || '/2025  '
+    || (CASE WHEN doc_id % 3 = 0 THEN 'POS DEBIT STORE'
+             WHEN doc_id % 3 = 1 THEN 'ATM WDL CASH'
+             ELSE 'UPI PAYMENT FOOD' END) || '  '
+    || cast(100 + doc_id % 900 AS varchar) || '.50',
+  'Account No: ' || cast(9876500000 + doc_id AS varchar))
+"""
+
+
+def q_extract_bank_sql(spark, sf_dir):
+    """End-to-end bank-statement leg, oracle-checked: derived statements
+    through the REAL run_extraction (T5 cheap path -> P11
+    ParseBankStatement -> P13 tabular transactions), transactions
+    exploded to scalar rows."""
+    from ocr_spark.plans.pipeline import run_extraction
+    inp = _pipeline_input(spark, sf_dir, "bank_statement",
+                          _bank_statement_text_expr())
+    out = run_extraction(spark, inp, run_id="driver-bank", num_partitions=8)
+    tx = out.select(
+        "url",
+        F.col("bank.account_holder_name").alias("account_holder_name"),
+        F.col("bank.account_number").alias("account_number"),
+        F.explode("bank.transactions").alias("tx"))
+    return tx.select(
+        "url", "account_holder_name", "account_number",
+        F.date_format(F.col("tx.date"), "yyyy-MM-dd").alias("tx_date"),
+        F.col("tx.description").alias("description"),
+        F.round(F.col("tx.amount"), 2).alias("amount"),
+        F.col("tx.is_credit").alias("is_credit"))
+
+
+def _sql_extract_bank_sql():
+    # P13 replay per transaction line: fields split, date strptime
+    # (DD/MM/YYYY), middle-join description, trailing amount, credit
+    # keyword vote over desc+' '+amount (bank.py:36-56).
+    url = _URL_SQL_TMPL.format(dt="bank_statement")
+    tx_parse = """
+p AS (SELECT url, holder, acct, line,
+             regexp_split_to_array(trim(line), '\\s+') AS parts
+      FROM lines),
+f AS (SELECT url, holder, acct,
+             strftime(strptime(parts[1], '%d/%m/%Y'), '%Y-%m-%d') AS tx_date,
+             array_to_string(parts[2:len(parts)-1], ' ') AS description,
+             replace(parts[len(parts)], ',', '')::double AS amount,
+             upper(array_to_string(parts[2:len(parts)-1], ' ')
+                   || ' ' || parts[len(parts)]) AS up
+      FROM p)"""
+    return f"""
+WITH d AS (SELECT doc_id, {url} AS url, {_BANK_TEXT_SQL} AS t
+           FROM documents),
+n AS (SELECT doc_id, url, t,
+        -- P10 replay: 'Customer Name:' capture runs through the newline
+        -- until the next line's leading digit; clean_name keeps the
+        -- first two whitespace fields (salary.py:124-135,167-182)
+        string_split(trim(regexp_extract(t,
+          '(?i)customer\\s*name[\\s:]*([A-Z][A-Za-z\\s.]+)', 1)), chr(10))[1]
+          AS holder,
+        regexp_extract(lower(replace(replace(t, '—', '-'), ':', ' ')),
+                       'account\\s*no[\\s\\-]*([0-9]{{9,18}})', 1) AS acct
+      FROM d),
+lines AS (
+  SELECT url, holder, acct, string_split(t, chr(10))[2] AS line FROM n
+  UNION ALL
+  SELECT url, holder, acct, string_split(t, chr(10))[3] AS line FROM n),
+{tx_parse}
+SELECT url, holder AS account_holder_name, acct AS account_number,
+       tx_date, description, round(amount, 2) AS amount,
+       (contains(up, 'CR') OR contains(up, 'CREDIT') OR contains(up, 'NEFT')
+        OR contains(up, 'UPI') OR contains(up, 'SALARY')) AS is_credit
+FROM f ORDER BY url, tx_date, description
+"""
+
+
 def q_extract_pipeline(spark, sf_dir):
     """Flagship extraction pipeline over synthesized north-rule input
     (cascade + parsers are pytest-golden-verified byte-identical; the
@@ -893,6 +1189,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "lsh_ann": q_lsh_ann,
         "media_features": q_media_features,
+        "extract_pipeline_sql": q_extract_pipeline_sql,
+        "extract_bank_sql": q_extract_bank_sql,
         "extract_pipeline": q_extract_pipeline,
         "crosscheck_pipeline": q_crosscheck_pipeline,
     }
@@ -923,6 +1221,12 @@ def oracle_sql() -> dict[str, str]:
         # md5-hash-family twins of the LSH operators: DuckDB replays
         # every stage (hash -> signature -> banding -> bucket join ->
         # verify) in SQL. Production paths stay xxhash64 (pytest-covered).
+        # End-to-end pipeline queries: the Spark side runs the REAL
+        # classify->salt->mapInArrow extraction; the oracle replays the
+        # parser semantics (P2-P10, P13, T5 quality constants) on the
+        # same derived cheap-path corpus.
+        "extract_pipeline_sql": _sql_extract_pipeline_sql(),
+        "extract_bank_sql": _sql_extract_bank_sql(),
         "minhash_pairs": _sql_minhash_pairs(),
         "simhash_pairs": _sql_simhash_pairs(),
         "lsh_ann": _sql_lsh_ann(),
