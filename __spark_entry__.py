@@ -714,6 +714,12 @@ def _sql_simhash_pairs():
     # Per-bit votes recomputed from the two 32-bit md5 hex words (DuckDB
     # overflow-checks 64-bit shifts, so the fingerprint stays in halves:
     # Spark's packed BIGINT == (fp_hi << 32) | fp_lo bit-for-bit).
+    # Stage-for-stage replay of dedup.simhash_pairs: the 65,535-token
+    # prefix slice (the packed-lane overflow guard, dedup.py:382-402)
+    # and the per-(chunk, chunk_val) hot-bucket cap (cap_buckets,
+    # max_bucket=1000) are mirrored here so the two algorithms stay
+    # identical by construction even on monster docs / degenerate
+    # chunk buckets.
     fp_lo = " + ".join(
         f"(CASE WHEN 2 * list_sum(list_transform(lo, h -> (h >> {b}) & 1)) > nt"
         f" THEN {1 << b} ELSE 0 END)" for b in range(32))
@@ -725,18 +731,26 @@ WITH d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS
            FROM documents WHERE doc_id < 200),
 t AS (SELECT doc_id, regexp_split_to_array(trim(n), ' ') AS tok FROM d),
 h AS (SELECT doc_id,
-        list_transform(tok, x -> ('0x' || substr(md5(x), 1, 8))::bigint) AS lo,
-        list_transform(tok, x -> ('0x' || substr(md5(x), 9, 8))::bigint) AS hi,
-        len(tok) AS nt FROM t),
-f AS (SELECT doc_id, ({fp_lo}) AS fp_lo, ({fp_hi}) AS fp_hi FROM h),
-p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        list_slice(list_transform(tok, x -> ('0x' || substr(md5(x), 1, 8))::bigint),
+                   1, 65535) AS lo,
+        list_slice(list_transform(tok, x -> ('0x' || substr(md5(x), 9, 8))::bigint),
+                   1, 65535) AS hi
+      FROM t),
+h2 AS (SELECT doc_id, lo, hi, len(lo) AS nt FROM h),
+f AS (SELECT doc_id, ({fp_lo}) AS fp_lo, ({fp_hi}) AS fp_hi FROM h2),
+ch AS (SELECT doc_id, fp_lo, fp_hi, unnest([
+        {{'chunk': 0, 'v': fp_lo & 65535}},
+        {{'chunk': 1, 'v': fp_lo >> 16}},
+        {{'chunk': 2, 'v': fp_hi & 65535}},
+        {{'chunk': 3, 'v': fp_hi >> 16}}]) AS u FROM f),
+cc AS (SELECT doc_id, fp_lo, fp_hi, u.chunk AS chunk, u.v AS chunk_val FROM ch),
+cq AS (SELECT * FROM cc
+       QUALIFY count(*) OVER (PARTITION BY chunk, chunk_val) <= 1000),
+p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
         bit_count(xor(a.fp_lo, b.fp_lo)) + bit_count(xor(a.fp_hi, b.fp_hi)) AS hamming
-      FROM f a JOIN f b
-        ON a.doc_id < b.doc_id
-       AND ((a.fp_lo & 65535) = (b.fp_lo & 65535)
-         OR (a.fp_lo >> 16) = (b.fp_lo >> 16)
-         OR (a.fp_hi & 65535) = (b.fp_hi & 65535)
-         OR (a.fp_hi >> 16) = (b.fp_hi >> 16)))
+      FROM cq a JOIN cq b
+        ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val
+       AND a.doc_id < b.doc_id)
 SELECT id_a, id_b, hamming FROM p WHERE hamming <= 10 ORDER BY id_a, id_b
 """
 

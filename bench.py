@@ -5,6 +5,13 @@ The flagship number is the extraction pipeline's docs/sec (BASELINE.md
 primary metric); the other queries time the operator families. Scaling
 evidence across two parallelism levels is produced by
 tools/scaling_bench.py and recorded in BENCH/BASELINE.md.
+
+Methodology: EVERY query is min-of-N warmed repetitions (default 3;
+extraction 4) — the sandbox VM has minutes-long hypervisor-steal waves
+that can triple a single wall reading, so single-shot timings are
+uninterpretable (BENCH/BASELINE.md). All walls ship in the JSON so the
+estimator travels with the number. Every capped LSH operator also
+emits its hot-bucket drop report (a capped run says what it capped).
 """
 
 from __future__ import annotations
@@ -28,9 +35,9 @@ def _sf_of(sf_dir: str) -> float:
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     sf = _sf_of(sf_dir)
 
-    from ocr_spark import schemas
     from ocr_spark.operators import crosscheck, dedup, similarity, textstats
     from ocr_spark.plans.pipeline import run_extraction
     from ocr_spark.session import TMPFS_SCRATCH, build_session
@@ -56,13 +63,28 @@ def main():
     input_df = spark.read.parquet(input_path)
 
     timings: dict[str, float] = {}
+    walls: dict[str, list[float]] = {}
+    bucket_reports: dict[str, dict] = {}
 
-    def timed(name):
+    def timed(name, n=None):
+        """Min-of-N warmed runs for EVERY query (symmetric estimator —
+        a single-shot wall in this sandbox is noise, not a number)."""
         def deco(fn):
-            t0 = time.perf_counter()
-            fn()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            ws = []
+            for _ in range(n or reps):
+                t0 = time.perf_counter()
+                fn()
+                ws.append(round(time.perf_counter() - t0, 3))
+            walls[name] = ws
+            timings[name] = min(ws)
         return deco
+
+    def report(name, report_df):
+        row = report_df.first()
+        bucket_reports[name] = {k: int(row[k]) for k in
+                                ("n_buckets", "max_bucket_size",
+                                 "n_hot_buckets", "rows_dropped",
+                                 "max_bucket")}
 
     extracted_path = f"/dev/shm/ocr_spark_bench_extracted_{os.getpid()}"
 
@@ -73,19 +95,11 @@ def main():
                    run_id="warmup", num_partitions=cpus)\
         .write.mode("overwrite").parquet(extracted_path)
 
-    # Min of 4 timed runs: the sandbox VM has minutes-long hypervisor
-    # steal waves that can triple a single wall reading (see
-    # BENCH/BASELINE.md methodology); min is the steady-state estimate.
-    # All walls + the estimator name are emitted in the JSON so the
-    # methodology travels with the number.
-    extract_walls = []
-    for r in range(4):
-        t0 = time.perf_counter()
-        out = run_extraction(spark, input_df, run_id=f"bench{r}",
-                             num_partitions=cpus * 2)
-        out.write.mode("overwrite").parquet(extracted_path)
-        extract_walls.append(round(time.perf_counter() - t0, 3))
-    timings["extract_pipeline"] = min(extract_walls)
+    @timed("extract_pipeline", n=4)
+    def _ex():
+        run_extraction(spark, input_df, run_id="bench",
+                       num_partitions=cpus * 2)\
+            .write.mode("overwrite").parquet(extracted_path)
 
     extracted = spark.read.parquet(extracted_path)
 
@@ -97,28 +111,53 @@ def main():
     def _de():
         dedup.exact_dedup(docs).count()
 
+    # poly: numpy rolling-hash signature fast path (~3x vs the
+    # expression form; verify stage stays exact-Jaccard).
+    mh_pairs, mh_rep = dedup.minhash_lsh_pairs(
+        docs, threshold=0.3, hash_mode="poly", return_report=True)
+
     @timed("minhash_lsh")
     def _mh():
-        # poly: numpy rolling-hash signature fast path (~3x vs the
-        # expression form; verify stage stays exact-Jaccard).
-        dedup.minhash_lsh_pairs(docs, threshold=0.3,
-                                hash_mode="poly").count()
+        mh_pairs.count()
+
+    report("minhash_lsh", mh_rep)
+
+    sh_pairs, sh_rep = dedup.simhash_pairs(docs, max_hamming=10,
+                                           return_report=True)
 
     @timed("simhash")
     def _sh():
-        dedup.simhash_pairs(docs, max_hamming=10).count()
+        sh_pairs.count()
+
+    report("simhash", sh_rep)
+
+    nj_pairs, nj_rep = dedup.ngram_jaccard_pairs(docs, threshold=0.5,
+                                                 return_report=True)
+
+    @timed("ngram_jaccard_pairs")
+    def _nj():
+        nj_pairs.count()
+
+    report("ngram_jaccard_pairs", nj_rep)
 
     @timed("ann_bruteforce")
     def _ann():
         similarity.cosine_topk(emb.filter(F.col("vec_id") < 32), emb, k=10).count()
 
+    # Multi-table LSH on the BLAS signature path (default
+    # hash_mode='md5'). planes=8/tables=8 is the r3 tuned config:
+    # measured 0.99 recall@1 on planted cos~0.95 neighbors at ~3%
+    # candidate fraction (target >=0.9; see ann_recall_* below).
+    ANN_PLANES, ANN_TABLES = 8, 8
+    lsh_out, lsh_rep = similarity.lsh_cosine_topk(
+        emb.filter(F.col("vec_id") < 32), emb, k=10,
+        planes=ANN_PLANES, tables=ANN_TABLES, return_report=True)
+
     @timed("lsh_ann")
     def _lsh():
-        # 4-table multi-table LSH on the BLAS signature path (default
-        # hash_mode='md5'): higher recall than the r1 single-table form
-        # AND faster — signatures are one matmul per Arrow batch.
-        similarity.lsh_cosine_topk(emb.filter(F.col("vec_id") < 32), emb,
-                                   k=10, planes=8, tables=4).count()
+        lsh_out.count()
+
+    report("lsh_ann", lsh_rep)
 
     @timed("textstats")
     def _ts():
@@ -130,6 +169,60 @@ def main():
          .groupBy("l_returnflag", "l_linestatus")
          .agg(F.sum("l_quantity"), F.avg("l_quantity"), F.count("*"))
          .count())
+
+    # ---- ANN recall (untimed): the tuning numbers the 100 TB config
+    # depends on, both regimes. Driver-side numpy is the MEASUREMENT
+    # harness, not the operator (1k x 2k x 64 dims is trivial locally).
+    #
+    # (a) natural-corpus recall@10 vs exact top-10 over >=1k queries.
+    #     The synthetic corpus has NO neighbor gap (top-10 cos ~0.32 vs
+    #     bulk ~0): sign-LSH recall there is 1-(1-(1-θ/π)^p)^T with
+    #     θ/π~0.40, and >=0.9 would require candidate fraction >=1 for
+    #     ANY (p,T) — reported for transparency, low by geometry.
+    # (b) planted recall@1 at cos~0.95 (deterministic noise) — the
+    #     near-dup regime the operator serves; tuned target >=0.9.
+    import numpy as np
+    erows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in erows])
+    mat = np.array([r["embedding"] for r in erows], dtype=np.float64)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    n_q = min(1000, len(ids))
+    sims = mat[:n_q] @ mat.T
+    np.fill_diagonal(sims[:, :n_q], -np.inf)
+    k = 10
+    exact_pairs = set()
+    for qi in range(n_q):
+        # top-k by (-sim, corpus_id) — the operator's tie-break.
+        top = sorted(range(len(ids)), key=lambda c: (-sims[qi, c], ids[c]))[:k]
+        exact_pairs.update((int(ids[qi]), int(ids[c])) for c in top)
+    ann = similarity.lsh_cosine_topk(
+        emb.filter(F.col("vec_id") < int(ids[n_q - 1]) + 1), emb,
+        k=k, planes=ANN_PLANES, tables=ANN_TABLES)
+    got = {(r["query_id"], r["corpus_id"])
+           for r in ann.select("query_id", "corpus_id").collect()}
+    recall = round(len(got & exact_pairs) / len(exact_pairs), 4)
+
+    from pyspark.sql.types import (ArrayType, DoubleType, LongType,
+                                   StructField, StructType)
+    rng = np.random.default_rng(12345)
+    noise = rng.standard_normal(mat.shape)
+    noise /= np.linalg.norm(noise, axis=1, keepdims=True)
+    qv = mat + 0.33 * noise  # cos(q_i, v_i) ~ 0.95
+    qv /= np.linalg.norm(qv, axis=1, keepdims=True)
+    base_id = int(ids.max()) + 1
+    qdf = spark.createDataFrame(
+        [(base_id + int(ids[i]), qv[i].tolist()) for i in range(n_q)],
+        StructType([StructField("vec_id", LongType()),
+                    StructField("embedding", ArrayType(DoubleType()))]))
+    pl = similarity.lsh_cosine_topk(qdf, emb, k=1,
+                                    planes=ANN_PLANES, tables=ANN_TABLES)
+    pl_got = {(r["query_id"], r["corpus_id"])
+              for r in pl.select("query_id", "corpus_id").collect()}
+    planted_recall = round(sum(
+        1 for i in range(n_q)
+        if (base_id + int(ids[i]), int(ids[i])) in pl_got) / n_q, 4)
 
     total = round(sum(timings.values()), 3)
     docs_per_sec = round(n_docs / timings["extract_pipeline"], 1)
@@ -148,12 +241,18 @@ def main():
         "extraction_docs": n_docs,
         "extraction_docs_per_sec": docs_per_sec,
         "cpus": cpus,
-        # Estimator metadata: the headline is the min of N warmed runs
+        # Estimator metadata: every headline is the min of N warmed runs
         # on tmpfs scratch; docs/sec divides by docs ATTEMPTED, which
         # includes the deliberate error-path coverage rows (they run the
         # full cascade and fail by design — see sources/synth.py).
-        "estimator": "min_of_4_warm_tmpfs",
-        "extract_walls": extract_walls,
+        "estimator": f"min_of_{reps}_warm_tmpfs(extract=4)",
+        "walls": walls,
+        "bucket_reports": bucket_reports,
+        "ann_recall_at_10_natural": recall,
+        "ann_planted_recall_at_1": planted_recall,
+        "ann_recall_config": {"planes": ANN_PLANES, "tables": ANN_TABLES,
+                              "n_queries": n_q, "planted_cos": 0.95,
+                              "target": "planted >= 0.9"},
         "docs_attempted": n_docs,
         "docs_extracted": n_docs - n_failed,
         "docs_failed_by_design": n_failed,

@@ -44,6 +44,11 @@ def _parse(argv):
                    help="extraction partitions (default: 2x parallelism)")
     p.add_argument("--synth-profile", default="cc",
                    choices=("default", "cc"))
+    p.add_argument("--neardup", default=None,
+                   help="run MinHash-LSH near-dup over the committed "
+                        "snapshot's extracted_text and write pairs + the "
+                        "hot-bucket drop report under this dir")
+    p.add_argument("--neardup-max-bucket", type=int, default=1000)
     return p.parse_args(argv)
 
 
@@ -83,6 +88,30 @@ def main(argv=None, spark=None) -> dict:
     summary = {"run_id": run_id, **result,
                "committed_rows": (table.current_snapshot() or {}).get(
                    "committed_rows", 0)}
+
+    if args.neardup:
+        # Optional curation stage over the whole committed table. The
+        # hot-bucket cap drops degenerate buckets (dedup.cap_buckets);
+        # a capped run must SAY what it capped, so the drop counters are
+        # persisted next to the pairs and surfaced in the summary.
+        from ocr_spark.operators import dedup
+        committed = table.read(spark)
+        if committed is not None:
+            pairs, report = dedup.minhash_lsh_pairs(
+                committed.select("url", "extracted_text"),
+                text_col="extracted_text", id_col="url",
+                hash_mode="poly", max_bucket=args.neardup_max_bucket,
+                return_report=True)
+            pairs.write.mode("overwrite").parquet(f"{args.neardup}/pairs")
+            report.write.mode("overwrite").parquet(
+                f"{args.neardup}/bucket_report")
+            rep = spark.read.parquet(f"{args.neardup}/bucket_report").first()
+            summary["neardup"] = {
+                "pairs": spark.read.parquet(f"{args.neardup}/pairs").count(),
+                **{k: int(rep[k]) for k in
+                   ("n_buckets", "max_bucket_size", "n_hot_buckets",
+                    "rows_dropped", "max_bucket")}}
+
     print(json.dumps(summary))
     return summary
 

@@ -233,13 +233,17 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       num_perm: int = 32, bands: int = 8,
                       threshold: float = 0.7, max_bucket: int = 1000,
                       spread: bool = True,
-                      hash_mode: str = "xxhash64") -> DataFrame:
+                      hash_mode: str = "xxhash64",
+                      return_report: bool = False):
     """MinHash + LSH near-dup pairs: shingle -> minhash -> band buckets ->
     hot-bucket cap -> bucket self-join -> exact-Jaccard verify.
 
     Shuffles once on (band, band_hash); candidate fanout is bounded by
     bucket size (cap_buckets guards the degenerate-bucket quadratic),
     never all-pairs. rows_per_band = num_perm // bands.
+    return_report=True returns (pairs, report): the one-row cap_buckets
+    drop-counter frame production callers must log (a capped run says
+    what it capped).
 
     hash_mode selects the shingle-hash family for CANDIDATE generation
     (the exact-Jaccard verify stage downstream is hash-independent):
@@ -286,6 +290,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
             F.struct(F.lit(b).alias("band"), band_hash(b).alias("band_hash"))
             for b in range(bands)])).alias("bb"),
     ).select("id", "bb.band", "bb.band_hash")
+    uncapped = banded
     banded = cap_buckets(banded, ["band", "band_hash"], max_bucket)
 
     cand = (
@@ -297,7 +302,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     )
     sh_df = df.select(F.col(id_col).alias("id"),
                       shingles(F.col(text_col), k).alias("sh"))
-    return (
+    pairs = (
         cand.join(sh_df.select(F.col("id").alias("id_a"),
                                F.col("sh").alias("sh_a")), "id_a")
         .join(sh_df.select(F.col("id").alias("id_b"),
@@ -306,6 +311,9 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    if return_report:
+        return pairs, bucket_report(uncapped, ["band", "band_hash"], max_bucket)
+    return pairs
 
 
 def token_hashes(c):
@@ -412,12 +420,15 @@ def simhash(c, bits: int = 64):
 def simhash_pairs(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", max_hamming: int = 3,
                   max_bucket: int = 1000, spread: bool = True,
-                  hash_mode: str = "xxhash64") -> DataFrame:
+                  hash_mode: str = "xxhash64",
+                  return_report: bool = False):
     """SimHash near-dup pairs: 64-bit fingerprint, candidate buckets by
     16-bit chunk (pigeonhole: hamming<=3 pairs share >=1 of 4 chunks),
     hot-bucket cap, verified with bit_count(xor).
 
     hash_mode: 'xxhash64' (production) or 'md5' (DuckDB-oracle twin).
+    return_report=True returns (pairs, report) with the cap_buckets
+    drop counters.
     """
     hash_tokens = token_hashes if hash_mode == "xxhash64" else token_hashes_md5
     fp = (_spread(df, spread)
@@ -433,9 +444,10 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
                 .bitwiseAND(F.lit(0xFFFF)).alias("chunk_val"))
             for i in range(4)])).alias("cc"),
     ).select("id", "fp", "cc.chunk", "cc.chunk_val")
+    uncapped = chunked
     chunked = cap_buckets(chunked, ["chunk", "chunk_val"], max_bucket)
     l, r = chunked.alias("l"), chunked.alias("r")
-    return (
+    pairs = (
         l.join(r, on=["chunk", "chunk_val"], how="inner")
         .filter(F.col("l.id") < F.col("r.id"))
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
@@ -443,30 +455,77 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+    if return_report:
+        return pairs, bucket_report(uncapped, ["chunk", "chunk_val"], max_bucket)
+    return pairs
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 8,
                         threshold: float = 0.5,
-                        length_band: int = 32, max_bucket: int = 1000,
-                        spread: bool = True) -> DataFrame:
-    """Exact n-gram Jaccard pairs with length-band blocking (docs whose
-    lengths differ by more than a band can't reach high Jaccard) and a
-    hot-bucket cap (a popular length band is quadratic without it)."""
+                        length_band: int = 32, max_bucket: int = 10_000,
+                        anchor_perms: int = 2, spread: bool = True,
+                        return_report: bool = False):
+    """Exact n-gram Jaccard pairs with (length band, anchor) blocking.
+
+    Blocking key = the length band (docs whose normalized lengths differ
+    by more than a band can't reach high Jaccard) COMPOSED WITH an
+    anchor: the minimum permuted shingle hash (a 1-permutation MinHash),
+    one blocking row per permutation. Two docs collide iff they share a
+    band AND the min-shingle under some permutation — so a popular
+    length band is no longer all-pairs (the r2 scale-killer: every
+    ~N-char doc joined every other), and a hot composite bucket means
+    near-identical content, which the cap can safely drop
+    (exact_dedup owns identical docs).
+
+    Recall: P[anchor match] = J per permutation (the MinHash property),
+    so a true pair at `threshold` survives with 1-(1-J)^anchor_perms
+    (>= 0.75 at J=0.5, >= 0.99 at J=0.9 with the default 2 perms).
+    Raise anchor_perms for lower thresholds. Exact duplicates always
+    collide (identical anchors).
+
+    Scale shape: blocking rows carry ONLY (id, band, perm, anchor) —
+    shingle arrays never ride the shuffle; candidate ids re-join the
+    shingle scan once for the exact-Jaccard verify (the minhash_lsh
+    pattern). With return_report=True returns (pairs, report) where
+    report is the one-row cap_buckets drop-counter frame.
+    """
     base = _spread(df, spread).select(
         F.col(id_col).alias("id"),
         shingles(F.col(text_col), k).alias("sh"),
         F.floor(F.length(normalize_text(F.col(text_col))) / length_band).alias("band"),
     )
-    banded = base.select(
-        "id", "sh", F.explode(F.array(F.col("band"), F.col("band") + 1)).alias("b"))
-    banded = cap_buckets(banded, ["b"], max_bucket)
-    l, r = banded.alias("l"), banded.alias("r")
-    return (
-        l.join(r, on=["b"], how="inner")
+    consts = _perm_consts(anchor_perms)
+    # hs materialized in its own projection so the k-gram string hashes
+    # run once, not once per permutation (the minhash pattern).
+    anchors = F.array(*[
+        F.array_min(F.transform(
+            F.col("hs"),
+            lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE31))))
+        for a, b in consts])
+    keyed = (
+        base.withColumn("hs", shingle_hashes(F.col("sh")))
+        .select("id", anchors.alias("an"),
+                F.explode(F.array(F.col("band"), F.col("band") + 1)).alias("b"))
+        .select("id", "b", F.posexplode("an").alias("perm", "anchor")))
+    capped = cap_buckets(keyed, ["b", "perm", "anchor"], max_bucket)
+    l, r = capped.alias("l"), capped.alias("r")
+    cand = (
+        l.join(r, on=["b", "perm", "anchor"], how="inner")
         .filter(F.col("l.id") < F.col("r.id"))
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
-                jaccard(F.col("l.sh"), F.col("r.sh")).alias("jaccard"))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
-        .filter(F.col("jaccard") >= threshold)
     )
+    sh_df = base.select("id", "sh")
+    pairs = (
+        cand.join(sh_df.select(F.col("id").alias("id_a"),
+                               F.col("sh").alias("sh_a")), "id_a")
+        .join(sh_df.select(F.col("id").alias("id_b"),
+                           F.col("sh").alias("sh_b")), "id_b")
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    if return_report:
+        return pairs, bucket_report(keyed, ["b", "perm", "anchor"], max_bucket)
+    return pairs

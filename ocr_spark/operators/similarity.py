@@ -126,7 +126,18 @@ def _lsh_buckets_pandas_udf(planes: int, tables: int):
     instead of tables x planes interpreted higher-order-function passes
     per row (Catalyst HOFs don't codegen — measured ~10x on the bench).
     Returns ARRAY<LONG> of per-table buckets; bucket t at index t.
-    Bit-exact with the expression md5 form (pytest asserts it)."""
+    Bit-exact with the expression md5 form (pytest asserts it).
+
+    Equivalence caveat: `mat @ W` sums in BLAS order while the
+    expression form (and DuckDB's list_sum) sums sequentially, so the
+    sign test `proj > 0` can disagree for a projection within
+    summation error (~1e-13 relative) of exactly 0.0. Equality between
+    the three forms therefore holds only when no |projection| is that
+    close to zero — for continuous-valued embeddings the probability
+    is ~1e-13 per (row, plane), and a disagreement costs one bucket
+    bit, i.e. a marginal candidate, never a wrong score (scoring is
+    exact cosine downstream). An epsilon grid would only relocate the
+    boundary, not remove it, so the trade-off is documented instead."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, LongType
 
@@ -174,15 +185,27 @@ def lsh_cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
                     query_id: str = "vec_id", corpus_id: str = "vec_id",
                     vec_col: str = "embedding",
                     max_bucket: int = 10_000,
-                    hash_mode: str = "md5") -> DataFrame:
+                    hash_mode: str = "md5",
+                    return_report: bool = False):
     """ANN: multi-table sign-LSH candidate generation, then exact cosine
     scoring of the (deduplicated) candidate set.
+    return_report=True returns (topk, report) with the corpus-bucket
+    cap_buckets drop counters.
 
     Scale shape: bucket rows carry ids only — corpus vectors never
     duplicate through the tables-x bucket shuffle; hot corpus buckets
     (signature carries no information there) are capped; candidate ids
     re-join the corpus scan once for scoring. Recall rises with
     `tables`, cost with tables x occupancy.
+
+    Recall contract: sign-LSH retrieves HIGH-cosine neighbors — per
+    table P[collision] = (1 - θ/π)^planes, so recall is
+    1-(1-(1-θ/π)^p)^T. The tuned default regime (p=8, T=8) measures
+    0.99 recall@1 at cos~0.95 with ~3% candidate fraction (bench.py
+    reports both numbers per run). On a gap-free corpus (nearest
+    neighbors at cos <~ 0.5) no sign-LSH config reaches high recall
+    below candidate fraction 1 — use cosine_topk (exact) for ranking
+    tasks there.
 
     hash_mode 'md5' (default) computes signatures with the BLAS matmul
     fast path (~4x at sf0.1; also the DuckDB-oracle family);
@@ -197,6 +220,7 @@ def lsh_cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
 
     q_buckets = _bucket_rows(q, "query_id", "qv", planes, tables, hash_mode)
     c_buckets = _bucket_rows(c, "corpus_id", "cv", planes, tables, hash_mode)
+    c_uncapped = c_buckets
     c_buckets = _cap_buckets(c_buckets, ["table", "bucket"], max_bucket)
 
     cand = (
@@ -213,8 +237,12 @@ def lsh_cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("corpus_id").asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
+    topk = (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+    if return_report:
+        from .dedup import bucket_report
+        return topk, bucket_report(c_uncapped, ["table", "bucket"], max_bucket)
+    return topk
 
 
 def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
@@ -222,15 +250,19 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                              id_col: str = "vec_id",
                              vec_col: str = "embedding",
                              max_bucket: int = 1000,
-                             hash_mode: str = "md5") -> DataFrame:
+                             hash_mode: str = "md5",
+                             return_report: bool = False):
     """Embedding-cosine near-duplicate pairs via multi-table LSH
     self-join: ids-only bucket shuffle, hot-bucket cap, candidate pairs
     deduped across tables, vectors re-joined once for exact scoring.
-    hash_mode as in lsh_cosine_topk ('md5' = BLAS fast path)."""
+    hash_mode as in lsh_cosine_topk ('md5' = BLAS fast path).
+    return_report=True returns (pairs, report) with the cap_buckets
+    drop counters."""
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"))
     buckets = _bucket_rows(base, "id", "v", planes, tables, hash_mode)
+    uncapped = buckets
     buckets = _cap_buckets(buckets, ["table", "bucket"], max_bucket)
 
     l, r = buckets.alias("l"), buckets.alias("r")
@@ -240,7 +272,7 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    return (
+    pairs = (
         cand.join(base.select(F.col("id").alias("id_a"),
                               F.col("v").alias("va")), "id_a")
         .join(base.select(F.col("id").alias("id_b"),
@@ -249,3 +281,7 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                 cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
+    if return_report:
+        from .dedup import bucket_report
+        return pairs, bucket_report(uncapped, ["table", "bucket"], max_bucket)
+    return pairs

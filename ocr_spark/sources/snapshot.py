@@ -114,6 +114,14 @@ def run_with_checkpoint(spark: SparkSession, input_df: DataFrame, root: str,
     from ..plans.pipeline import run_extraction
 
     table = SnapshotTable(root)
+    snap = table.current_snapshot()
+    if snap and run_id in snap["data_dirs"]:
+        # Re-using a committed run_id would overwrite its data dir with
+        # only the new rows while the manifest (and committed_rows) still
+        # references the old contents — silent data loss. Refuse.
+        raise ValueError(
+            f"run_id {run_id!r} is already committed in this snapshot "
+            f"table; pick a fresh run id (committed: {snap['data_dirs']})")
     remaining = table.remaining_input(spark, input_df)
     extracted = run_extraction(spark, remaining, run_id=run_id,
                                num_partitions=num_partitions)

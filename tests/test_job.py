@@ -39,6 +39,39 @@ def test_job_main_resumable(spark, tmp_path):
                ["extractor_version"]) == {"0.1.0"}
 
 
+def test_job_neardup_reports_hot_bucket_drops(spark, tmp_path):
+    """A planted degenerate corpus (identical docs) run through the job
+    --neardup stage must persist + surface nonzero drop counters —
+    capped runs are never silent."""
+    from pyspark.sql import functions as F
+
+    inp = str(tmp_path / "in.parquet")
+    boiler = ("identical boilerplate body text repeated across every "
+              "document in this degenerate corpus for the cap to drop")
+    spark.range(200).select(
+        F.concat(F.lit("https://cc.synth.local/app"),
+                 F.col("id").cast("string"),
+                 F.lit("/salary_slip/"), F.col("id").cast("string"),
+                 F.lit(".png")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.lit(boiler).alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit(None).cast("string").alias("meta"),
+    ).write.parquet(inp)
+
+    table = str(tmp_path / "table")
+    nd = str(tmp_path / "neardup")
+    r = job.main(["--input", inp, "--table", table, "--partitions", "2",
+                  "--neardup", nd, "--neardup-max-bucket", "50"],
+                 spark=spark)
+    assert r["processed"] == 200
+    assert r["neardup"]["n_hot_buckets"] >= 1
+    assert r["neardup"]["rows_dropped"] >= 200
+    assert r["neardup"]["pairs"] == 0  # clique dropped, exact_dedup owns it
+    assert spark.read.parquet(f"{nd}/bucket_report").count() == 1
+
+
 def test_job_via_spark_submit(tmp_path):
     """The actual deployment path: package ocr_spark into a zip, launch
     a fresh JVM via spark-submit --py-files, run the job end-to-end."""

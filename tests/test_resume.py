@@ -64,6 +64,23 @@ def test_crash_before_commit_invisible(spark, tmp_path):
     assert table.committed_dirs() == [table.run_dir("retry")]
 
 
+def test_committed_run_id_reuse_refused(spark, tmp_path):
+    """Passing a committed run_id with new input would overwrite that
+    run's data dir while the manifest still references it (silent data
+    loss) — the checkpoint pass must refuse instead."""
+    import pytest
+
+    root = str(tmp_path / "tbl4")
+    rows = synth.generate_rows(24)
+    snapshot.run_with_checkpoint(spark, _df(spark, rows[:12]), root,
+                                 run_id="runX", num_partitions=2)
+    with pytest.raises(ValueError, match="already committed"):
+        snapshot.run_with_checkpoint(spark, _df(spark, rows), root,
+                                     run_id="runX", num_partitions=2)
+    # The committed data is untouched.
+    assert snapshot.SnapshotTable(root).read(spark).count() == 12
+
+
 def test_commit_idempotent_per_run(tmp_path):
     table = snapshot.SnapshotTable(str(tmp_path / "tbl3"))
     s1 = table.commit("runA", 10)

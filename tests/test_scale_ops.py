@@ -101,6 +101,61 @@ class TestDedup:
         assert rep["n_hot_buckets"] >= 1
         assert rep["rows_dropped"] >= 4000
 
+    def test_ngram_popular_band_bounded_without_dropping_pair(self, spark):
+        """r3 blocking rework: a popular length band (hundreds of
+        same-length docs with DIFFERENT content) must not go all-pairs —
+        the anchor key (min permuted shingle hash) splits it — and must
+        not drop the planted near-pair that lives inside the band."""
+        import hashlib
+
+        def hx(s):
+            return hashlib.md5(s.encode()).hexdigest()
+
+        # All docs are EXACTLY 98 normalized chars -> one length band;
+        # filler content is hash-derived so shingle sets (and thus
+        # anchors) are distinct doc to doc.
+        base = " ".join(hx(f"b{j}") for j in range(3))
+        near = base[:-6] + "zzzzzz"  # same band, jaccard ~0.75
+        filler = [(100 + i, " ".join(hx(f"f{i}{j}") for j in range(3)))
+                  for i in range(600)]
+        df = spark.createDataFrame([(0, base), (1, near)] + filler,
+                                   ["doc_id", "text"])
+        pairs, rep = dedup.ngram_jaccard_pairs(df, threshold=0.5,
+                                               max_bucket=50,
+                                               return_report=True)
+        ids = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        assert (0, 1) in ids  # anchor blocking kept the true pair
+        r = rep.first()
+        # Distinct content -> no composite bucket goes hot even with a
+        # tiny cap: the band alone would be one 600+-doc bucket.
+        assert r["max_bucket_size"] <= 50
+        assert r["rows_dropped"] == 0
+
+    def test_ngram_degenerate_clique_capped_with_report(self, spark):
+        """Identical docs share band AND anchors -> one hot composite
+        bucket; the cap drops it (exact_dedup owns identical docs) and
+        the report says so."""
+        boiler = "lorem ipsum boilerplate footer text appears everywhere"
+        rows = [(i, boiler) for i in range(2000)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        pairs, rep = dedup.ngram_jaccard_pairs(df, threshold=0.5,
+                                               max_bucket=100,
+                                               return_report=True)
+        assert pairs.count() == 0
+        r = rep.first()
+        assert r["n_hot_buckets"] >= 1
+        assert r["rows_dropped"] >= 2000
+
+    def test_minhash_return_report(self, spark):
+        boiler = "identical boilerplate body repeated across the corpus"
+        df = spark.createDataFrame([(i, boiler) for i in range(500)],
+                                   ["doc_id", "text"])
+        pairs, rep = dedup.minhash_lsh_pairs(df, max_bucket=50,
+                                             return_report=True)
+        assert pairs.count() == 0
+        r = rep.first()
+        assert r["n_hot_buckets"] >= 1 and r["rows_dropped"] >= 500
+
     def test_simhash_packed_equals_unpacked(self, docs):
         """The 4-lane-packed vote accumulation must produce the exact
         fingerprint of the one-aggregate-per-bit form on real docs."""
@@ -204,6 +259,50 @@ class TestSimilarity:
         four = similarity.lsh_cosine_topk(queries, embeddings, k=3,
                                           planes=6, tables=4)
         assert four.count() >= one.count()
+
+    def test_lsh_ann_planted_recall_floor(self, spark, embeddings):
+        """The tuned config (planes=8, tables=8) must hit >=0.9 recall@1
+        on planted cos~0.95 neighbors — the near-dup regime sign-LSH
+        serves. (The natural synthetic corpus has NO neighbor gap —
+        top-10 cos ~0.32 vs bulk ~0 — where >=0.9 recall@10 requires
+        candidate fraction >= 1 for ANY sign-LSH config: 1-(1-(1-θ/π)^p)^T
+        with θ/π~0.40. bench.py reports that number for transparency;
+        the operator's contract is high-cos retrieval.)"""
+        import numpy as np
+        from pyspark.sql.types import (ArrayType, DoubleType, LongType,
+                                       StructField, StructType)
+        rows = embeddings.select("vec_id", "embedding").collect()
+        ids = np.array([r["vec_id"] for r in rows])
+        mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+        order = np.argsort(ids)
+        ids, mat = ids[order], mat[order]
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        rng = np.random.default_rng(12345)  # deterministic planted set
+        noise = rng.standard_normal(mat.shape)
+        noise /= np.linalg.norm(noise, axis=1, keepdims=True)
+        q = mat + 0.33 * noise  # cos(q_i, v_i) ~ 0.95
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        n_q = 200
+        qdf = spark.createDataFrame(
+            [(int(ids[i]) + 100000, q[i].tolist()) for i in range(n_q)],
+            StructType([StructField("vec_id", LongType()),
+                        StructField("embedding", ArrayType(DoubleType()))]))
+        ann = similarity.lsh_cosine_topk(qdf, embeddings, k=1,
+                                         planes=8, tables=8)
+        got = {(r["query_id"], r["corpus_id"])
+               for r in ann.select("query_id", "corpus_id").collect()}
+        hits = sum(1 for i in range(n_q)
+                   if (int(ids[i]) + 100000, int(ids[i])) in got)
+        recall = hits / n_q
+        assert recall >= 0.9, f"planted recall@1 {recall:.3f} below floor"
+
+    def test_lsh_ann_return_report(self, spark, embeddings):
+        out, rep = similarity.lsh_cosine_topk(
+            embeddings.filter(F.col("vec_id") < 3), embeddings, k=3,
+            planes=6, tables=2, return_report=True)
+        assert out.count() > 0
+        r = rep.first()
+        assert r["n_buckets"] > 0 and r["rows_dropped"] == 0
 
 
 class TestTextStats:
