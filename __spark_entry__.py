@@ -459,21 +459,29 @@ def q_lang_id(spark, sf_dir):
 
 
 def _sql_lang_id():
-    hits = {lang: f"len(list_filter(tok, t -> list_contains([{','.join(chr(39)+w+chr(39) for w in words)}], t)))"
-            for lang, words in _STOPWORDS.items()}
+    # Generated from textstats.LANG_STOPWORDS so the SQL twin follows
+    # inventory changes automatically. Winner = max hit count, earliest
+    # language in sorted order on ties (the Spark loop's strict `>`).
+    langs = sorted(_STOPWORDS)
+    hits = {lang: "len(list_filter(tok, t -> list_contains(["
+            + ",".join(f"'{w}'" for w in _STOPWORDS[lang]) + "], t)))"
+            for lang in langs}
+    hit_cols = ",\n             ".join(f"{hits[lang]} AS h_{lang}"
+                                       for lang in langs)
+    mx = "greatest(" + ", ".join(f"h_{lang}" for lang in langs) + ")"
+    branches = "\n".join(f"  WHEN h_{lang} = mx THEN '{lang}'"
+                         for lang in langs)
     return f"""
 WITH t AS (SELECT doc_id,
   regexp_split_to_array(trim(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), ' ') AS tok
   FROM documents),
-h AS (SELECT doc_id, {hits['de']} AS de, {hits['en']} AS en,
-             {hits['es']} AS es, {hits['fr']} AS fr FROM t)
+h AS (SELECT doc_id, {hit_cols} FROM t),
+m AS (SELECT doc_id, *, {mx} AS mx FROM h)
 SELECT doc_id, CASE
-  WHEN de > 0 AND de >= greatest(en, es, fr) THEN 'de'
-  WHEN en > 0 AND en >= greatest(es, fr) THEN 'en'
-  WHEN es > 0 AND es >= fr THEN 'es'
-  WHEN fr > 0 THEN 'fr'
-  ELSE 'und' END AS lang_guess
-FROM h ORDER BY doc_id
+  WHEN mx = 0 THEN 'und'
+{branches}
+  END AS lang_guess
+FROM m ORDER BY doc_id
 """
 
 

@@ -12,13 +12,32 @@ from pyspark.sql import functions as F
 
 from .dedup import normalize_text
 
-# Tiny per-language stopword inventories for the n-gram/stopword
-# language-ID heuristic (public common-word lists).
+# Per-language stopword inventories for the stopword-vote language-ID
+# heuristic (public common-word frequency lists, 25 words/language).
+# The driver oracle SQL is GENERATED from this dict
+# (__spark_entry__._sql_lang_id), so Spark and DuckDB can never drift.
 LANG_STOPWORDS = {
-    "en": ["the", "and", "of", "to", "a", "in", "is", "for", "on", "with"],
-    "es": ["el", "la", "de", "que", "y", "en", "un", "los", "del", "por"],
-    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "du", "est"],
-    "de": ["der", "die", "und", "das", "ist", "von", "den", "mit", "ein", "zu"],
+    "en": ["the", "and", "of", "to", "a", "in", "is", "for", "on", "with",
+           "that", "as", "it", "was", "at", "by", "this", "from", "are",
+           "be", "have", "not", "but", "they", "his"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los", "del", "por",
+           "las", "una", "con", "no", "para", "es", "al", "se", "su",
+           "como", "más", "pero", "sus", "le", "ya"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "du", "est",
+           "que", "qui", "dans", "pour", "pas", "sur", "ne", "au", "ce",
+           "il", "plus", "par", "avec", "son", "se"],
+    "de": ["der", "die", "und", "das", "ist", "von", "den", "mit", "ein",
+           "zu", "nicht", "im", "auch", "es", "auf", "für", "eine", "als",
+           "sich", "an", "werden", "aus", "er", "hat", "dass"],
+    "it": ["il", "di", "che", "la", "e", "un", "per", "una", "in", "sono",
+           "del", "non", "le", "si", "con", "mi", "ma", "lo", "ho", "ha",
+           "questo", "della", "come", "più", "anche"],
+    "pt": ["de", "a", "o", "que", "e", "do", "da", "em", "um", "para",
+           "com", "não", "uma", "os", "no", "se", "na", "por", "mais",
+           "as", "dos", "como", "mas", "foi", "ele"],
+    "nl": ["de", "het", "een", "en", "van", "ik", "te", "dat", "die",
+           "in", "is", "je", "niet", "op", "zijn", "met", "als", "voor",
+           "was", "er", "maar", "om", "dan", "ook", "bij"],
 }
 
 _BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"

@@ -326,10 +326,15 @@ class TestTextStats:
         df = spark.createDataFrame(
             [(0, "el perro y la casa de un los del por"),
              (1, "the cat and the dog of a in is for"),
-             (2, "zzz qqq xxx")], ["doc_id", "text"])
+             (2, "zzz qqq xxx"),
+             (3, "il gatto che sono del non questo anche più ha"),
+             (4, "o gato do da em um não os mais foi"),
+             (5, "het een van ik je niet op zijn maar ook")],
+            ["doc_id", "text"])
         out = {r["doc_id"]: r["lang_guess"]
                for r in textstats.document_stats(df).collect()}
-        assert out == {0: "es", 1: "en", 2: "und"}
+        assert out == {0: "es", 1: "en", 2: "und",
+                       3: "it", 4: "pt", 5: "nl"}
 
     def test_fingerprint_stability(self, docs):
         fp = docs.select(textstats.fingerprint(F.col("text")).alias("fp"),

@@ -101,7 +101,26 @@ def main() -> None:
         check(name, "hot-bucket cap in plan (window count over bucket keys)",
               capped, "")
 
-    # 7. No CartesianProduct anywhere: every join is keyed or broadcast
+    # 7. ngram_jaccard_pairs blocking rework (r3): the blocking-join
+    #    exchange must be ids-only — shingle arrays never ride the
+    #    (b, perm, anchor) shuffle (they re-join for candidates only).
+    #    Formatted-plan detail blocks look like:
+    #      (n) Exchange\nInput [k]: [id#.., b#.., perm#.., anchor#..]\n
+    #      Arguments: hashpartitioning(b#.., perm#.., anchor#.., ...)
+    from ocr_spark.operators import dedup as dedup_ops
+    docs_df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pn = plan_of(dedup_ops.ngram_jaccard_pairs(docs_df))
+    blocks = pn.split("\n\n")
+    anchor_exchanges = [b for b in blocks
+                        if "Exchange" in b.splitlines()[0]
+                        and "anchor#" in b and "hashpartitioning" in b]
+    ids_only = bool(anchor_exchanges) and all(
+        "sh#" not in b for b in anchor_exchanges)
+    check("ngram_jaccard_pairs",
+          "ids-only blocking exchange (no shingle arrays in shuffle)",
+          ids_only, f"{len(anchor_exchanges)} anchor-keyed exchange(s)")
+
+    # 8. No CartesianProduct anywhere: every join is keyed or broadcast
     #    (the brute-force oracle baselines use broadcast nested loop,
     #    which bounds the big side to one scan).
     offenders = [n for n, p in plans.items() if "CartesianProduct" in p]
