@@ -954,20 +954,42 @@ def q_extract_pipeline_sql(spark, sf_dir):
         "error")
 
 
-def _sql_extract_pipeline_sql():
-    # Month replay (P3): first month in fixed list order wins, with
-    # adjacent-year capture — identical branch order to salary.py:68-81.
-    month_branches = "\n".join(
-        f"  WHEN contains(lower(t), '{m.lower()}') THEN "
-        f"CASE WHEN regexp_extract(t, '(?i){m}[\\s\\-,]*(\\d{{4}})', 1) <> '' "
-        f"THEN '{m} ' || regexp_extract(t, '(?i){m}[\\s\\-,]*(\\d{{4}})', 1) "
+# -- shared SQL replay fragments (parameterized on the text column name
+#    so the crosscheck query can replay slip + statement side by side) --
+
+def _sql_month_case(t: str = "t") -> str:
+    """P3 replay: first month in fixed list order wins, with
+    adjacent-year capture — identical branch order to salary.py:68-81."""
+    branches = "\n".join(
+        f"  WHEN contains(lower({t}), '{m.lower()}') THEN "
+        f"CASE WHEN regexp_extract({t}, '(?i){m}[\\s\\-,]*(\\d{{4}})', 1) <> '' "
+        f"THEN '{m} ' || regexp_extract({t}, '(?i){m}[\\s\\-,]*(\\d{{4}})', 1) "
         f"ELSE '{m}' END"
         for m in _MONTHS)
-    salary_cands = ",\n      ".join(
-        f"nullif(regexp_replace(regexp_extract(t, '{p}', 1), ',', ''), '')::double"
+    return f"CASE\n{branches}\n  ELSE 'Unknown' END"
+
+
+def _sql_salary_coalesce(t: str = "t") -> str:
+    """P4 replay: prioritized label regexes, comma strip, 0.0 default."""
+    cands = ",\n      ".join(
+        f"nullif(regexp_replace(regexp_extract({t}, '{p}', 1), ',', ''), '')::double"
         for p in _SALARY_RES)
-    acct_explicit = ",\n      ".join(
-        f"nullif(regexp_extract(c, '{p}', 1), '')" for p in _ACCT_RES)
+    return f"coalesce(\n      {cands}, 0.0)"
+
+
+def _sql_acct_chain(c: str = "c") -> str:
+    """P5 replay over the cleaned (lower, em-dash, colon) text column."""
+    explicit = ",\n      ".join(
+        f"nullif(regexp_extract({c}, '{p}', 1), '')" for p in _ACCT_RES)
+    return f"""coalesce(
+      {explicit},
+      nullif(regexp_extract(regexp_extract({c}, 'x{{4,}}[0-9]{{3,6}}', 0),
+                            '[0-9]+', 0), ''),
+      nullif(regexp_extract({c}, '([0-9]{{10,18}})', 1), ''),
+      '')"""
+
+
+def _sql_extract_pipeline_sql():
     marker_check = " OR ".join(
         f"contains(upper(l1), '{m}')" for m in _CORP_MARKERS)
     url = _URL_SQL_TMPL.format(dt="salary_slip")
@@ -988,17 +1010,9 @@ SELECT url,
   80.0::double AS resolution_score, 75.0::double AS ocr_confidence,
   77.5::double AS final_score,
   0 AS n_issues,
-  CASE
-{month_branches}
-  ELSE 'Unknown' END AS pay_month,
-  round(coalesce(
-      {salary_cands}, 0.0), 2) AS net_salary,
-  coalesce(
-      {acct_explicit},
-      nullif(regexp_extract(regexp_extract(c, 'x{{4,}}[0-9]{{3,6}}', 0),
-                            '[0-9]+', 0), ''),
-      nullif(regexp_extract(c, '([0-9]{{10,18}})', 1), ''),
-      '') AS account_number,
+  {_sql_month_case("t")} AS pay_month,
+  round({_sql_salary_coalesce("t")}, 2) AS net_salary,
+  {_sql_acct_chain("c")} AS account_number,
   -- P7/P8/P9 replay: label capture, 2-word cap, both-alpha check (the
   -- prev line always carries digits, so the P6 prev-line branch is
   -- statically dead on this corpus)
@@ -1121,6 +1135,161 @@ FROM f ORDER BY url, tx_date, description
 """
 
 
+def _cc_bank_text_expr():
+    """Bank statement for the crosscheck_sql query — same 4-line shape
+    as _bank_statement_text_expr but with PLANTED verification variety:
+      * holder name differs from the slip's employee for doc_id%7==0
+        (token-disjoint -> CompareNames false)
+      * stmt account equals the slip's labeled account for doc_id%3==0
+        (else a disjoint 98765... number)
+      * the salary-credit line carries the slip's exact net_salary for
+        doc_id%2==0 (else a different amount -> missing-credit entry)
+    """
+    doc_id = F.col("doc_id")
+    holder = F.when(
+        doc_id % 7 == 0,
+        F.concat(_pick(_FIRSTS, (doc_id + 3) % 8), F.lit(" "),
+                 _pick(_LASTS, ((doc_id + 3) * 5) % 8)))\
+        .otherwise(F.concat(_pick(_FIRSTS, doc_id % 8), F.lit(" "),
+                            _pick(_LASTS, (doc_id * 5) % 8)))
+    amt1 = F.when(doc_id % 2 == 0,
+                  F.concat((F.lit(30000) + doc_id % 50000).cast("string"),
+                           F.lit(".50")))\
+        .otherwise(F.concat((F.lit(40000) + doc_id % 10000).cast("string"),
+                            F.lit(".00")))
+    acct = F.when(doc_id % 3 == 0, F.lit(1234500000) + doc_id)\
+        .otherwise(F.lit(9876500000) + doc_id)
+    d1 = F.lpad((doc_id % 28 + 1).cast("string"), 2, "0")
+    m1 = F.lpad((doc_id % 12 + 1).cast("string"), 2, "0")
+    return F.concat_ws(
+        "\n",
+        F.concat(F.lit("Customer Name: "), holder),
+        F.concat(d1, F.lit("/"), m1, F.lit("/2025  SALARY CREDIT NEFT  "),
+                 amt1),
+        F.concat(d1, F.lit("/"), m1, F.lit("/2025  POS DEBIT STORE  "),
+                 (F.lit(100) + doc_id % 900).cast("string"), F.lit(".50")),
+        F.concat(F.lit("Account No: "), acct.cast("string")))
+
+
+_CC_BANK_TEXT_SQL = f"""
+concat_ws(chr(10),
+  'Customer Name: ' || (CASE WHEN doc_id % 7 = 0
+      THEN {_sql_pick(_FIRSTS, "(doc_id + 3) % 8")} || ' '
+           || {_sql_pick(_LASTS, "((doc_id + 3) * 5) % 8")}
+      ELSE {_sql_pick(_FIRSTS, "doc_id % 8")} || ' '
+           || {_sql_pick(_LASTS, "(doc_id * 5) % 8")} END),
+  lpad(cast(doc_id % 28 + 1 AS varchar), 2, '0') || '/'
+    || lpad(cast(doc_id % 12 + 1 AS varchar), 2, '0')
+    || '/2025  SALARY CREDIT NEFT  '
+    || (CASE WHEN doc_id % 2 = 0
+        THEN cast(30000 + doc_id % 50000 AS varchar) || '.50'
+        ELSE cast(40000 + doc_id % 10000 AS varchar) || '.00' END),
+  lpad(cast(doc_id % 28 + 1 AS varchar), 2, '0') || '/'
+    || lpad(cast(doc_id % 12 + 1 AS varchar), 2, '0') || '/2025  '
+    || 'POS DEBIT STORE  ' || cast(100 + doc_id % 900 AS varchar) || '.50',
+  'Account No: ' || cast(CASE WHEN doc_id % 3 = 0
+      THEN 1234500000 + doc_id ELSE 9876500000 + doc_id END AS varchar))
+"""
+
+
+def q_crosscheck_sql(spark, sf_dir):
+    """End-to-end verification, oracle-checked: ONE run_extraction over
+    the union of derived salary slips + bank statements (same applicant
+    url segment), then the REAL cross_check operator (V1/V2/V3 joins,
+    ref income_service.go:262-311); array columns flattened to scalars.
+    """
+    from ocr_spark.operators.crosscheck import cross_check
+    from ocr_spark.plans.pipeline import run_extraction
+    slips = _pipeline_input(spark, sf_dir, "salary_slip",
+                            _salary_slip_text_expr())
+    stmts = _pipeline_input(spark, sf_dir, "bank_statement",
+                            _cc_bank_text_expr())
+    out = run_extraction(spark, slips.unionByName(stmts),
+                         run_id="driver-cc-sql", num_partitions=8)
+    cc = cross_check(out)
+    return cc.select(
+        "applicant_id", "name_match",
+        F.col("name_similarity").cast("double").alias("name_similarity"),
+        "account_match",
+        F.size("missing_salary_credits").alias("n_missing"),
+        F.concat_ws("|", "missing_salary_credits").alias("missing_msgs"),
+        F.size("notes").alias("n_notes"))
+
+
+def _sql_crosscheck_sql():
+    # Replays each side's parser fields (the fragments proven by
+    # extract_pipeline_sql / extract_bank_sql), then the cross_check
+    # semantics: CompareNames collapses to normalized equality on this
+    # corpus (names are identical or token-disjoint by construction, so
+    # the substring/token-overlap branches are statically dead);
+    # account match = nonempty + space-stripped equality; a credit
+    # transaction with the exact net_salary amount must exist, else a
+    # formatted missing entry. One slip + one statement per applicant,
+    # statement always present -> notes always empty.
+    url = _URL_SQL_TMPL.format(dt="salary_slip")
+    st_clean = "lower(replace(replace(st, '—', '-'), ':', ' '))"
+    return f"""
+WITH d AS (SELECT doc_id, {url} AS url,
+                  {_SALARY_SLIP_TEXT_SQL} AS st,
+                  {_CC_BANK_TEXT_SQL} AS bt
+           FROM documents),
+n AS (SELECT doc_id,
+        regexp_extract(url, '//[^/]+/([^/]+)/[a-z_]+/[^/]*$', 1) AS applicant_id,
+        {_sql_month_case("st")} AS pay_month,
+        {_sql_salary_coalesce("st")} AS net_salary,
+        {_sql_acct_chain(st_clean)}
+          AS slip_account,
+        string_split(trim(regexp_extract(st,
+          '(?i)name\\s*:\\s*([A-Za-z ]+)', 1)), ' ') AS enw,
+        string_split(trim(regexp_extract(bt,
+          '(?i)customer\\s*name[\\s:]*([A-Z][A-Za-z\\s.]+)', 1)), chr(10))[1]
+          AS holder_name,
+        regexp_extract(lower(replace(replace(bt, '—', '-'), ':', ' ')),
+                       'account\\s*no[\\s\\-]*([0-9]{{9,18}})', 1) AS stmt_account,
+        string_split(bt, chr(10))[2] AS tx1,
+        string_split(bt, chr(10))[3] AS tx2
+      FROM d),
+t AS (SELECT *,
+        enw[1] || ' ' || enw[2] AS employee_name,
+        regexp_split_to_array(trim(tx1), '\\s+') AS p1,
+        regexp_split_to_array(trim(tx2), '\\s+') AS p2
+      FROM n),
+x AS (SELECT *,
+        replace(p1[len(p1)], ',', '')::double AS amt1,
+        replace(p2[len(p2)], ',', '')::double AS amt2,
+        (contains(upper(array_to_string(p1[2:len(p1)-1], ' ') || ' ' || p1[len(p1)]), 'CR')
+         OR contains(upper(array_to_string(p1[2:len(p1)-1], ' ') || ' ' || p1[len(p1)]), 'CREDIT')
+         OR contains(upper(array_to_string(p1[2:len(p1)-1], ' ') || ' ' || p1[len(p1)]), 'NEFT')
+         OR contains(upper(array_to_string(p1[2:len(p1)-1], ' ') || ' ' || p1[len(p1)]), 'UPI')
+         OR contains(upper(array_to_string(p1[2:len(p1)-1], ' ') || ' ' || p1[len(p1)]), 'SALARY')) AS cr1,
+        (contains(upper(array_to_string(p2[2:len(p2)-1], ' ') || ' ' || p2[len(p2)]), 'CR')
+         OR contains(upper(array_to_string(p2[2:len(p2)-1], ' ') || ' ' || p2[len(p2)]), 'CREDIT')
+         OR contains(upper(array_to_string(p2[2:len(p2)-1], ' ') || ' ' || p2[len(p2)]), 'NEFT')
+         OR contains(upper(array_to_string(p2[2:len(p2)-1], ' ') || ' ' || p2[len(p2)]), 'UPI')
+         OR contains(upper(array_to_string(p2[2:len(p2)-1], ' ') || ' ' || p2[len(p2)]), 'SALARY')) AS cr2
+      FROM t),
+v AS (SELECT applicant_id, pay_month, net_salary,
+        (replace(replace(lower(employee_name), ' ', ''), '.', '')
+         = replace(replace(lower(holder_name), ' ', ''), '.', '')) AS name_eq,
+        (slip_account <> '' AND stmt_account <> ''
+         AND replace(slip_account, ' ', '') = replace(stmt_account, ' ', ''))
+          AS acct_eq,
+        ((cr1 AND amt1 = net_salary) OR (cr2 AND amt2 = net_salary))
+          AS credit_found
+      FROM x)
+SELECT applicant_id,
+       name_eq AS name_match,
+       CASE WHEN name_eq THEN 1.0 ELSE 0.0 END::double AS name_similarity,
+       acct_eq AS account_match,
+       CASE WHEN net_salary > 0 AND NOT credit_found THEN 1 ELSE 0 END AS n_missing,
+       CASE WHEN net_salary > 0 AND NOT credit_found
+            THEN printf('Missing credit for %s: %.2f', pay_month, net_salary)
+            ELSE '' END AS missing_msgs,
+       0 AS n_notes
+FROM v ORDER BY applicant_id
+"""
+
+
 def q_extract_pipeline(spark, sf_dir):
     """Flagship extraction pipeline over synthesized north-rule input
     (cascade + parsers are pytest-golden-verified byte-identical; the
@@ -1213,6 +1382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "extract_pipeline_sql": q_extract_pipeline_sql,
         "extract_bank_sql": q_extract_bank_sql,
+        "crosscheck_sql": q_crosscheck_sql,
         "extract_pipeline": q_extract_pipeline,
         "crosscheck_pipeline": q_crosscheck_pipeline,
     }
@@ -1249,6 +1419,7 @@ def oracle_sql() -> dict[str, str]:
         # same derived cheap-path corpus.
         "extract_pipeline_sql": _sql_extract_pipeline_sql(),
         "extract_bank_sql": _sql_extract_bank_sql(),
+        "crosscheck_sql": _sql_crosscheck_sql(),
         "minhash_pairs": _sql_minhash_pairs(),
         "simhash_pairs": _sql_simhash_pairs(),
         "lsh_ann": _sql_lsh_ann(),
