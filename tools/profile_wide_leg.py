@@ -68,22 +68,34 @@ def count_python_workers() -> int:
 def parse_event_log(log_dir: str) -> list[dict]:
     """Task rows of the LARGEST stage (the mapInArrow extract stage) from
     the newest event-log file."""
-    files = sorted(glob.glob(f"{log_dir}/*"), key=os.path.getmtime)
+    entries = sorted(glob.glob(f"{log_dir}/*"), key=os.path.getmtime)
+    newest = entries[-1]
+    # Spark 4 event logs are rolling DIRECTORIES (eventlog_v2_<app>/
+    # events_1_<app>, ...); single-file logs are the legacy layout.
+    files = (sorted(glob.glob(f"{newest}/events_*"))
+             if os.path.isdir(newest) else [newest])
     tasks: dict[int, list[dict]] = {}
-    with open(files[-1]) as f:
-        for line in f:
-            try:
-                ev = json.loads(line)
-            except json.JSONDecodeError:
-                continue
-            if ev.get("Event") != "SparkListenerTaskEnd":
-                continue
-            sid = ev["Stage ID"]
-            ti = ev["Task Info"]
-            tasks.setdefault(sid, []).append({
-                "launch": ti["Launch Time"] / 1000.0,
-                "finish": ti["Finish Time"] / 1000.0,
-            })
+    for path in files:
+        with open(path) as f:
+            for line in f:
+                try:
+                    ev = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if ev.get("Event") != "SparkListenerTaskEnd":
+                    continue
+                sid = ev["Stage ID"]
+                ti = ev["Task Info"]
+                tm = ev.get("Task Metrics") or {}
+                tasks.setdefault(sid, []).append({
+                    "launch": ti["Launch Time"] / 1000.0,
+                    "finish": ti["Finish Time"] / 1000.0,
+                    "run_ms": tm.get("Executor Run Time", 0),
+                    "gc_ms": tm.get("JVM GC Time", 0),
+                    "cpu_ns": tm.get("Executor CPU Time", 0),
+                    "shuffle_read_wait_ms": (tm.get("Shuffle Read Metrics") or {}).get("Fetch Wait Time", 0),
+                    "spill_bytes": tm.get("Memory Bytes Spilled", 0),
+                })
     if not tasks:
         return []
     big = max(tasks.values(), key=len)
@@ -102,6 +114,8 @@ def profile_run(docs: int, partitions: int, input_path: str) -> dict:
         f"wide_leg_{partitions}", master="local[32]", shuffle_partitions=32,
         extra_conf={**TMPFS_SCRATCH,
                     "spark.eventLog.enabled": "true",
+                    "spark.eventLog.compress": "false",
+                    "spark.eventLog.rolling.enabled": "false",
                     "spark.eventLog.dir": f"file:{log_dir}"})
     spark.sparkContext.setLogLevel("ERROR")
     df = spark.read.parquet(input_path)
@@ -145,7 +159,17 @@ def profile_run(docs: int, partitions: int, input_path: str) -> dict:
         task_seconds = sum(durs)
         # Tail: how long the stage runs past the 90th-percentile finish.
         p90_finish = finishes[int(0.9 * (n - 1))]
+        total_run_s = sum(t["run_ms"] for t in tasks) / 1000.0
+        total_gc_s = sum(t["gc_ms"] for t in tasks) / 1000.0
+        total_cpu_s = sum(t["cpu_ns"] for t in tasks) / 1e9
         rec.update({
+            "task_run_total_s": round(total_run_s, 1),
+            "task_cpu_total_s": round(total_cpu_s, 1),
+            "task_gc_total_s": round(total_gc_s, 1),
+            "task_shuffle_fetch_wait_s": round(
+                sum(t["shuffle_read_wait_ms"] for t in tasks) / 1000.0, 1),
+            "task_spill_mb": round(
+                sum(t["spill_bytes"] for t in tasks) / 1e6, 1),
             "stage_tasks": n,
             "stage_wall_s": round(stage_wall, 2),
             "task_dur_p50_s": round(durs[n // 2], 2),
@@ -221,6 +245,28 @@ while `python workers` is 32 and the tail is small, the gap is the
 hypervisor grant, not the pipeline; a large `tail after p90 finish`
 that shrinks with finer partitions indicates task-packing stragglers;
 p90/p50 task-duration skew indicates data skew surviving the salt.
+
+## Standing finding (r3 investigation, three runs on 192k docs)
+
+The local[32] demand gap (cores_used ~15-21 of 32 in the scaling
+bench) is NOT a pipeline pathology: across every profiled run the
+stage held ~28-31 concurrently running tasks, 33 python workers, zero
+spills, single-digit GC, and a p90→end tail under 9% of the stage
+wall. Executor run-time is ~5x executor CPU-time (e.g. 182 task-s run
+vs 37 task-s CPU at 64 partitions) — the JVM side of the stage spends
+most of its time waiting on the Arrow python workers, which is the
+designed shape for a python-parser-bound stage; throughput therefore
+tracks whatever CPU the hypervisor grants the worker pool that minute.
+Identical (config, corpus) walls swung 10.4s..30.4s within one hour.
+The one actionable mechanism found: multi-second tasks lose whole
+steal waves (a stalled vCPU holds the task to the wave's end), while
+sub-second tasks reschedule around them — 64-partition layouts
+measured up to 2-4x slower than 256-partition layouts inside steal
+windows and never faster. Consequence: prefer FINER partitions (fixed
+256 in tools/scaling_bench.py so per-task work is also identical
+across levels; 4x parallelism in run_extraction's default) — on a
+real cluster this trades a negligible per-task overhead for steal
+and straggler resilience.
 """
     with open(f"{REPO}/BENCH/wide_leg_profile.md", "w") as f:
         f.write(md)

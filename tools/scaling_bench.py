@@ -135,8 +135,13 @@ def child(level: int, input_path: str, runs: int) -> None:
     walls = []
     for r in range(runs):
         t0 = time.perf_counter()
+        # FIXED 256 partitions at every level (not level*2): per-task
+        # work is then identical across levels, so the N-vs-4N ratio
+        # compares thread counts, not partition sizes; and sub-second
+        # tasks reschedule around hypervisor steal waves that pin
+        # multi-second tasks (BENCH/wide_leg_profile.md).
         out = run_extraction(spark, df, run_id=f"scale-{level}-{r}",
-                             num_partitions=level * 2)
+                             num_partitions=256)
         out.write.mode("overwrite").parquet(out_path)
         walls.append(round(time.perf_counter() - t0, 3))
     wall = min(walls)
