@@ -13,7 +13,11 @@ the snapshot manifest (already-committed urls are skipped), salted
 mapInArrow extraction, atomic snapshot commit, then the per-partition
 metrics table appended for this run (north_rule lineage + metrics).
 Re-running the same command after a crash redoes only uncommitted
-work; re-running after success is a no-op.
+work; re-running after success is a no-op. Passing --run-id of an
+already-committed run is refused (it would orphan that run's data).
+--neardup <dir> adds a MinHash-LSH near-dup pass over the committed
+snapshot, persisting pairs plus the hot-bucket drop report (capped
+runs are never silent: the counters also land in the summary JSON).
 
 Configuration (shuffle partitions, AQE, Arrow batch size, memory)
 comes from spark-submit --conf on a real cluster; launched standalone

@@ -120,9 +120,21 @@ def child(level: int, input_path: str, runs: int) -> None:
     from ocr_spark.plans.pipeline import run_extraction
     from ocr_spark.session import TMPFS_SCRATCH, build_session
 
+    # 16g heap + a GCLocker retry budget: snappy parquet decompression
+    # holds JNI critical regions while tasks make humongous (16 MB)
+    # allocations; at >=16 threads G1 sporadically fails with "Retried
+    # waiting for GCLocker too often" and kills the JVM mid-read
+    # (observed twice on the giant-blob cc corpus). One child runs at a
+    # time, so the bigger heap is free.
     spark = build_session(f"scaling_bench_{level}", master=f"local[{level}]",
                           shuffle_partitions=level,
-                          extra_conf=TMPFS_SCRATCH)
+                          extra_conf={
+                              **TMPFS_SCRATCH,
+                              "spark.driver.memory": "16g",
+                              "spark.driver.extraJavaOptions":
+                                  "-XX:+UnlockDiagnosticVMOptions "
+                                  "-XX:GCLockerRetryAllocationCount=64",
+                          })
     spark.sparkContext.setLogLevel("ERROR")
 
     df = spark.read.parquet(input_path)
@@ -216,16 +228,21 @@ def main() -> None:
             idle = vals[3] + vals[4]  # idle + iowait
             return sum(vals) - idle
 
-        j0, t0 = busy_jiffies(), time.perf_counter()
-        p = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--child",
-             str(level), input_path, str(runs)],
-            capture_output=True, text=True, cwd=REPO)
-        child_wall = time.perf_counter() - t0
-        jiffies = busy_jiffies() - j0
-        line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
+        line = []
+        for attempt in range(2):  # transient JVM deaths happen under steal
+            j0, t0 = busy_jiffies(), time.perf_counter()
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child",
+                 str(level), input_path, str(runs)],
+                capture_output=True, text=True, cwd=REPO)
+            child_wall = time.perf_counter() - t0
+            jiffies = busy_jiffies() - j0
+            line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
+            if line:
+                break
+            sys.stderr.write(f"child local[{level}] attempt {attempt + 1} "
+                             f"died; stderr tail:\n{p.stderr[-3000:]}\n")
         if not line:
-            print(p.stdout, p.stderr[-3000:], sep="\n")
             sys.exit(1)
         rec = json.loads(line[-1])
         hz = os.sysconf("SC_CLK_TCK")
