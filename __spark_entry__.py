@@ -1354,6 +1354,163 @@ def entry(spark: SparkSession) -> DataFrame:
     return run_extraction(spark, input_df, run_id="entry", num_partitions=8)
 
 
+# ---------------------------------------------------------------------------
+# Webtext axis: HTML main-content extraction (north_rule "HTML
+# boilerplate strip ... DOM heuristics"). The input derivation builds a
+# REAL html page per document — deterministic boilerplate (header, nav,
+# link sidebar, footer, and a 1-in-3 in-article link farm) around the
+# document text plus two derived paragraphs — all by expressions, and
+# pushes it through the REAL classify -> salt -> mapInArrow pipeline
+# where textlib/htmltext.py parses the DOM and strips boilerplate. The
+# DuckDB oracle replays only the EXPECTED output (the known article
+# text), so a regression anywhere in the parser/scorer/assembler
+# hash-mismatches.
+
+_HTML_PAGE_HEAD = (
+    '<header><h1>Synth Crawl</h1></header>'
+    '<nav><a href="/">Home</a> <a href="/about">About</a></nav>'
+    '<div class="sidebar"><a href="/p">Popular posts this week</a> '
+    '<a href="/t">Trending topics now</a></div>'
+    '<article>')
+_HTML_LINK_FARM = ('<p><a href="/m">Read more posts</a> '
+                   '<a href="/s">Share this page</a></p>')
+_HTML_PAGE_TAIL = ('</article><footer>Copyright 2026 Synth Crawl. '
+                   'All rights reserved.</footer></body></html>')
+
+
+# Two derived paragraphs appended to every article (multi-block span
+# assembly is exercised even though corpus docs are one line) — the
+# Spark exprs in _webpage_input and these SQL twins build the same
+# strings from the same fields.
+_WEBPAGE_P1_SQL = ("'Reported by desk ' || source || "
+                   "' for the synth crawl archive.'")
+_WEBPAGE_P2_SQL = ("'Entry ' || cast(doc_id AS varchar) || ' spans ' || "
+                   "cast(n_chars AS varchar) || "
+                   "' characters in the corpus.'")
+
+
+def _webpage_input(spark, sf_dir):
+    """Documents wrapped as full html pages in the north-rule shape."""
+    docs = _docs(spark, sf_dir)
+    esc = F.col("text")
+    for raw, ent in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")):
+        esc = F.replace(esc, F.lit(raw), F.lit(ent))
+    paras = F.array_join(
+        F.transform(F.split(F.coalesce(esc, F.lit("")), "\n"),
+                    lambda x: F.concat(F.lit("<p>"), x, F.lit("</p>"))),
+        "")
+    p1 = F.concat(F.lit("Reported by desk "), F.col("source"),
+                  F.lit(" for the synth crawl archive."))
+    p2 = F.concat(F.lit("Entry "), F.col("doc_id").cast("string"),
+                  F.lit(" spans "), F.col("n_chars").cast("string"),
+                  F.lit(" characters in the corpus."))
+    page = F.concat(
+        F.lit("<html><head><title>Doc "), F.col("doc_id").cast("string"),
+        F.lit("</title></head><body>"), F.lit(_HTML_PAGE_HEAD),
+        paras,
+        F.concat(F.lit("<p>"), p1, F.lit("</p><p>"), p2, F.lit("</p>")),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit(_HTML_LINK_FARM)).otherwise(F.lit("")),
+        F.lit(_HTML_PAGE_TAIL))
+    return docs.select(
+        F.concat(F.lit("https://cc.synth.local/doc"),
+                 F.col("doc_id").cast("string"), F.lit("/webpage/"),
+                 F.col("doc_id").cast("string"), F.lit(".html")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        page.cast("binary").alias("html"),
+        F.lit("").alias("text"),
+        F.col("lang"))
+
+
+def q_html_main_text(spark, sf_dir):
+    """W1: boilerplate-stripped main text + block counts per url,
+    through the real extraction pipeline (htmltext.extract_main inside
+    the Arrow UDF)."""
+    from ocr_spark.plans.pipeline import run_extraction
+    out = run_extraction(spark, _webpage_input(spark, sf_dir),
+                         run_id="driver-html", num_partitions=8)
+    return out.select(
+        "url",
+        F.col("webpage.title").alias("title"),
+        F.col("extracted_text").alias("main_text"),
+        F.col("webpage.n_blocks").alias("n_blocks"),
+        F.col("webpage.n_content_blocks").alias("n_content_blocks"),
+        "error")
+
+
+def q_html_spans(spark, sf_dir):
+    """W2: confidence-scored text-span assembly (north_star) — one row
+    per kept block with its [char_start, char_start+char_len) interval
+    in the main text."""
+    from ocr_spark.plans.pipeline import run_extraction
+    out = run_extraction(spark, _webpage_input(spark, sf_dir),
+                         run_id="driver-spans", num_partitions=8)
+    sp = out.select("url", F.explode("webpage.spans").alias("s"))
+    return sp.select(
+        "url",
+        F.col("s.block_idx").alias("block_idx"),
+        F.col("s.char_start").alias("char_start"),
+        F.col("s.char_len").alias("char_len"),
+        F.col("s.link_density").alias("link_density"),
+        F.col("s.confidence").alias("confidence"))
+
+
+# Expected article lines: the document's normalized non-empty text
+# lines plus the two derived paragraphs (same construction as the
+# Spark-side page builder — the boilerplate never appears).
+_WEBPAGE_LINES_SQL_TMPL = """
+SELECT doc_id,
+       'https://cc.synth.local/doc' || cast(doc_id AS varchar) ||
+         '/webpage/' || cast(doc_id AS varchar) || '.html' AS url,
+       list_concat(
+         list_filter(
+           list_transform(string_split(coalesce(text, ''), chr(10)),
+                          x -> trim(regexp_replace(x, '\\s+', ' ', 'g'))),
+           x -> x <> ''),
+         [{p1}, {p2}]) AS lines
+FROM documents"""
+
+
+def _webpage_lines_sql() -> str:
+    return _WEBPAGE_LINES_SQL_TMPL.format(p1=_WEBPAGE_P1_SQL,
+                                          p2=_WEBPAGE_P2_SQL)
+
+
+def _sql_html_main_text() -> str:
+    return f"""
+WITH l AS ({_webpage_lines_sql()})
+SELECT url,
+  'Doc ' || cast(doc_id AS varchar) AS title,
+  array_to_string(lines, chr(10)) AS main_text,
+  (len(lines) + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)::int
+    AS n_blocks,
+  len(lines)::int AS n_content_blocks,
+  NULL::varchar AS error
+FROM l ORDER BY url
+"""
+
+
+def _sql_html_spans() -> str:
+    return f"""
+WITH l AS ({_webpage_lines_sql()}),
+u AS (SELECT url,
+             unnest(lines) AS line,
+             generate_subscripts(lines, 1) AS ord
+      FROM l)
+SELECT url,
+  (ord - 1)::int AS block_idx,
+  coalesce(sum(length(line) + 1) OVER
+    (PARTITION BY url ORDER BY ord
+     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::bigint
+    AS char_start,
+  length(line)::bigint AS char_len,
+  0.0::double AS link_density,
+  least(1.0::double, length(line)::double / 100.0::double)
+    AS confidence
+FROM u ORDER BY url, block_idx
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "salary_amount": q_salary_amount,
@@ -1383,6 +1540,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_pipeline_sql": q_extract_pipeline_sql,
         "extract_bank_sql": q_extract_bank_sql,
         "crosscheck_sql": q_crosscheck_sql,
+        "html_main_text": q_html_main_text,
+        "html_spans": q_html_spans,
         "extract_pipeline": q_extract_pipeline,
         "crosscheck_pipeline": q_crosscheck_pipeline,
     }
@@ -1420,6 +1579,10 @@ def oracle_sql() -> dict[str, str]:
         "extract_pipeline_sql": _sql_extract_pipeline_sql(),
         "extract_bank_sql": _sql_extract_bank_sql(),
         "crosscheck_sql": _sql_crosscheck_sql(),
+        # Webtext axis: the Spark side parses REAL html built around
+        # the document text; the oracle replays the expected article.
+        "html_main_text": _sql_html_main_text(),
+        "html_spans": _sql_html_spans(),
         "minhash_pairs": _sql_minhash_pairs(),
         "simhash_pairs": _sql_simhash_pairs(),
         "lsh_ann": _sql_lsh_ann(),

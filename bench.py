@@ -103,6 +103,42 @@ def main():
 
     extracted = spark.read.parquet(extracted_path)
 
+    # Webtext axis: HTML main-content extraction throughput. The cc
+    # corpus texts are wrapped in deterministic boilerplate markup by
+    # expressions and materialized pre-clock; the timed pass is the
+    # full classify -> salt -> mapInArrow DOM-extract pipeline
+    # (textlib/htmltext.py block tree + link/text-density scoring).
+    html_input_path = f"/dev/shm/ocr_spark_bench_html_{os.getpid()}"
+    esc = F.col("text")
+    for raw, ent in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")):
+        esc = F.replace(esc, F.lit(raw), F.lit(ent))
+    paras = F.array_join(
+        F.transform(F.split(F.coalesce(esc, F.lit("")), "\n"),
+                    lambda x: F.concat(F.lit("<p>"), x, F.lit("</p>"))), "")
+    page = F.concat(
+        F.lit('<html><head><title>Page</title></head><body>'
+              '<header><h1>Synth Crawl</h1></header>'
+              '<nav><a href="/">Home</a> <a href="/about">About</a></nav>'
+              '<div class="sidebar"><a href="/p">Popular posts this week</a>'
+              ' <a href="/t">Trending topics now</a></div><article>'),
+        paras,
+        F.lit('</article><footer>Copyright 2026 Synth Crawl. All rights '
+              'reserved.</footer></body></html>'))
+    (input_df.select(
+        F.regexp_replace("url", r"/[a-z_]+/([0-9]+)\.[a-z]+$",
+                         "/webpage/$1.html").alias("url"),
+        "warc_ts", page.cast("binary").alias("html"),
+        F.lit("").alias("text"), "lang")
+     .write.mode("overwrite").parquet(html_input_path))
+    html_df = spark.read.parquet(html_input_path)
+    html_out_path = extracted_path + "_html"
+
+    @timed("html_extract")
+    def _he():
+        run_extraction(spark, html_df, run_id="bench-html",
+                       num_partitions=cpus * 2)\
+            .write.mode("overwrite").parquet(html_out_path)
+
     @timed("crosscheck")
     def _cc():
         crosscheck.cross_check(extracted).count()
@@ -231,6 +267,8 @@ def main():
     import shutil
     shutil.rmtree(extracted_path, ignore_errors=True)
     shutil.rmtree(input_path, ignore_errors=True)
+    shutil.rmtree(html_input_path, ignore_errors=True)
+    shutil.rmtree(html_out_path, ignore_errors=True)
 
     print(json.dumps({
         "metric": "headline_queries_total_wall",
@@ -256,6 +294,7 @@ def main():
         "docs_attempted": n_docs,
         "docs_extracted": n_docs - n_failed,
         "docs_failed_by_design": n_failed,
+        "html_docs_per_sec": round(n_docs / timings["html_extract"], 1),
     }))
     spark.stop()
 

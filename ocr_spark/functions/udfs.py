@@ -24,7 +24,7 @@ from ..operators.cascade import extract_record
 
 # Per-doc-type result slots assembled column-wise.
 _SLOTS = ("quality", "salary", "bank", "itr", "aadhaar", "pan", "dl",
-          "employee", "appointment")
+          "employee", "appointment", "webpage")
 
 
 def _arrow_schema():

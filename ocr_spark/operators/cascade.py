@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from ..sources import payload as pl
 from ..textlib import aadhaar as t_aadhaar
+from ..textlib import htmltext as t_html
 from ..textlib import bank as t_bank
 from ..textlib import dl as t_dl
 from ..textlib import employee as t_emp
@@ -33,7 +34,8 @@ from ..textlib import salary as t_salary
 from ..textlib.quality import evaluate_text_quality
 
 DOC_TYPES = ("salary_slip", "bank_statement", "itr", "aadhaar", "pan",
-             "driving_license", "employee_id", "appointment_letter")
+             "driving_license", "employee_id", "appointment_letter",
+             "webpage")
 
 
 def _quality(resolution=0.0, confidence=0.0, contrast=0.0, final=0.0, issues=None):
@@ -265,7 +267,7 @@ def extract_record(url: str, html: bytes | None, text: str, doc_type: str,
     out: dict = {"url": url, "doc_type": doc_type, "extracted_text": "",
                  "quality": None, "salary": None, "bank": None, "itr": None,
                  "aadhaar": None, "pan": None, "dl": None, "employee": None,
-                 "appointment": None, "error": None}
+                 "appointment": None, "webpage": None, "error": None}
     try:
         if doc_type in ("salary_slip", "bank_statement"):
             recovered, quality, err = recover_income_text(url, html, text, password)
@@ -334,6 +336,29 @@ def extract_record(url: str, html: bytes | None, text: str, doc_type: str,
                 return out
             out["extracted_text"] = raw
             out["appointment"] = t_emp.parse_appointment_letter(raw)
+        elif doc_type == "webpage":
+            # Webtext axis (north_rule "HTML boilerplate strip"): the
+            # html column carries raw markup; the text column, when the
+            # markup is absent, is WET-style pre-extracted text and
+            # passes through as a single full-confidence span.
+            markup = ""
+            if html is not None and not html.startswith(pl.PDF_MAGIC[:4]):
+                markup = html.decode("utf-8", errors="replace")
+            if markup:
+                res = t_html.extract_main(markup)
+                out["extracted_text"] = res["main_text"]
+                out["webpage"] = {k: res[k] for k in
+                                  ("title", "n_blocks", "n_content_blocks",
+                                   "spans")}
+            elif text:
+                out["extracted_text"] = text
+                out["webpage"] = {
+                    "title": "", "n_blocks": 1, "n_content_blocks": 1,
+                    "spans": [{"block_idx": 0, "char_start": 0,
+                               "char_len": len(text), "link_density": 0.0,
+                               "confidence": min(1.0, len(text) / 100.0)}]}
+            else:
+                out["error"] = "empty web page"
         else:
             out["error"] = f"unknown document type: {doc_type}"
     except Exception as e:  # poison-row guard

@@ -110,6 +110,26 @@ APPOINTMENT_TYPE = StructType([
     StructField("location", StringType(), True),
 ])
 
+# Confidence-scored text span (north_star: "confidence-scored text-span
+# assembly per url"): the half-open interval
+# [char_start, char_start + char_len) of main_text is this block's text.
+SPAN_TYPE = StructType([
+    StructField("block_idx", IntegerType(), True),
+    StructField("char_start", LongType(), True),
+    StructField("char_len", LongType(), True),
+    StructField("link_density", DoubleType(), True),
+    StructField("confidence", DoubleType(), True),
+])
+
+# HTML main-content extraction result (textlib/htmltext.py); the main
+# text itself rides the shared `extracted_text` column.
+WEBPAGE_TYPE = StructType([
+    StructField("title", StringType(), True),
+    StructField("n_blocks", IntegerType(), True),
+    StructField("n_content_blocks", IntegerType(), True),
+    StructField("spans", ArrayType(SPAN_TYPE), True),
+])
+
 # Extraction output + per-row lineage (north_rule: source split, byte
 # offsets, extractor version).
 EXTRACT_SCHEMA = StructType([
@@ -127,6 +147,7 @@ EXTRACT_SCHEMA = StructType([
     StructField("dl", DL_TYPE, True),
     StructField("employee", EMPLOYEE_TYPE, True),
     StructField("appointment", APPOINTMENT_TYPE, True),
+    StructField("webpage", WEBPAGE_TYPE, True),
     StructField("error", StringType(), True),
     # lineage
     StructField("run_id", StringType(), True),

@@ -1,0 +1,294 @@
+"""Main-content extraction from HTML — boilerplate stripping over a
+block tree (north_rule: "HTML boilerplate strip, PDF/layout parse, DOM
+heuristics"; north_star: "trafilatura/readability-style boilerplate
+stripping (link-density and text-density heuristics over a block
+tree)").
+
+Public-knowledge algorithms only:
+
+  * Link-density / text-density block classification: Kohlschuetter,
+    Fankhauser & Nejdl, "Boilerplate Detection using Shallow Text
+    Features" (WSDM 2010) — the boilerpipe features. A block's link
+    density (anchor chars / total chars) is the single strongest
+    boilerplate signal; length and comma count proxy text density.
+  * Container scoring: the arc90 readability heuristic — each content
+    block votes (1 + commas + min(chars/100, 3)) for its parent
+    container and half that for its grandparent; the top-scoring
+    container subtree is the main content, and high-link-density
+    children inside it are stripped.
+  * Semantic-tag pruning: trafilatura (Barbaresi, ACL 2021 demo)
+    discards <nav>/<header>/<footer>/<aside> subtrees and elements
+    whose class/id carry boilerplate tokens before any scoring.
+
+Implemented over stdlib ``html.parser`` (no lxml wheel in this
+environment — SURVEY.md §7: pure-stdlib DOM parsing). The parser is
+single-pass and streaming: it never materializes a DOM, only a flat
+list of text blocks each tagged with its ancestor-container ids, so
+memory is O(blocks), not O(nodes) — at 10^12-document scale this runs
+inside the Arrow extraction UDF per row (operators/cascade.py) and a
+pathological page cannot balloon the worker.
+
+Determinism contract (drives the DuckDB driver oracle): block text is
+whitespace-normalized with ``" ".join(text.split())``; blocks join
+with "\\n"; span confidence is ``min(1.0, chars/100.0) * (1.0 -
+link_density)`` computed in IEEE double — every step replayable in SQL.
+
+Reference parity note: the reference (Aashish23092/ocr) has no HTML
+path — this operator is the webtext graft axis of the north rule, not
+a port; the cascade dispatch it plugs into mirrors the reference's
+per-doc-type dispatch (service/income_service.go:131-246).
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+
+# Subtrees whose text never reaches the block list.
+_SKIP = {"script", "style", "noscript", "template", "svg", "iframe",
+         "object", "applet", "canvas", "head"}
+
+# Semantic boilerplate subtrees (trafilatura-style hard prune).
+_PRUNE_TAGS = {"nav", "header", "footer", "aside"}
+
+# class/id tokens that mark a subtree as boilerplate.
+_PRUNE_ATTR_RE = re.compile(
+    r"(?:^|[\s_-])(?:nav|navbar|menu|footer|sidebar|banner|advert|ads?|"
+    r"comments?|promo|share|social|breadcrumbs?|widget|cookie|popup)"
+    r"(?:$|[\s_-])", re.IGNORECASE)
+
+# Elements that delimit text blocks (HTML5 flow-content set).
+_BLOCK_TAGS = {
+    "html", "body", "div", "p", "h1", "h2", "h3", "h4", "h5", "h6",
+    "ul", "ol", "li", "dl", "dt", "dd", "table", "thead", "tbody",
+    "tfoot", "tr", "td", "th", "section", "article", "main", "aside",
+    "nav", "header", "footer", "blockquote", "pre", "figure",
+    "figcaption", "form", "fieldset", "address", "hr", "br",
+}
+
+# Void elements never enter the open-element stack.
+_VOID = {"br", "hr", "img", "meta", "link", "input", "area", "base",
+         "col", "embed", "source", "track", "wbr", "param"}
+
+# Elements that can hold a readability score. Deliberate divergence
+# from arc90's candidate set: `td`/`li` are NOT containers here — a
+# data table's cells (or a list's items) vote for the enclosing
+# table/list ancestor, so the whole structure wins or loses together
+# instead of a single cell beating its siblings (arc90 resolves that
+# with a sibling-score pass; the block-level boilerpipe view this
+# implementation follows never splits sibling cells to begin with).
+_CONTAINER_TAGS = {"body", "div", "article", "main", "section", "table",
+                   "blockquote"}
+
+# Thresholds — boilerpipe/arc90 published constants.
+MIN_CONTENT_CHARS = 25     # arc90: paragraphs under 25 chars don't vote
+MAX_VOTE_LINK_DENSITY = 0.33   # boilerpipe: high-link blocks are boilerplate
+MAX_KEEP_LINK_DENSITY = 0.5    # arc90: strip link-heavy children of winner
+CONF_SATURATION_CHARS = 100.0  # confidence saturates at ~a full sentence
+
+
+class _Block:
+    __slots__ = ("text", "chars", "anchor_chars", "containers")
+
+    def __init__(self, text: str, anchor_chars: int,
+                 containers: tuple[int, ...]):
+        self.text = text
+        self.chars = len(text)
+        self.anchor_chars = min(anchor_chars, self.chars)
+        self.containers = containers
+
+    @property
+    def link_density(self) -> float:
+        return self.anchor_chars / self.chars if self.chars else 0.0
+
+
+class _BlockParser(HTMLParser):
+    """Streaming block-tree builder: flat block list + container votes."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        # Open-element stack entries: (tag, is_skip, is_prune, container_id).
+        self._stack: list[tuple[str, bool, bool, int]] = []
+        self._skip_depth = 0
+        self._prune_depth = 0
+        self._anchor_depth = 0
+        self._in_title = False
+        # Virtual root container 0 so body-less fragments still group.
+        self._containers: list[int] = [0]
+        self._next_container = 1
+        self.body_container = 0
+        # Current block accumulator: list of (raw_text, in_anchor) runs.
+        self._runs: list[tuple[str, bool]] = []
+        self.blocks: list[_Block] = []
+        self.title_parts: list[str] = []
+        self._h1_parts: list[str] | None = None
+        self.first_h1: str | None = None
+
+    # -- block accumulation ------------------------------------------
+
+    def _flush(self) -> None:
+        if not self._runs:
+            return
+        runs, self._runs = self._runs, []
+        text = " ".join("".join(r for r, _ in runs).split())
+        if not text:
+            return
+        anchor = sum(len(" ".join(r.split())) for r, a in runs if a)
+        self.blocks.append(_Block(text, anchor, tuple(self._containers)))
+
+    def handle_data(self, data: str) -> None:
+        if self._in_title:
+            self.title_parts.append(data)
+            return
+        if self._skip_depth or self._prune_depth:
+            return
+        if data and not data.isspace() or self._runs:
+            self._runs.append((data, self._anchor_depth > 0))
+        if self._h1_parts is not None:
+            self._h1_parts.append(data)
+
+    # -- tree maintenance --------------------------------------------
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag == "title":
+            self._in_title = True
+            return
+        if tag in _VOID:
+            if tag in ("br", "hr"):
+                self._flush()
+            return
+        if tag in _BLOCK_TAGS:
+            self._flush()
+            # HTML5 implied end tag: a block start closes an open <p>.
+            if self._stack and self._stack[-1][0] == "p" and tag != "p":
+                self._pop_one()
+        is_skip = tag in _SKIP
+        is_prune = tag in _PRUNE_TAGS or any(
+            k in ("class", "id") and v and _PRUNE_ATTR_RE.search(v)
+            for k, v in attrs)
+        container_id = -1
+        if tag in _CONTAINER_TAGS and not is_skip:
+            container_id = self._next_container
+            self._next_container += 1
+            self._containers.append(container_id)
+            if tag == "body" and self.body_container == 0:
+                self.body_container = container_id
+        self._stack.append((tag, is_skip, is_prune, container_id))
+        if is_skip:
+            self._skip_depth += 1
+        if is_prune:
+            self._prune_depth += 1
+        if tag == "a":
+            self._anchor_depth += 1
+        if tag == "h1" and self.first_h1 is None and \
+                not (self._skip_depth or self._prune_depth):
+            self._h1_parts = []
+
+    def _pop_one(self) -> None:
+        tag, is_skip, is_prune, container_id = self._stack.pop()
+        if is_skip:
+            self._skip_depth -= 1
+        if is_prune:
+            self._prune_depth -= 1
+        if tag == "a" and self._anchor_depth:
+            self._anchor_depth -= 1
+        if container_id >= 0:
+            self._containers.pop()
+        if tag == "h1" and self._h1_parts is not None:
+            h1 = " ".join("".join(self._h1_parts).split())
+            self.first_h1 = h1 or None
+            self._h1_parts = None
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag == "title":
+            self._in_title = False
+            return
+        if tag in _VOID:
+            return
+        open_tags = [e[0] for e in self._stack]
+        if tag not in open_tags:
+            return  # stray end tag — browsers ignore it
+        if tag in _BLOCK_TAGS:
+            self._flush()
+        # Pop implicitly-unclosed descendants up to and including `tag`.
+        while self._stack:
+            top = self._stack[-1][0]
+            if top in _BLOCK_TAGS and top != tag:
+                self._flush()
+            self._pop_one()
+            if top == tag:
+                break
+
+    def close(self) -> None:
+        super().close()
+        self._flush()
+
+
+def parse_blocks(html: str) -> _BlockParser:
+    """Parse to a flat block list; never raises on malformed markup."""
+    p = _BlockParser()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:  # html.parser is robust, but a poison row must not
+        p._flush()     # kill a 10^12-row job (north_rule) — keep what parsed
+    return p
+
+
+def extract_main(html: str) -> dict:
+    """Readability-style main-content extraction.
+
+    Returns ``{title, main_text, spans, n_blocks, n_content_blocks}``
+    where ``spans`` is the confidence-scored text-span assembly
+    (north_star): one span per kept block, with its offset interval in
+    ``main_text`` and ``confidence = min(1, chars/100) * (1 - link_density)``.
+    """
+    p = parse_blocks(html)
+
+    # arc90 container votes from boilerpipe-classified content blocks.
+    scores: dict[int, float] = {}
+    for b in p.blocks:
+        if b.chars < MIN_CONTENT_CHARS:
+            continue
+        if b.link_density >= MAX_VOTE_LINK_DENSITY:
+            continue
+        vote = 1.0 + b.text.count(",") + min(b.chars / 100.0, 3.0)
+        anc = b.containers
+        scores[anc[-1]] = scores.get(anc[-1], 0.0) + vote
+        if len(anc) >= 2:
+            scores[anc[-2]] = scores.get(anc[-2], 0.0) + vote / 2.0
+
+    if scores:
+        # Highest score wins; document order (smaller id) breaks ties.
+        winner = max(scores, key=lambda cid: (scores[cid], -cid))
+    else:
+        # No block voted (short page): fall back to <body> — semantic
+        # pruning already removed nav/header/footer/aside, and the
+        # link-density keep-filter below removes link farms.
+        winner = p.body_container
+
+    kept = [b for b in p.blocks
+            if winner in b.containers
+            and b.link_density <= MAX_KEEP_LINK_DENSITY]
+
+    spans = []
+    offset = 0
+    for i, b in enumerate(kept):
+        spans.append({
+            "block_idx": i,
+            "char_start": offset,
+            "char_len": b.chars,
+            "link_density": b.link_density,
+            "confidence": min(1.0, b.chars / CONF_SATURATION_CHARS)
+            * (1.0 - b.link_density),
+        })
+        offset += b.chars + 1  # the "\n" joiner
+
+    title = " ".join("".join(p.title_parts).split())
+    return {
+        "title": title or (p.first_h1 or ""),
+        "main_text": "\n".join(b.text for b in kept),
+        "spans": spans,
+        "n_blocks": len(p.blocks),
+        "n_content_blocks": len(kept),
+    }

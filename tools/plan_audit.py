@@ -120,7 +120,22 @@ def main() -> None:
           "ids-only blocking exchange (no shingle arrays in shuffle)",
           ids_only, f"{len(anchor_exchanges)} anchor-keyed exchange(s)")
 
-    # 8. No CartesianProduct anywhere: every join is keyed or broadcast
+    # 8. Webtext path (r3): the html page build + DOM extraction plan
+    #    must be expression-build -> ONE exchange (the salt
+    #    repartition) -> MapInArrow. Row-at-a-time Python
+    #    (BatchEvalPython) anywhere in the plan is a fail, and so is a
+    #    second shuffle (the page-construction expressions must fuse
+    #    into the scan stage, not materialize).
+    p = plans["html_main_text"]
+    n_exchanges = sum(1 for b in p.split("\n\n")
+                      if b.splitlines() and "Exchange" in b.splitlines()[0])
+    check("html_main_text",
+          "Arrow-vectorized DOM extract, single salt exchange",
+          "MapInArrow" in p and "BatchEvalPython" not in p
+          and n_exchanges == 1,
+          f"{n_exchanges} exchange(s); MapInArrow={'MapInArrow' in p}")
+
+    # 9. No CartesianProduct anywhere: every join is keyed or broadcast
     #    (the brute-force oracle baselines use broadcast nested loop,
     #    which bounds the big side to one scan).
     offenders = [n for n, p in plans.items() if "CartesianProduct" in p]
