@@ -351,12 +351,20 @@ def extract_record(url: str, html: bytes | None, text: str, doc_type: str,
                                   ("title", "n_blocks", "n_content_blocks",
                                    "spans")}
             elif text:
+                # WET-style pre-extracted text: passthrough, one
+                # full-confidence span per line (spans always partition
+                # extracted_text on "\n", same contract as the DOM path).
                 out["extracted_text"] = text
-                out["webpage"] = {
-                    "title": "", "n_blocks": 1, "n_content_blocks": 1,
-                    "spans": [{"block_idx": 0, "char_start": 0,
-                               "char_len": len(text), "link_density": 0.0,
-                               "confidence": min(1.0, len(text) / 100.0)}]}
+                spans, off = [], 0
+                for j, line in enumerate(text.split("\n")):
+                    spans.append({"block_idx": j, "char_start": off,
+                                  "char_len": len(line),
+                                  "link_density": 0.0,
+                                  "confidence": min(1.0, len(line) / 100.0)})
+                    off += len(line) + 1
+                out["webpage"] = {"title": "", "n_blocks": len(spans),
+                                  "n_content_blocks": len(spans),
+                                  "spans": spans}
             else:
                 out["error"] = "empty web page"
         else:

@@ -360,3 +360,142 @@ def synth_input_df(spark, n: int, partitions: int | None = None,
 
 def write_synth_parquet(spark, path: str, n: int) -> None:
     synth_input_df(spark, n).write.mode("overwrite").parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# Webtext corpus (north-rule webtext axis: Common-Crawl-style pages).
+#
+# Deterministic full html pages in the same north-rule input shape: a
+# main article wrapped in realistic boilerplate (masthead, nav, link
+# sidebar, related-links list, comments, footer) with markup-variant
+# cycling that exercises the htmltext extractor's failure surface
+# (malformed markup, link farms, pruned-class subtrees, table layout,
+# WET-style pre-extracted rows) plus giant-page skew rows. Pages are
+# ~4-40 KB of markup with a 10-40% content fraction — the shape a real
+# crawl presents — so benches over this corpus time DOM work, not
+# string copies.
+
+_WEB_SITES = ("synthnews", "craftblog", "techdigest", "cityjournal",
+              "fieldnotes")
+
+CC_WEB_GIANT_EVERY = 499       # skew rows (north_rule: explicit skew handling)
+CC_WEB_GIANT_BYTES = 512_000
+
+
+def _web_sentence(i: int, j: int) -> str:
+    k = len(_FILLER_WORDS)
+    words = [_FILLER_WORDS[(i * 5 + j * 7 + w * 3) % k]
+             for w in range(9 + (i + j) % 6)]
+    mid = len(words) // 2
+    return (" ".join(words[:mid]).capitalize() + ", "
+            + " ".join(words[mid:]) + ".")
+
+
+def web_paragraphs(i: int) -> list[str]:
+    """The article body: pure function of i, every paragraph >= 25 chars
+    (arc90 vote eligibility) with commas (vote weight)."""
+    n = 6 + (i * 11) % 30
+    return [" ".join(_web_sentence(i, j * 3 + s)
+                     for s in range(2 + (i + j) % 3))
+            for j in range(n)]
+
+
+def _web_boilerplate_sidebar(i: int, n_links: int) -> str:
+    items = "".join(
+        f'<li><a href="/{_WEB_SITES[(i + j) % 5]}/{j}">'
+        f'{_FILLER_WORDS[(i + j) % len(_FILLER_WORDS)].title()} '
+        f'{_FILLER_WORDS[(i + 2 * j + 3) % len(_FILLER_WORDS)]}</a></li>'
+        for j in range(n_links))
+    return f'<div class="sidebar widget"><ul>{items}</ul></div>'
+
+
+def make_web_row(i: int) -> dict:
+    """Row i of the web corpus — pure function of i."""
+    site = _WEB_SITES[i % 5]
+    variant = i % 7
+    paras = web_paragraphs(i)
+    title = f"Article {i} from {site}"
+    url = f"https://{site}.synth.local/posts/webpage/{i:08d}.html"
+    ts = EPOCH + dt.timedelta(seconds=i * 53)
+
+    if variant == 2:
+        # WET-style row: pre-extracted text, no markup (the cascade's
+        # text-column passthrough branch).
+        return {"url": url, "warc_ts": ts, "html": b"",
+                "text": "\n".join(paras), "lang": "en", "meta": None}
+
+    masthead = (f'<header id="masthead"><h1>{site.title()} Daily</h1>'
+                '</header>'
+                '<nav class="menu"><a href="/">Home</a> '
+                '<a href="/archive">Archive</a> <a href="/tags">Tags</a>'
+                '</nav>')
+    article_paras = "".join(
+        f'<div class="para-wrap"><p data-idx="{j}">{p}</p></div>'
+        for j, p in enumerate(paras))
+    farm = ""
+    if variant == 3:
+        # In-article link farm: must be dropped by the keep filter.
+        farm = ('<p>' + " ".join(
+            f'<a href="/x{j}">{_FILLER_WORDS[j % 20]} link</a>'
+            for j in range(14)) + '</p>')
+    comments = (
+        '<div class="comments"><h3>Comments</h3>'
+        + "".join(f'<p>{_web_sentence(i + 9000, j)}</p>' for j in range(4))
+        + '</div>')
+    related = _web_boilerplate_sidebar(i, 18 + i % 14)
+    footer = (f'<footer>Copyright 2026 {site.title()} Daily. '
+              'All rights reserved.</footer>')
+
+    if variant == 6:
+        # Table-based layout (old-school): article in the center cell.
+        body = (f'{masthead}<table><tr><td>{related}</td>'
+                f'<td><h2>{title}</h2>{article_paras}{farm}</td>'
+                f'<td>{_web_boilerplate_sidebar(i + 7, 12)}</td></tr>'
+                f'</table>{comments}{footer}')
+    else:
+        body = (f'{masthead}{related}<article><h2>{title}</h2>'
+                f'{article_paras}{farm}</article>{comments}{footer}')
+
+    if variant == 1:
+        # Malformed markup: unclosed <p>/<div>, stray end tags — the
+        # parser must recover (browsers do).
+        body = body.replace("</p>", "", 3).replace("</div>", "", 1) \
+                   + "</span></em>"
+    if variant == 5:
+        # Div-soup nesting around the article container.
+        body = body.replace("<article>",
+                            '<div class="outer"><div><div><article>')\
+                   .replace("</article>", "</article></div></div></div>")
+
+    page = (f'<html><head><title>{title}</title>'
+            '<script>var t=1;</script><style>.x{color:red}</style>'
+            f'</head><body>{body}</body></html>')
+
+    if i % CC_WEB_GIANT_EVERY == 96:
+        # Giant-page skew row: REAL extra markup (repeated boilerplate
+        # sidebars), not inert padding — a multi-hundred-KB page is
+        # genuinely slow to parse, which is what skew handling must
+        # absorb.
+        blocks = []
+        size = len(page)
+        j = 0
+        while size < CC_WEB_GIANT_BYTES:
+            b = _web_boilerplate_sidebar(i + j, 40)
+            blocks.append(b)
+            size += len(b)
+            j += 1
+        page = page.replace("<footer>",
+                            "".join(blocks) + "<footer>", 1)
+
+    return {"url": url, "warc_ts": ts, "html": page.encode("utf-8"),
+            "text": "", "lang": "en", "meta": None}
+
+
+def web_input_df(spark, n: int, partitions: int | None = None):
+    """Synthesize the web corpus as a DataFrame, distributed (driver
+    ships only indices)."""
+    from .. import schemas
+    sc = spark.sparkContext
+    parts = partitions or sc.defaultParallelism
+    rdd = sc.parallelize(range(n), parts).map(make_web_row)
+    return spark.createDataFrame(rdd, schema=schemas.INPUT_SCHEMA)

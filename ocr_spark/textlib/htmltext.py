@@ -86,6 +86,15 @@ MAX_VOTE_LINK_DENSITY = 0.33   # boilerpipe: high-link blocks are boilerplate
 MAX_KEEP_LINK_DENSITY = 0.5    # arc90: strip link-heavy children of winner
 CONF_SATURATION_CHARS = 100.0  # confidence saturates at ~a full sentence
 
+# Low-yield recovery (trafilatura's favor_recall fallback): when the
+# pruned parse keeps almost nothing from a non-trivial page — the
+# classic cause is an UNCLOSED boilerplate-class div swallowing the
+# article into its prune subtree, which lxml-based extractors mis-nest
+# the same way — re-parse with class/id pruning disabled and keep the
+# alternative iff it recovers strictly more text.
+RECOVERY_MIN_CHARS = 250
+RECOVERY_MIN_HTML = 200
+
 
 class _Block:
     __slots__ = ("text", "chars", "anchor_chars", "containers")
@@ -105,8 +114,9 @@ class _Block:
 class _BlockParser(HTMLParser):
     """Streaming block-tree builder: flat block list + container votes."""
 
-    def __init__(self):
+    def __init__(self, attr_prune: bool = True):
         super().__init__(convert_charrefs=True)
+        self._attr_prune = attr_prune
         # Open-element stack entries: (tag, is_skip, is_prune, container_id).
         self._stack: list[tuple[str, bool, bool, int]] = []
         self._skip_depth = 0
@@ -163,9 +173,9 @@ class _BlockParser(HTMLParser):
             if self._stack and self._stack[-1][0] == "p" and tag != "p":
                 self._pop_one()
         is_skip = tag in _SKIP
-        is_prune = tag in _PRUNE_TAGS or any(
+        is_prune = tag in _PRUNE_TAGS or (self._attr_prune and any(
             k in ("class", "id") and v and _PRUNE_ATTR_RE.search(v)
-            for k, v in attrs)
+            for k, v in attrs))
         container_id = -1
         if tag in _CONTAINER_TAGS and not is_skip:
             container_id = self._next_container
@@ -224,9 +234,9 @@ class _BlockParser(HTMLParser):
         self._flush()
 
 
-def parse_blocks(html: str) -> _BlockParser:
+def parse_blocks(html: str, attr_prune: bool = True) -> _BlockParser:
     """Parse to a flat block list; never raises on malformed markup."""
-    p = _BlockParser()
+    p = _BlockParser(attr_prune=attr_prune)
     try:
         p.feed(html)
         p.close()
@@ -243,7 +253,16 @@ def extract_main(html: str) -> dict:
     (north_star): one span per kept block, with its offset interval in
     ``main_text`` and ``confidence = min(1, chars/100) * (1 - link_density)``.
     """
-    p = parse_blocks(html)
+    res = _extract(parse_blocks(html))
+    if (len(res["main_text"]) < RECOVERY_MIN_CHARS
+            and len(html) > RECOVERY_MIN_HTML):
+        alt = _extract(parse_blocks(html, attr_prune=False))
+        if len(alt["main_text"]) > len(res["main_text"]):
+            return alt
+    return res
+
+
+def _extract(p: _BlockParser) -> dict:
 
     # arc90 container votes from boilerpipe-classified content blocks.
     scores: dict[int, float] = {}
