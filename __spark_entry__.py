@@ -813,16 +813,48 @@ def q_media_features(spark, sf_dir):
     """Multimodal plumbing: opaque binary payloads -> deterministic
     byte-histogram features via Arrow mapInPandas (real image/audio
     decode is stubbed behind NotImplementedError; see
-    operators/multimodal.py)."""
+    operators/multimodal.py).
+
+    Checked feature: the bin holding bytes 96-103 ('a'-'g' territory —
+    nonzero on every text payload, so the oracle check discriminates),
+    scaled to ppm and floored: count/total and x*1e6 are identical
+    IEEE-double ops on both engines, and floor avoids round-mode
+    (HALF_UP vs HALF_EVEN) divergence at the 6th decimal."""
     from ocr_spark.operators import multimodal
     media = _docs(spark, sf_dir).select(
         F.col("doc_id").cast("string").alias("media_id"),
         F.lit("image").alias("kind"),
         F.col("text").cast("binary").alias("payload"))
     out = multimodal.extract_features(media, num_partitions=8)
-    return out.select("media_id", "kind", "n_bytes",
-                      F.round(F.element_at("features", 1), 6).alias("f0"),
-                      "featurizer")
+    return out.select(
+        "media_id", "kind", "n_bytes",
+        F.floor(F.element_at("features", 13) * F.lit(1e6))
+        .cast("long").alias("f12_ppm"),
+        "featurizer")
+
+
+def _sql_media_features() -> str:
+    # DuckDB replays the byte-histogram bin from the hex expansion of
+    # the UTF-8 payload: bytes 96..103 are exactly the hex pairs '6' +
+    # [0-7]. 32 bins of width 8 -> features[13] (1-indexed) == bin 12.
+    return """
+WITH h AS (
+  SELECT cast(doc_id AS varchar) AS media_id,
+         'image' AS kind,
+         hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents)
+SELECT media_id, kind, n::bigint AS n_bytes,
+  CASE WHEN n = 0 THEN 0
+       ELSE floor(len(list_filter(range(n),
+                     i -> substr(hx, i * 2 + 1, 1) = '6'
+                          AND substr(hx, i * 2 + 2, 1)
+                              IN ('0','1','2','3','4','5','6','7')))
+                  / n::double * 1e6)::bigint
+  END AS f12_ppm,
+  'byte_histogram_v1' AS featurizer
+FROM h ORDER BY media_id
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1586,8 +1618,9 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": _sql_minhash_pairs(),
         "simhash_pairs": _sql_simhash_pairs(),
         "lsh_ann": _sql_lsh_ann(),
-        # media_features: byte-level blob histogram not expressible in
-        # DuckDB SQL -> rows-only (python-oracle pytest covers it).
+        # r3: the byte-histogram fallback IS SQL-expressible via
+        # hex(encode(text)) — media_features joins the oracle gate.
+        "media_features": _sql_media_features(),
         # extract_pipeline / crosscheck_pipeline: non-SQL cascade +
         # pandas-UDF semantics -> rows-only (byte-identical correctness
         # is enforced by the pytest goldens instead).
