@@ -460,53 +460,156 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
     return pairs
 
 
+def _ngram_anchor_pandas_udf(k: int, anchor_perms: int, anchor_rows: int,
+                             length_band: int):
+    """Vectorized (band, anchors) signatures: numpy rolling polynomial
+    shingle hashes (the _minhash_signatures_pandas_udf family) + affine
+    permutation mins, anchor_rows mins packed per anchor. One matrix op
+    per doc instead of interpreted higher-order-function passes —
+    measured 30s -> sub-second on the sf0.1 bench corpus (Catalyst HOFs
+    don't codegen, and CollapseProject nests the normalize regex inside
+    the per-element lambdas)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    consts = _perm_consts(anchor_perms * anchor_rows)
+    out_type = StructType([StructField("band", LongType()),
+                           StructField("an", ArrayType(LongType()))])
+
+    @pandas_udf(out_type)
+    def sig(texts: pd.Series) -> pd.DataFrame:
+        import numpy as np
+        norm = (texts.fillna("").str.strip().str.lower()
+                .str.replace(r"\s+", " ", regex=True))
+        A = np.array([a for a, _ in consts], dtype=np.uint64)
+        B = np.array([b for _, b in consts], dtype=np.uint64)
+        M31 = np.uint64(_MERSENNE31)
+        powers = (np.uint64(257) **
+                  np.arange(k - 1, -1, -1, dtype=np.uint64))
+        bands, anchors = [], []
+        for s in norm:
+            b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
+            bands.append(len(s) // length_band)
+            if len(b) < k:
+                b = np.pad(b, (0, k - len(b)))  # lone short shingle
+                n_sh = 1
+            else:
+                n_sh = len(b) - k + 1
+            win = np.lib.stride_tricks.sliding_window_view(b, k)[:n_sh]
+            h = (win.astype(np.uint64) @ powers) & np.uint64(0x7FFFFFFF)
+            h = np.unique(h)
+            mins = ((h[:, None] * A + B) % M31).min(axis=0)  # (perms*rows,)
+            packed = mins.reshape(anchor_perms, anchor_rows)
+            a = packed[:, 0].copy()
+            for r in range(1, anchor_rows):
+                a = (a << np.uint64(31)) ^ packed[:, r]
+            anchors.append(a.astype(np.int64))
+        return pd.DataFrame({"band": bands, "an": anchors})
+
+    return sig
+
+
+def _py_ngram_jaccard(k: int):
+    """Exact char-k-gram Jaccard, the python twin of the `jaccard` +
+    `shingles` expressions (same <k short-shingle edge: a text shorter
+    than k contributes its own truncated self)."""
+    import re as _re
+    ws = _re.compile(r"\s+")
+
+    def sh_set(t: str) -> set:
+        norm = ws.sub(" ", (t or "").strip().lower())
+        n = len(norm)
+        return {norm[j:j + k] for j in range(max(n - k + 1, 1))}
+
+    def jac(a: str, b: str) -> float:
+        sa, sb = sh_set(a), sh_set(b)
+        union = len(sa | sb)
+        return (len(sa & sb) / union) if union else 0.0
+
+    return jac
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 8,
                         threshold: float = 0.5,
                         length_band: int = 32, max_bucket: int = 10_000,
-                        anchor_perms: int = 2, spread: bool = True,
+                        anchor_perms: int = 6, anchor_rows: int = 2,
+                        spread: bool = True, hash_mode: str = "poly",
                         return_report: bool = False):
     """Exact n-gram Jaccard pairs with (length band, anchor) blocking.
 
     Blocking key = the length band (docs whose normalized lengths differ
     by more than a band can't reach high Jaccard) COMPOSED WITH an
-    anchor: the minimum permuted shingle hash (a 1-permutation MinHash),
-    one blocking row per permutation. Two docs collide iff they share a
-    band AND the min-shingle under some permutation — so a popular
-    length band is no longer all-pairs (the r2 scale-killer: every
-    ~N-char doc joined every other), and a hot composite bucket means
-    near-identical content, which the cap can safely drop
-    (exact_dedup owns identical docs).
+    anchor: `anchor_rows` independent 1-permutation MinHash mins packed
+    into one value (an r-row LSH band over the shingle set). Two docs
+    collide iff they share a length band AND all `anchor_rows` mins of
+    some anchor — P[collide] = J^anchor_rows per anchor, so a popular
+    length band is never all-pairs (the r2 scale-killer) AND weakly
+    similar templated docs don't flood the verify stage (the r3.1
+    bench-killer: 1-row anchors collide with probability J, which on a
+    templated corpus made 3.5% of ALL pairs candidates — 442k
+    candidates for 255 true pairs at sf0.1).
 
-    Recall: P[anchor match] = J per permutation (the MinHash property),
-    so a true pair at `threshold` survives with 1-(1-J)^anchor_perms
-    (>= 0.75 at J=0.5, >= 0.99 at J=0.9 with the default 2 perms).
-    Raise anchor_perms for lower thresholds. Exact duplicates always
-    collide (identical anchors).
+    Recall: 1-(1-J^anchor_rows)^anchor_perms — defaults (r=2, p=6)
+    give 0.82 at J=0.5, 0.96 at J=0.7, >0.999 at J=0.9. Raise
+    anchor_perms for lower thresholds. Exact duplicates always collide.
+
+    hash_mode: 'poly' (default) computes signatures in one numpy pass
+    per Arrow batch; 'xxhash64' is the pure-expression JVM form (no
+    python workers) — same algorithm, different (equally uniform)
+    shingle-hash family; candidate sets differ only through hash
+    randomness and the verify stage is hash-independent.
 
     Scale shape: blocking rows carry ONLY (id, band, perm, anchor) —
     shingle arrays never ride the shuffle; candidate ids re-join the
-    shingle scan once for the exact-Jaccard verify (the minhash_lsh
-    pattern). With return_report=True returns (pairs, report) where
-    report is the one-row cap_buckets drop-counter frame.
+    raw text once and the exact-Jaccard verify runs as a vectorized
+    pandas UDF (strings are smaller than shingle arrays, and the
+    expression form's interpreted array_intersect was the other half
+    of the r3.1 bench cost). With return_report=True returns
+    (pairs, report) where report is the one-row cap_buckets
+    drop-counter frame.
     """
-    base = _spread(df, spread).select(
-        F.col(id_col).alias("id"),
-        shingles(F.col(text_col), k).alias("sh"),
-        F.floor(F.length(normalize_text(F.col(text_col))) / length_band).alias("band"),
-    )
-    consts = _perm_consts(anchor_perms)
-    # hs materialized in its own projection so the k-gram string hashes
-    # run once, not once per permutation (the minhash pattern).
-    anchors = F.array(*[
-        F.array_min(F.transform(
-            F.col("hs"),
-            lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE31))))
-        for a, b in consts])
+    base = _spread(df, spread).select(F.col(id_col).alias("id"),
+                                      F.col(text_col).alias("txt"))
+    if hash_mode == "poly":
+        sig_udf = _ngram_anchor_pandas_udf(k, anchor_perms, anchor_rows,
+                                           length_band)
+        sigs = base.select("id", sig_udf(F.col("txt")).alias("s"))\
+            .select("id", F.col("s.band").alias("band"),
+                    F.col("s.an").alias("an"))
+    else:
+        consts = _perm_consts(anchor_perms * anchor_rows)
+
+        def _affine_min(a, b):
+            return F.array_min(F.transform(
+                F.col("hs"),
+                lambda h: F.pmod(h * F.lit(a) + F.lit(b),
+                                 F.lit(_MERSENNE31))))
+
+        mins = F.array(*[_affine_min(a, b) for a, b in consts])
+        anchors = F.array(*[
+            _fold_anchor([F.element_at(F.col("mins"), p * anchor_rows + r + 1)
+                          for r in range(anchor_rows)])
+            for p in range(anchor_perms)])
+        # norm is its own projection, referenced twice (band + shingle
+        # lambda) so CollapseProject keeps it — inlining it nests the
+        # whitespace regex inside the per-element substring lambda
+        # (measured 6x the whole stage cost).
+        n = F.length("norm")
+        idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+        sh_of_norm = F.array_distinct(
+            F.transform(idx, lambda j: F.substring(F.col("norm"), j, k)))
+        sigs = (
+            base.select("id", normalize_text(F.col("txt")).alias("norm"))
+            .select("id", F.floor(n / length_band).alias("band"),
+                    sh_of_norm.alias("sh"))
+            .withColumn("hs", shingle_hashes(F.col("sh")))
+            .withColumn("mins", mins)
+            .select("id", "band", anchors.alias("an")))
     keyed = (
-        base.withColumn("hs", shingle_hashes(F.col("sh")))
-        .select("id", anchors.alias("an"),
-                F.explode(F.array(F.col("band"), F.col("band") + 1)).alias("b"))
+        sigs.select("id", "an",
+                    F.explode(F.array(F.col("band"),
+                                      F.col("band") + 1)).alias("b"))
         .select("id", "b", F.posexplode("an").alias("perm", "anchor")))
     capped = cap_buckets(keyed, ["b", "perm", "anchor"], max_bucket)
     l, r = capped.alias("l"), capped.alias("r")
@@ -516,16 +619,32 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    sh_df = base.select("id", "sh")
+    jac = _py_ngram_jaccard(k)
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def jac_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series([jac(x, y) for x, y in zip(a, b)])
+
+    txt_df = base
     pairs = (
-        cand.join(sh_df.select(F.col("id").alias("id_a"),
-                               F.col("sh").alias("sh_a")), "id_a")
-        .join(sh_df.select(F.col("id").alias("id_b"),
-                           F.col("sh").alias("sh_b")), "id_b")
-        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        cand.join(txt_df.select(F.col("id").alias("id_a"),
+                                F.col("txt").alias("txt_a")), "id_a")
+        .join(txt_df.select(F.col("id").alias("id_b"),
+                            F.col("txt").alias("txt_b")), "id_b")
+        .withColumn("jaccard", jac_udf(F.col("txt_a"), F.col("txt_b")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
     if return_report:
         return pairs, bucket_report(keyed, ["b", "perm", "anchor"], max_bucket)
     return pairs
+
+
+def _fold_anchor(cols):
+    """Pack anchor_rows 31-bit mins into one long: (((m0<<31)^m1)...)."""
+    acc = cols[0]
+    for c in cols[1:]:
+        acc = F.shiftleft(acc, 31).bitwiseXOR(c)
+    return acc

@@ -42,6 +42,19 @@ def build_session(app_name: str = "ocr_spark", master: str | None = None,
         # Target split size for the scan; at 100 TB this yields ~800k
         # input splits — Spark handles millions of tasks fine.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # InferFiltersFromGenerate synthesizes `size(e)>0 AND e IS NOT
+        # NULL` under every explode/posexplode; predicate pushdown then
+        # inlines the generator input's FULL expression tree into a
+        # Filter that sinks below every projection and exchange — for
+        # the LSH operators (posexplode over expression-built signature
+        # arrays) that re-evaluated the whole interpreted signature
+        # pipeline per row on the scan side, single-threaded on a
+        # one-file scan: measured 210s vs 10s on the sf0.1
+        # ngram_jaccard_pairs bench. Our generators never see empty or
+        # null arrays by construction, so the rule only costs.
+        .config("spark.sql.optimizer.excludedRules",
+                "org.apache.spark.sql.catalyst.optimizer."
+                "InferFiltersFromGenerate")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
