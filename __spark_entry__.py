@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1543,6 +1545,165 @@ FROM u ORDER BY url, block_idx
 """
 
 
+# ---------------------------------------------------------------------------
+# PDF layout analysis (north rule: "pdfminer-style layout analysis for
+# binary PDF payloads"). Each document becomes a two-column positioned-
+# span PDF page: token i of the document text lands in column i%2 at
+# row i//2, and the spans are serialized in STREAM order (columns
+# interleaved) — so the only way the extracted text comes back as
+# left-column-then-right-column is the geometric pass in
+# textlib/pdflayout.py (line grouping -> box grouping -> XY-cut).
+# The oracle reconstructs the expected reading order by list position.
+# ---------------------------------------------------------------------------
+
+_LAYOUT_N_TOKENS = 24   # spans per page (12 rows x 2 columns)
+_LAYOUT_TRUNC = 12      # max token chars: keeps column 0 clear of column 1
+_LAYOUT_CHAR_W = 6.0
+_LAYOUT_LEADING = 12.0
+_LAYOUT_H = 10.0
+_LAYOUT_COL_X = (10.0, 320.0)
+_LAYOUT_Y_TOP = 800.0
+
+
+def _layout_tokens_expr():
+    tok = F.split(F.trim(F.regexp_replace(F.lower(F.trim(F.col("text"))),
+                                          r"\s+", " ")), " ")
+    ft = F.filter(F.slice(tok, 1, _LAYOUT_N_TOKENS),
+                  lambda t: t != F.lit(""))
+    return F.transform(ft, lambda t: F.substring(t, 1, _LAYOUT_TRUNC))
+
+
+_LAYOUT_TOKENS_SQL = r"""
+list_transform(
+  list_filter(
+    (regexp_split_to_array(trim(regexp_replace(lower(trim(text)),
+                                               '\s+', ' ', 'g')), ' '))[1:24],
+    t -> t <> ''),
+  t -> substr(t, 1, 12))"""
+
+
+def _layout_payload():
+    """Arrow-batched serializer: each token list becomes a positioned-
+    span PDF payload (query-input scaffolding, same role as the html
+    page builder). Built lazily so importing this module never needs a
+    SparkSession."""
+    def build(toks: pd.Series) -> pd.Series:
+        from ocr_spark.sources import payload as _pl
+        out = []
+        for tks in toks:
+            spans = []
+            for i, t in enumerate(tks):
+                x0 = _LAYOUT_COL_X[i % 2]
+                y1 = _LAYOUT_Y_TOP - _LAYOUT_LEADING * (i // 2)
+                spans.append([t, x0, y1 - _LAYOUT_H,
+                              x0 + _LAYOUT_CHAR_W * len(t), y1])
+            out.append(_pl.make_pdf_payload([{"spans": spans}]))
+        return pd.Series(out)
+
+    return F.pandas_udf(build, "binary")
+
+
+def _layout_url_expr():
+    return F.concat(F.lit("https://cc.synth.local/doc"),
+                    F.col("doc_id").cast("string"), F.lit("/salary_slip/"),
+                    F.col("doc_id").cast("string"), F.lit(".pdf")).alias("url")
+
+
+def q_pdf_layout(spark, sf_dir):
+    """Layout analysis through the REAL pipeline: span-page PDFs ->
+    classify -> salt -> mapInArrow -> pdf_extract_text runs the
+    pdfminer-style pass (payload.py span branch) -> extracted_text must
+    be the un-interleaved reading order. The sub-20-char docs also
+    exercise the T5 image-fallback branch (ref income_service.go:148)."""
+    from ocr_spark.plans.pipeline import run_extraction
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    inp = docs.select(
+        _layout_url_expr(),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        _layout_payload()(_layout_tokens_expr()).alias("html"),
+        F.lit("").alias("text"),
+        F.col("lang"))
+    out = run_extraction(spark, inp, run_id="driver-layout", num_partitions=8)
+    return out.select(
+        "url", "doc_type", "extracted_text",
+        F.col("quality.final_score").alias("final_score"),
+        F.size("quality.issues").alias("n_issues"),
+        "error")
+
+
+def _sql_pdf_layout() -> str:
+    url = _URL_SQL_TMPL.format(dt="salary_slip").replace(".png'", ".pdf'")
+    return f"""
+WITH d AS (SELECT doc_id, {_LAYOUT_TOKENS_SQL} AS ft
+           FROM documents WHERE doc_id < 300),
+o AS (SELECT doc_id,
+        list_concat(list_filter(ft, (t, i) -> i % 2 = 1),
+                    list_filter(ft, (t, i) -> i % 2 = 0)) AS rd
+      FROM d),
+x AS (SELECT doc_id,
+        CASE WHEN len(rd) = 0 THEN ''
+             ELSE array_to_string(rd, chr(10)) || chr(10) END AS xt,
+        CASE WHEN len(rd) = 0 THEN 0
+             ELSE length(array_to_string(rd, chr(10))) END AS stripped_len
+      FROM o)
+SELECT {url} AS url,
+  'salary_slip' AS doc_type,
+  xt AS extracted_text,
+  -- T5 thresholds, cascade.py:70,111 (ref income_service.go:148,202):
+  -- >=20 stripped chars = text-based PDF (quality 100); under it the
+  -- image branch finds no pages -> pdf_image_extraction_failed.
+  CASE WHEN stripped_len < 20 THEN 0.0::double ELSE 100.0::double END
+    AS final_score,
+  CASE WHEN stripped_len < 20 THEN 1 ELSE 0 END AS n_issues,
+  NULL::varchar AS error
+FROM x ORDER BY url
+"""
+
+
+def q_pdf_layout_boxes(spark, sf_dir):
+    """Layout-box side table (operators/multimodal.pdf_layout_boxes):
+    one row per text box in reading order with its bbox, line count and
+    confidence — the PDF counterpart of the W2 html span assembly."""
+    from ocr_spark.operators import multimodal
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    inp = docs.select(
+        _layout_url_expr(),
+        _layout_payload()(_layout_tokens_expr()).alias("payload"))
+    out = multimodal.pdf_layout_boxes(inp, num_partitions=8)
+    return out.select(
+        "url", "page", "box_idx", "box_text", "n_lines",
+        "x0", "y0", "x1", "y1",
+        F.round("confidence", 6).alias("confidence"))
+
+
+def _sql_pdf_layout_boxes() -> str:
+    url = _URL_SQL_TMPL.format(dt="salary_slip").replace(".png'", ".pdf'")
+    return f"""
+WITH d AS (SELECT doc_id, {_LAYOUT_TOKENS_SQL} AS ft
+           FROM documents WHERE doc_id < 300),
+c AS (SELECT doc_id,
+        list_filter(ft, (t, i) -> i % 2 = 1) AS c0,
+        list_filter(ft, (t, i) -> i % 2 = 0) AS c1
+      FROM d),
+b AS (SELECT doc_id, 0 AS box_idx, c0 AS toks, 10.0::double AS bx0
+      FROM c WHERE len(c0) > 0
+      UNION ALL
+      SELECT doc_id, 1, c1, 320.0::double FROM c WHERE len(c1) > 0)
+SELECT {url} AS url,
+  0 AS page, box_idx,
+  array_to_string(toks, chr(10)) AS box_text,
+  len(toks)::int AS n_lines,
+  bx0 AS x0,
+  (800.0 - 12.0 * (len(toks) - 1) - 10.0)::double AS y0,
+  (bx0 + 6.0 * list_max(list_transform(toks, t -> length(t))))::double AS x1,
+  800.0::double AS y1,
+  round(least(1.0::double,
+              length(array_to_string(toks, chr(10)))::double / 100.0), 6)
+    AS confidence
+FROM b ORDER BY url, box_idx
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "salary_amount": q_salary_amount,
@@ -1574,6 +1735,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crosscheck_sql": q_crosscheck_sql,
         "html_main_text": q_html_main_text,
         "html_spans": q_html_spans,
+        "pdf_layout": q_pdf_layout,
+        "pdf_layout_boxes": q_pdf_layout_boxes,
         "extract_pipeline": q_extract_pipeline,
         "crosscheck_pipeline": q_crosscheck_pipeline,
     }
@@ -1615,6 +1778,12 @@ def oracle_sql() -> dict[str, str]:
         # the document text; the oracle replays the expected article.
         "html_main_text": _sql_html_main_text(),
         "html_spans": _sql_html_spans(),
+        # pdfminer-style layout analysis: the Spark side reads
+        # positioned spans out of REAL binary payloads and reorders
+        # geometrically; the oracle reconstructs the expected reading
+        # order and box geometry by list position.
+        "pdf_layout": _sql_pdf_layout(),
+        "pdf_layout_boxes": _sql_pdf_layout_boxes(),
         "minhash_pairs": _sql_minhash_pairs(),
         "simhash_pairs": _sql_simhash_pairs(),
         "lsh_ann": _sql_lsh_ann(),

@@ -139,6 +139,26 @@ def main():
                        num_partitions=cpus * 2)\
             .write.mode("overwrite").parquet(html_out_path)
 
+    # PDF layout analysis throughput (north rule: "pdfminer-style
+    # layout analysis for binary PDF payloads"): positioned-span pages
+    # (24 glyph runs, two interleaved columns) materialized pre-clock;
+    # the timed pass is the mapInPandas line/box/XY-cut pass
+    # (textlib/pdflayout.py via operators/multimodal.pdf_layout_boxes).
+    import __spark_entry__ as entrymod
+    from ocr_spark.operators import multimodal
+    layout_path = f"/dev/shm/ocr_spark_bench_layout_{os.getpid()}"
+    (input_df.select(
+        "url",
+        entrymod._layout_payload()(entrymod._layout_tokens_expr())
+        .alias("payload"))
+     .write.mode("overwrite").parquet(layout_path))
+    layout_df = spark.read.parquet(layout_path)
+
+    @timed("pdf_layout")
+    def _pl():
+        multimodal.pdf_layout_boxes(layout_df,
+                                    num_partitions=cpus * 2).count()
+
     @timed("crosscheck")
     def _cc():
         crosscheck.cross_check(extracted).count()
@@ -269,6 +289,7 @@ def main():
     shutil.rmtree(input_path, ignore_errors=True)
     shutil.rmtree(html_input_path, ignore_errors=True)
     shutil.rmtree(html_out_path, ignore_errors=True)
+    shutil.rmtree(layout_path, ignore_errors=True)
 
     print(json.dumps({
         "metric": "headline_queries_total_wall",

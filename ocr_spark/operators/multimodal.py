@@ -89,3 +89,57 @@ def extract_features(media: DataFrame, num_partitions: int | None = None) -> Dat
     if num_partitions:
         media = media.repartition(num_partitions, F.xxhash64("media_id"))
     return media.mapInPandas(featurize_batches, schema=FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# PDF layout-analysis boxes (north rule: "pdfminer-style layout analysis
+# for binary PDF payloads"). The geometric pass itself lives in
+# textlib/pdflayout.py; this operator is the distributed form: binary
+# payloads stay in their Arrow batch, one layout pass per document,
+# one output row per text box in reading order.
+# ---------------------------------------------------------------------------
+
+PDF_BOX_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("page", IntegerType(), False),
+    StructField("box_idx", IntegerType(), False),   # reading order
+    StructField("box_text", StringType(), False),
+    StructField("n_lines", IntegerType(), False),
+    StructField("x0", DoubleType(), False),
+    StructField("y0", DoubleType(), False),
+    StructField("x1", DoubleType(), False),
+    StructField("y1", DoubleType(), False),
+    StructField("confidence", DoubleType(), False),
+])
+
+
+def layout_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ..sources import payload as pl
+    cols = [f.name for f in PDF_BOX_SCHEMA.fields]
+    for pdf in batches:
+        rows = []
+        for url, data in zip(pdf["url"], pdf["payload"]):
+            if data is None:
+                continue
+            try:
+                pages = pl.pdf_extract_layout(bytes(data))
+            except pl.PayloadError:
+                continue
+            for pg in pages:
+                for bi, b in enumerate(pg["boxes"]):
+                    rows.append((url, pg["page"], bi, b["text"],
+                                 b["n_lines"], b["x0"], b["y0"],
+                                 b["x1"], b["y1"], b["confidence"]))
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def pdf_layout_boxes(docs: DataFrame,
+                     num_partitions: int | None = None) -> DataFrame:
+    """Layout-analysis text boxes for every span-carrying page of every
+    binary PDF payload in ``docs`` (columns: url, payload). Rows come
+    back in reading order per page (box_idx); corrupt or encrypted
+    payloads contribute no rows (the extraction pipeline, not this
+    side table, is where per-document errors are surfaced)."""
+    if num_partitions:
+        docs = docs.repartition(num_partitions, F.xxhash64("url"))
+    return docs.mapInPandas(layout_batches, schema=PDF_BOX_SCHEMA)

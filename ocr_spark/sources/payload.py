@@ -30,6 +30,8 @@ from __future__ import annotations
 
 import json
 
+from ..textlib import pdflayout
+
 PDF_MAGIC = b"%PDF-1.7\n%SYNTHDOC\n"
 PNG_MAGIC = b"\x89PNG\r\n\x1a\nSYNTHDOC\n"
 
@@ -47,6 +49,9 @@ def make_pdf_payload(pages: list[dict], password: str = "",
 
     Each page dict may carry:
       text_rows: list[str]  — embedded text rows (vector page)
+      spans: list[list]     — positioned glyph runs [t, x0, y0, x1, y1]
+                              (vector page with geometry; extraction
+                              runs the pdfminer-style layout pass)
       image: dict | None    — scanned-page image payload (see make_image)
     ``password`` models pdfcpu encryption (ref service/pdf_processor.go:34-60).
     ``pad_to`` appends filler bytes to model giant-blob skew rows.
@@ -115,7 +120,14 @@ def is_pdf(data: bytes) -> bool:
 
 def pdf_extract_text(data: bytes, password: str = "") -> str:
     """ExtractText semantics (ref service/pdf_processor.go:63-98):
-    every row of every text page emitted with a trailing newline."""
+    every row of every text page emitted with a trailing newline.
+
+    A page carries either pre-ordered ``text_rows`` (the reference's
+    pdfcpu view, which never exposes coordinates) or positioned
+    ``spans`` [[t, x0, y0, x1, y1], ...]; span pages run the
+    pdfminer-style layout pass (textlib/pdflayout.py) and emit its
+    reading-ordered lines as the rows, so both page forms honor the
+    same one-row-one-newline contract downstream."""
     kind, body = _decode(data)
     if kind != "pdf":
         raise PayloadError("not a pdf")
@@ -124,10 +136,33 @@ def pdf_extract_text(data: bytes, password: str = "") -> str:
         raise PayloadError("failed to decrypt PDF")
     out = []
     for page in body["pages"]:
-        for row in page.get("text_rows", []):
+        rows = page.get("text_rows")
+        if rows is None and page.get("spans"):
+            rows = pdflayout.page_rows(page["spans"])
+        for row in rows or []:
             out.append(row)
             out.append("\n")
     return "".join(out)
+
+
+def pdf_extract_layout(data: bytes, password: str = "") -> list[dict]:
+    """Per-page layout-analysis results for span-carrying pages:
+    [{"page": i, "text": ..., "boxes": [...]}] (textlib/pdflayout.py).
+    Pages without positioned spans contribute no layout entry — the
+    reference's row-oriented pages have no geometry to analyze."""
+    kind, body = _decode(data)
+    if kind != "pdf":
+        raise PayloadError("not a pdf")
+    want = body.get("password", "")
+    if want and password != want:
+        raise PayloadError("failed to decrypt PDF")
+    out = []
+    for i, page in enumerate(body["pages"]):
+        if page.get("spans"):
+            res = pdflayout.analyze_page(page["spans"])
+            res["page"] = i
+            out.append(res)
+    return out
 
 
 def pdf_extract_images(data: bytes, password: str = "") -> list[dict]:

@@ -135,6 +135,21 @@ def main() -> None:
           and n_exchanges == 1,
           f"{n_exchanges} exchange(s); MapInArrow={'MapInArrow' in p}")
 
+    # 8b. PDF layout analysis (r3): span-page payload build is an Arrow
+    #    pandas UDF (ArrowEvalPython), the layout pass itself rides
+    #    MapInPandas (boxes) / MapInArrow (pipeline) — never
+    #    row-at-a-time BatchEvalPython.
+    p = plans["pdf_layout_boxes"]
+    check("pdf_layout_boxes",
+          "Arrow-vectorized layout pass (MapInPandas, no row UDF)",
+          "MapInPandas" in p and "BatchEvalPython" not in p,
+          f"MapInPandas={'MapInPandas' in p}")
+    p = plans["pdf_layout"]
+    check("pdf_layout",
+          "layout inside the Arrow extraction cascade (no row UDF)",
+          "MapInArrow" in p and "BatchEvalPython" not in p,
+          f"MapInArrow={'MapInArrow' in p}")
+
     # 9. No CartesianProduct anywhere: every join is keyed or broadcast
     #    (the brute-force oracle baselines use broadcast nested loop,
     #    which bounds the big side to one scan).
