@@ -15,6 +15,8 @@ metrics table appended for this run (north_rule lineage + metrics).
 Re-running the same command after a crash redoes only uncommitted
 work; re-running after success is a no-op. Passing --run-id of an
 already-committed run is refused (it would orphan that run's data).
+--warc <dir> reads Common-Crawl WARC/WET segments directly instead of
+a parquet table (sources/warc.py; segment file = task).
 --neardup <dir> adds a MinHash-LSH near-dup pass over the committed
 snapshot, persisting pairs plus the hot-bucket drop report (capped
 runs are never silent: the counters also land in the summary JSON).
@@ -36,6 +38,9 @@ def _parse(argv):
     p = argparse.ArgumentParser(description="ocr_spark batch extraction job")
     src = p.add_mutually_exclusive_group(required=True)
     src.add_argument("--input", help="input parquet path (north-rule schema)")
+    src.add_argument("--warc", help="WARC/WET segment dir or glob: parse "
+                                    "Common-Crawl container records into "
+                                    "the input table (sources/warc.py)")
     src.add_argument("--synth", type=int, metavar="N",
                      help="synthesize a deterministic N-doc input instead")
     p.add_argument("--table", required=True,
@@ -73,6 +78,10 @@ def main(argv=None, spark=None) -> dict:
 
     if args.input:
         input_df = spark.read.parquet(args.input)
+    elif args.warc:
+        from ocr_spark.sources import warc
+        input_df = warc.read_warc(spark, args.warc).drop(
+            "_warc_segment", "_warc_skipped")
     else:
         from ocr_spark.sources import synth
         input_df = synth.synth_input_df(spark, args.synth,

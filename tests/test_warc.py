@@ -125,6 +125,18 @@ def test_read_warc_dataframe(spark, warc_dir):
             assert g["text"] == r["text"]
 
 
+def test_job_reads_warc_segments(spark, warc_dir, tmp_path):
+    """The deployment entrypoint ingests WARC segments directly
+    (--warc) and commits the same rows a parquet input would."""
+    from ocr_spark import job
+    d, rows = warc_dir
+    table = str(tmp_path / "table")
+    r = job.main(["--warc", d, "--table", table, "--partitions", "4"],
+                 spark=spark)
+    assert r["processed"] == len(rows)
+    assert r["committed_rows"] == len(rows)
+
+
 def test_warc_rows_extract_identically_to_direct_rows(spark, warc_dir):
     """Byte-identical invariant: extraction over WARC-read input equals
     extraction over the same rows fed directly."""
