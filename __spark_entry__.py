@@ -1546,6 +1546,88 @@ FROM u ORDER BY url, block_idx
 
 
 # ---------------------------------------------------------------------------
+# HTML page metadata (trafilatura-style metadata module semantics):
+# pages built by expressions vary which source carries each field so
+# every precedence branch is exercised — og:title > <title> > <h1>;
+# og:description > meta description; article:published_time >
+# <time datetime> > meta date — and the oracle replays the same
+# branch arithmetic.
+# ---------------------------------------------------------------------------
+
+def q_html_metadata(spark, sf_dir):
+    from ocr_spark.operators import webpage
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    sid = F.col("doc_id").cast("string")
+    url = F.concat(F.lit("https://cc.synth.local/doc"), sid,
+                   F.lit("/webpage/"), sid, F.lit(".html"))
+    day = F.lpad((F.col("doc_id") % 27 + 1).cast("string"), 2, "0")
+    head = F.concat(
+        F.lit("<head>"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit('<meta property="og:title" content="OG Title '),
+                        sid, F.lit('"/>'))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 != 1,
+               F.concat(F.lit("<title>Doc Title "), sid,
+                        F.lit("</title>"))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit('<meta property="og:description" '
+                              'content="OG desc '), sid, F.lit('"/>')))
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(F.lit('<meta name="description" content="Meta desc '),
+                       sid, F.lit('"/>'))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 2 == 0,
+               F.concat(F.lit('<meta name="author" content="Author '),
+                        sid, F.lit('"/>'))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 6 == 0,
+               F.concat(F.lit('<meta property="article:published_time" '
+                              'content="2026-01-'), day,
+                        F.lit('T00:00:00Z"/>'))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 6 == 2,
+               F.concat(F.lit('<meta name="date" content="2026-02-'), day,
+                        F.lit('"/>'))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 2 == 1,
+               F.lit('<meta property="og:site_name" content="Synth Site"/>'))
+        .otherwise(F.lit("")),
+        F.concat(F.lit('<link rel="canonical" href="'), url, F.lit('"/>')),
+        F.lit("</head>"))
+    body = F.concat(
+        F.lit("<body><h1>Heading "), sid, F.lit("</h1>"),
+        F.when(F.col("doc_id") % 6 == 1,
+               F.concat(F.lit('<p>Posted <time datetime="2026-03-'), day,
+                        F.lit('">in March</time></p>'))).otherwise(F.lit("")),
+        F.lit("<p>Body paragraph.</p></body>"))
+    page = F.concat(F.lit("<html>"), head, body, F.lit("</html>"))
+    inp = docs.select(url.alias("url"), page.cast("binary").alias("html"))
+    return webpage.page_metadata(inp, num_partitions=8)
+
+
+def _sql_html_metadata() -> str:
+    return """
+WITH d AS (SELECT doc_id,
+  'https://cc.synth.local/doc' || cast(doc_id AS varchar) || '/webpage/'
+    || cast(doc_id AS varchar) || '.html' AS url,
+  cast(doc_id AS varchar) AS sid,
+  lpad(cast(doc_id % 27 + 1 AS varchar), 2, '0') AS day
+  FROM documents WHERE doc_id < 300)
+SELECT url,
+  CASE WHEN doc_id % 3 = 0 THEN 'OG Title ' || sid
+       WHEN doc_id % 5 <> 1 THEN 'Doc Title ' || sid
+       ELSE 'Heading ' || sid END AS title,
+  CASE WHEN doc_id % 4 = 0 THEN 'OG desc ' || sid
+       WHEN doc_id % 4 = 1 THEN 'Meta desc ' || sid
+       ELSE NULL END AS description,
+  CASE WHEN doc_id % 2 = 0 THEN 'Author ' || sid ELSE NULL END AS author,
+  CASE WHEN doc_id % 6 = 0 THEN '2026-01-' || day || 'T00:00:00Z'
+       WHEN doc_id % 6 = 1 THEN '2026-03-' || day
+       WHEN doc_id % 6 = 2 THEN '2026-02-' || day
+       ELSE NULL END AS published,
+  url AS canonical,
+  CASE WHEN doc_id % 2 = 1 THEN 'Synth Site' ELSE NULL END AS sitename
+FROM d ORDER BY url
+"""
+
+
+# ---------------------------------------------------------------------------
 # PDF layout analysis (north rule: "pdfminer-style layout analysis for
 # binary PDF payloads"). Each document becomes a two-column positioned-
 # span PDF page: token i of the document text lands in column i%2 at
@@ -1735,6 +1817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crosscheck_sql": q_crosscheck_sql,
         "html_main_text": q_html_main_text,
         "html_spans": q_html_spans,
+        "html_metadata": q_html_metadata,
         "pdf_layout": q_pdf_layout,
         "pdf_layout_boxes": q_pdf_layout_boxes,
         "extract_pipeline": q_extract_pipeline,
@@ -1782,6 +1865,9 @@ def oracle_sql() -> dict[str, str]:
         # positioned spans out of REAL binary payloads and reorders
         # geometrically; the oracle reconstructs the expected reading
         # order and box geometry by list position.
+        # Page metadata: precedence branches selected by doc_id
+        # arithmetic on both sides.
+        "html_metadata": _sql_html_metadata(),
         "pdf_layout": _sql_pdf_layout(),
         "pdf_layout_boxes": _sql_pdf_layout_boxes(),
         "minhash_pairs": _sql_minhash_pairs(),
