@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from ..sources import payload as pl
 from ..textlib import aadhaar as t_aadhaar
+from ..textlib import charset as t_charset
 from ..textlib import htmltext as t_html
 from ..textlib import bank as t_bank
 from ..textlib import dl as t_dl
@@ -343,7 +344,10 @@ def extract_record(url: str, html: bytes | None, text: str, doc_type: str,
             # passes through as a single full-confidence span.
             markup = ""
             if html is not None and not html.startswith(pl.PDF_MAGIC[:4]):
-                markup = html.decode("utf-8", errors="replace")
+                # WHATWG-style sniff: BOM > meta prescan > utf-8 >
+                # windows-1252 (textlib/charset.py) — CC pages arrive
+                # in arbitrary encodings.
+                markup = t_charset.sniff_decode(html)[0]
             if markup:
                 res = t_html.extract_main(markup)
                 out["extracted_text"] = res["main_text"]
