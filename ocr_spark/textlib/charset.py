@@ -67,10 +67,25 @@ def sniff_encoding(body: bytes) -> str:
 
 
 def sniff_decode(body: bytes) -> tuple[str, str]:
-    """Decode page bytes -> (text, encoding_used)."""
-    enc = sniff_encoding(body)
-    if enc == "utf-16-le-bom":
-        return body[2:].decode("utf-16-le", errors="replace"), enc
-    if enc == "utf-16-be-bom":
-        return body[2:].decode("utf-16-be", errors="replace"), enc
-    return body.decode(enc, errors="replace"), enc
+    """Decode page bytes -> (text, encoding_used). Single decode pass
+    on the dominant path: an undeclared stream's strict utf-8 attempt
+    IS the returned text when it succeeds (hot path: one decode, one
+    1 KB regex — not the sniff-then-redecode double scan)."""
+    if body.startswith(codecs.BOM_UTF8):
+        return body.decode("utf-8-sig", errors="replace"), "utf-8-sig"
+    if body.startswith(codecs.BOM_UTF16_LE):
+        return body[2:].decode("utf-16-le", errors="replace"), "utf-16-le-bom"
+    if body.startswith(codecs.BOM_UTF16_BE):
+        return body[2:].decode("utf-16-be", errors="replace"), "utf-16-be-bom"
+    m = _META_RE.search(body[:1024])
+    if m:
+        label = m.group(1).decode("ascii", errors="replace").lower()
+        label = _LABEL_MAP.get(label, label)
+        try:
+            return body.decode(label, errors="replace"), label
+        except LookupError:
+            pass  # unknown label: fall through to content sniffing
+    try:
+        return body.decode("utf-8"), "utf-8"
+    except UnicodeDecodeError:
+        return body.decode("windows-1252", errors="replace"), "windows-1252"
