@@ -1546,6 +1546,79 @@ FROM u ORDER BY url, block_idx
 
 
 # ---------------------------------------------------------------------------
+# URL canonicalization (expression-only: the canonical dedup key must
+# come out of the scan stage at 10^12 urls). Messy URLs are built by
+# doc_id arithmetic — mixed-case hosts, default + explicit ports,
+# tracking params, unsorted queries, fragments, trailing slashes — and
+# the oracle constructs the expected canonical form from the same
+# arithmetic.
+# ---------------------------------------------------------------------------
+
+def q_url_normalize(spark, sf_dir):
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 500)
+    did = F.col("doc_id")
+    sid = did.cast("string")
+    scheme = F.when(did % 2 == 0, F.lit("https")).otherwise(F.lit("http"))
+    host = F.when(did % 3 == 0, F.lit("WWW.Example.COM"))\
+        .when(did % 3 == 1, F.lit("news.site.org"))\
+        .otherwise(F.lit("Blog.Example.net"))
+    port = F.when(did % 4 == 0,
+                  F.when(did % 2 == 0, F.lit(":443")).otherwise(F.lit(":80")))\
+        .when(did % 4 == 1, F.lit(":8080")).otherwise(F.lit(""))
+    path = F.concat(F.lit("/Posts/"), sid,
+                    F.when(did % 5 == 0, F.lit("/")).otherwise(F.lit("")))
+    query = F.when(did % 6 == 3, F.lit(""))\
+        .when(did % 2 == 0,
+              F.concat(F.lit("?utm_source=feed&b="), sid, F.lit("&a=1")))\
+        .otherwise(F.concat(F.lit("?z=9&gclid=x"), sid, F.lit("&a=1")))
+    frag = F.when(did % 3 == 0, F.lit("#section-2")).otherwise(F.lit(""))
+    raw = F.concat(scheme, F.lit("://"), host, port, path, query, frag)
+    return docs.select(raw.alias("url_raw"),
+                       X.url_normalize(raw).alias("url_norm"))
+
+
+def _sql_url_normalize() -> str:
+    return """
+WITH d AS (SELECT doc_id,
+  cast(doc_id AS varchar) AS sid,
+  CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END AS scheme,
+  CASE WHEN doc_id % 3 = 0 THEN 'WWW.Example.COM'
+       WHEN doc_id % 3 = 1 THEN 'news.site.org'
+       ELSE 'Blog.Example.net' END AS host,
+  CASE WHEN doc_id % 4 = 0 THEN
+         CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END
+       WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END AS port,
+  '/Posts/' || cast(doc_id AS varchar)
+    || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END AS path,
+  CASE WHEN doc_id % 6 = 3 THEN ''
+       WHEN doc_id % 2 = 0 THEN '?utm_source=feed&b='
+                                || cast(doc_id AS varchar) || '&a=1'
+       ELSE '?z=9&gclid=x' || cast(doc_id AS varchar) || '&a=1'
+  END AS query,
+  CASE WHEN doc_id % 3 = 0 THEN '#section-2' ELSE '' END AS frag
+  FROM documents WHERE doc_id < 500),
+n AS (SELECT *,
+  -- surviving params after the tracking strip, sorted bytewise:
+  -- even docs keep [a=1, b=<id>], odd docs keep [a=1, z=9]
+  CASE WHEN doc_id % 6 = 3 THEN ''
+       WHEN doc_id % 2 = 0 THEN 'a=1&b=' || sid
+       ELSE 'a=1&z=9' END AS newq,
+  -- default ports vanish; :8080 survives; host lowercases
+  scheme || '://' || lower(host)
+    || CASE WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END AS base,
+  -- trailing slash drops only when no query survives (doc_id%6=3)
+  '/Posts/' || sid
+    || CASE WHEN doc_id % 5 = 0 AND doc_id % 6 <> 3 THEN '/' ELSE '' END
+    AS npath
+  FROM d)
+SELECT scheme || '://' || host || port || path || query || frag AS url_raw,
+  base || npath
+    || CASE WHEN newq = '' THEN '' ELSE '?' || newq END AS url_norm
+FROM n ORDER BY url_raw
+"""
+
+
+# ---------------------------------------------------------------------------
 # HTML page metadata (trafilatura-style metadata module semantics):
 # pages built by expressions vary which source carries each field so
 # every precedence branch is exercised — og:title > <title> > <h1>;
@@ -1817,6 +1890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crosscheck_sql": q_crosscheck_sql,
         "html_main_text": q_html_main_text,
         "html_spans": q_html_spans,
+        "url_normalize": q_url_normalize,
         "html_metadata": q_html_metadata,
         "pdf_layout": q_pdf_layout,
         "pdf_layout_boxes": q_pdf_layout_boxes,
@@ -1867,6 +1941,7 @@ def oracle_sql() -> dict[str, str]:
         # order and box geometry by list position.
         # Page metadata: precedence branches selected by doc_id
         # arithmetic on both sides.
+        "url_normalize": _sql_url_normalize(),
         "html_metadata": _sql_html_metadata(),
         "pdf_layout": _sql_pdf_layout(),
         "pdf_layout_boxes": _sql_pdf_layout_boxes(),

@@ -99,3 +99,45 @@ def extract_salary_amount(c: Column) -> Column:
 def token_count(c: Column) -> Column:
     """Whitespace token count (text-analysis op for the documents table)."""
     return F.size(F.split(F.trim(c), r"\s+"))
+
+
+# Tracking query parameters stripped by url_normalize (public lists:
+# the utm_* family plus the common click-id params).
+TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid|msclkid|mc_eid)(=.*)?$"
+
+
+def url_normalize(c: Column) -> Column:
+    """Canonical URL key for web-scale dedup/grouping (RFC 3986
+    syntax-based normalization + the de-facto web rules), as a pure
+    codegen expression — at 10^12 urls the canonical key must come out
+    of the scan stage, never a Python UDF. Steps, in order (the DuckDB
+    driver-oracle replays them verbatim):
+
+      1. strip the fragment (``#...``)
+      2. lowercase scheme + authority (path/query stay case-sensitive)
+      3. drop the default port (``:80`` for http, ``:443`` for https)
+      4. drop tracking query params (TRACKING_PARAM_RE) and empty
+         pairs, sort the survivors bytewise, rejoin with ``&``
+      5. drop one trailing ``/`` from a non-root path when no query
+         survives; a bare authority gains the root ``/``
+    """
+    nofrag = F.regexp_replace(c, r"#.*$", "")
+    base = F.regexp_extract(nofrag, r"^([a-zA-Z][a-zA-Z0-9+.\-]*://[^/?]+)", 1)
+    rest = F.substring(nofrag, F.length(base) + 1, F.lit(1 << 30))
+    base = F.lower(base)
+    base = F.regexp_replace(base, r"^(http://[^/:]+):80$", "$1")
+    base = F.regexp_replace(base, r"^(https://[^/:]+):443$", "$1")
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != F.lit("")) & ~p.rlike(TRACKING_PARAM_RE))
+    newq = F.array_join(F.array_sort(params), "&")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    path = F.when((newq == "") & (F.length(path) > 1)
+                  & path.endswith("/"),
+                  F.substring(path, 1, F.length(path) - 1))\
+        .otherwise(path)
+    return F.concat(base, path,
+                    F.when(newq == "", F.lit(""))
+                    .otherwise(F.concat(F.lit("?"), newq)))

@@ -1,0 +1,88 @@
+"""URL canonicalization: the pure-Python twin (textlib/urlnorm.py),
+its equivalence with the codegen expression form
+(functions/expressions.url_normalize), and the driver query vs its
+DuckDB oracle.
+"""
+
+import importlib.util
+import os
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from ocr_spark.functions import expressions as X
+from ocr_spark.textlib.urlnorm import url_normalize
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+CASES = [
+    # (input, expected)
+    ("https://WWW.Example.COM/a#frag", "https://www.example.com/a"),
+    ("http://host.tld:80/x", "http://host.tld/x"),
+    ("https://host.tld:443/x", "https://host.tld/x"),
+    ("http://host.tld:8080/x", "http://host.tld:8080/x"),
+    ("https://h.tld/p?utm_source=a&b=2&a=1", "https://h.tld/p?a=1&b=2"),
+    ("https://h.tld/p?gclid=xyz", "https://h.tld/p"),
+    ("https://h.tld/p/?gclid=xyz", "https://h.tld/p"),
+    ("https://h.tld/p/?a=1", "https://h.tld/p/?a=1"),
+    ("https://h.tld", "https://h.tld/"),
+    ("https://h.tld/", "https://h.tld/"),
+    ("https://h.tld/deep/path/", "https://h.tld/deep/path"),
+    ("https://h.tld/p?z=9&a=1&m=5", "https://h.tld/p?a=1&m=5&z=9"),
+    ("https://h.tld/p?a=1&&b=2", "https://h.tld/p?a=1&b=2"),
+    ("https://h.tld/p?utm_campaign=x&utm_medium=y", "https://h.tld/p"),
+    ("https://h.tld/CaseSensitive/Path", "https://h.tld/CaseSensitive/Path"),
+    ("HTTPS://H.TLD/x", "https://h.tld/x"),
+    ("https://h.tld/p?fbclid=1&msclkid=2&mc_eid=3&k=v", "https://h.tld/p?k=v"),
+]
+
+
+@pytest.mark.parametrize("raw,want", CASES)
+def test_python_twin_cases(raw, want):
+    assert url_normalize(raw) == want
+
+
+def test_expression_equals_python_twin(spark):
+    df = spark.createDataFrame([(c,) for c, _ in CASES], "u string")
+    got = {r["u"]: r["n"] for r in
+           df.select("u", X.url_normalize(F.col("u")).alias("n")).collect()}
+    for raw, want in CASES:
+        assert got[raw] == want == url_normalize(raw)
+
+
+def test_expression_stays_in_codegen(spark):
+    import io
+    from contextlib import redirect_stdout
+    df = spark.createDataFrame([("https://a.b/c",)], "u string")
+    out = df.select(X.url_normalize(F.col("u")).alias("n"))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+@pytest.fixture(scope="module")
+def entry():
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry_for_urlnorm_tests",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "__spark_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_url_normalize_matches_oracle(spark, entry):
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/documents.parquet')")
+    oracle = con.execute(entry.oracle_sql()["url_normalize"]).df()
+    got = entry.q_url_normalize(spark, SF_DIR).toPandas()
+    cols = sorted(oracle.columns)
+    assert sorted(got.columns) == cols
+    g = sorted(map(repr, got[cols].itertuples(index=False, name=None)))
+    o = sorted(map(repr, oracle[cols].itertuples(index=False, name=None)))
+    assert g == o
