@@ -81,7 +81,7 @@ def main(argv=None, spark=None) -> dict:
     elif args.warc:
         from ocr_spark.sources import warc
         input_df = warc.read_warc(spark, args.warc).drop(
-            "_warc_segment", "_warc_skipped")
+            "_warc_segment", "_warc_offset", "_warc_skipped")
     else:
         from ocr_spark.sources import synth
         input_df = synth.synth_input_df(spark, args.synth,

@@ -78,6 +78,7 @@ def iter_warc_records(data: bytes) -> Iterator[dict]:
                 break
             pos = nxt + 2
             continue
+        rec_offset = pos  # byte offset in the decompressed stream
         hdr_end = buf.find(_CRLF2, pos)
         if hdr_end < 0:
             skipped += 1
@@ -101,7 +102,8 @@ def iter_warc_records(data: bytes) -> Iterator[dict]:
         body_start = hdr_end + 4
         content = buf[body_start:body_start + length]
         pos = body_start + length
-        yield {"headers": headers, "content": content}
+        yield {"headers": headers, "content": content,
+               "offset": rec_offset}
     if skipped:
         yield {"headers": {"_skipped": str(skipped)}, "content": b""}
 
@@ -149,6 +151,7 @@ def segment_rows(data: bytes) -> tuple[list[dict], int]:
             continue
         row = record_to_row(rec)
         if row is not None:
+            row["offset"] = rec["offset"]
             rows.append(row)
     return rows, skipped
 
@@ -166,8 +169,8 @@ def read_warc(spark, path, num_partitions: int | None = None):
 
     from pyspark.sql import functions as F
     from pyspark.sql.types import (
-        BinaryType, IntegerType, StringType, StructField, StructType,
-        TimestampType,
+        BinaryType, IntegerType, LongType, StringType, StructField,
+        StructType, TimestampType,
     )
 
     schema = StructType([
@@ -177,6 +180,10 @@ def read_warc(spark, path, num_partitions: int | None = None):
         StructField("text", StringType(), True),
         StructField("lang", StringType(), True),
         StructField("_warc_segment", StringType(), True),
+        # Record byte offset in the DECOMPRESSED segment stream — the
+        # north-rule lineage pair (source split, byte offset) for a
+        # row's provenance back into the crawl.
+        StructField("_warc_offset", LongType(), True),
         StructField("_warc_skipped", IntegerType(), True),
     ])
     cols = [f.name for f in schema.fields]
@@ -188,7 +195,8 @@ def read_warc(spark, path, num_partitions: int | None = None):
                 rows, skipped = segment_rows(bytes(content))
                 for r in rows:
                     out.append((r["url"], r["warc_ts"], r["html"],
-                                r["text"], r["lang"], path_, skipped))
+                                r["text"], r["lang"], path_,
+                                r["offset"], skipped))
             yield pd.DataFrame(out, columns=cols)
 
     df = (spark.read.format("binaryFile").load(path)

@@ -125,6 +125,19 @@ def test_read_warc_dataframe(spark, warc_dir):
             assert g["text"] == r["text"]
 
 
+def test_record_offsets_are_lineage_grade():
+    """Offsets locate each record in the decompressed stream: strictly
+    increasing, first at 0, and each points at a version line."""
+    rows = _rows(5)
+    data = warc.build_warc_bytes(rows, False)
+    got, _ = warc.segment_rows(data)
+    offs = [g["offset"] for g in got]
+    assert offs[0] == 0
+    assert offs == sorted(offs) and len(set(offs)) == len(offs)
+    for o in offs:
+        assert data[o:o + 5] == b"WARC/"
+
+
 def test_job_reads_warc_segments(spark, warc_dir, tmp_path):
     """The deployment entrypoint ingests WARC segments directly
     (--warc) and commits the same rows a parquet input would."""
@@ -143,6 +156,7 @@ def test_warc_rows_extract_identically_to_direct_rows(spark, warc_dir):
     from ocr_spark.plans.pipeline import run_extraction
     d, rows = warc_dir
     warc_in = warc.read_warc(spark, d).drop("_warc_segment",
+                                            "_warc_offset",
                                             "_warc_skipped")
     direct_in = spark.createDataFrame(
         [(r["url"], r["warc_ts"], r["html"] or None, r["text"], r["lang"])
