@@ -40,6 +40,8 @@ vectorized extraction UDF, never as a per-row Spark UDF.
 
 from __future__ import annotations
 
+import bisect
+
 # LAParams-equivalent constants (pdfminer.six defaults, documented in
 # its LAParams docstring: line_overlap=0.5, char_margin=2.0,
 # word_margin=0.1, line_margin=0.5).
@@ -105,16 +107,33 @@ class _Line:
 
 
 def group_lines(spans) -> list[_Line]:
-    """Greedy line clustering in stream order; within-line assembly is
-    geometric (sorted by x), so the input order never leaks through."""
-    lines: list[_Line] = []
+    """Greedy line clustering as a top-down sweep. Spans are processed
+    in descending top-edge order (ties by x then text — fully
+    deterministic, input order never leaks through); a line whose top
+    gap to the sweep position rules out any further vertical overlap
+    is CLOSED permanently, so each span only tests the lines still
+    open in its y-window (the column count, in practice a handful) —
+    O(N log N) per page instead of the naive O(N * lines) scan that a
+    dense 10k-span page would turn quadratic."""
+    ordered = []
     for raw in spans:
         span = _as_tuple(raw)
+        if span[0] != "":
+            ordered.append(span)
+    ordered.sort(key=lambda s: (-s[4], s[1], s[0]))
+    closed: list[_Line] = []
+    active: list[_Line] = []
+    for span in ordered:
         t, x0, y0, x1, y1 = span
-        if t == "":
-            continue
+        # A line with y0 >= y1 of the current span cannot vertically
+        # overlap this span or any later (lower-topped) one.
+        if active:
+            still = []
+            for line in active:
+                (closed if line.y0 >= y1 else still).append(line)
+            active = still
         best = None
-        for line in lines:
+        for line in active:
             if line.voverlap(y0, y1) < LINE_OVERLAP:
                 continue
             # Horizontal reachability: the new span must sit within
@@ -125,10 +144,10 @@ def group_lines(spans) -> list[_Line]:
             best = line
             break
         if best is None:
-            lines.append(_Line(span))
+            active.append(_Line(span))
         else:
             best.add(span)
-    return lines
+    return closed + active
 
 
 class _Box:
@@ -151,10 +170,25 @@ class _Box:
 
 
 def group_boxes(lines: list[_Line]) -> list[_Box]:
-    boxes: list[_Box] = []
+    """Top-down sweep with the same permanent-close rule as
+    group_lines: a box whose bottom gap to the sweep line already
+    exceeds the leading rule at the PAGE's max line height can never
+    accept a later (lower) line, so each line only tests the boxes
+    still open in its y-window."""
+    if not lines:
+        return []
+    hmax = max(max(0.1, l.y1 - l.y0) for l in lines)
+    closed: list[_Box] = []
+    active: list[_Box] = []
     for line in sorted(lines, key=lambda l: (-l.y1, l.x0)):
+        if active:
+            still = []
+            for box in active:
+                (closed if box.y0 - line.y1 > LINE_MARGIN * hmax
+                 else still).append(box)
+            active = still
         best = None
-        for box in boxes:
+        for box in active:
             # x-intervals must overlap (same column)...
             if line.x0 >= box.x1 or line.x1 <= box.x0:
                 continue
@@ -167,45 +201,59 @@ def group_boxes(lines: list[_Line]) -> list[_Box]:
             best = box
             break
         if best is None:
-            boxes.append(_Box(line))
+            active.append(_Box(line))
         else:
             best.add(line)
-    return boxes
+    return closed + active
 
 
-def _widest_gap(ivals: list[tuple[float, float]]) -> tuple[float, float]:
-    """(gap_width, cut_position) of the widest interior whitespace
-    valley across a set of 1-D intervals; (0, 0) when they tile."""
+def _gaps(ivals: list[tuple[float, float]]) -> tuple[float, list[float]]:
+    """All interior whitespace valleys >= MIN_CUT_GAP across a set of
+    1-D intervals -> (widest gap width, cut positions). Empty when the
+    intervals tile."""
     ivals = sorted(ivals)
-    best_w, best_at = 0.0, 0.0
+    best_w, cuts = 0.0, []
     hi = ivals[0][1]
     for lo, up in ivals[1:]:
         if lo > hi:
             w = lo - hi
             if w > best_w:
-                best_w, best_at = w, (hi + lo) / 2.0
+                best_w = w
+            if w >= MIN_CUT_GAP:
+                cuts.append((hi + lo) / 2.0)
         hi = max(hi, up)
-    return best_w, best_at
+    return best_w, cuts
+
+
+def _bands(boxes: list[_Box], cuts: list[float], key, reverse: bool):
+    """Partition boxes into the segments the cut positions delimit,
+    ordered reading-first (top band / left column first)."""
+    groups: dict[int, list[_Box]] = {}
+    for b in boxes:
+        groups.setdefault(bisect.bisect_left(cuts, key(b)), []).append(b)
+    idxs = sorted(groups, reverse=reverse)
+    return [groups[i] for i in idxs]
 
 
 def xy_cut_order(boxes: list[_Box]) -> list[_Box]:
-    """Recursive XY-cut reading order (Nagy & Seth 1984)."""
+    """XY-cut reading order (Nagy & Seth 1984), multi-way per level:
+    every valley on the chosen axis splits at once, so a page of N
+    stacked paragraphs is one O(N log N) level, not N binary
+    recursions."""
     if len(boxes) <= 1:
         return list(boxes)
-    # Horizontal valley (split on y): top region reads first.
-    hgap, hat = _widest_gap([(b.y0, b.y1) for b in boxes])
-    # Vertical valley (split on x): left region reads first.
-    vgap, vat = _widest_gap([(b.x0, b.x1) for b in boxes])
-    if hgap >= MIN_CUT_GAP and hgap >= vgap:
-        top = [b for b in boxes if b.y0 >= hat]
-        bot = [b for b in boxes if b.y0 < hat]
-        if top and bot:
-            return xy_cut_order(top) + xy_cut_order(bot)
-    if vgap >= MIN_CUT_GAP:
-        left = [b for b in boxes if b.x0 < vat]
-        right = [b for b in boxes if b.x0 >= vat]
-        if left and right:
-            return xy_cut_order(left) + xy_cut_order(right)
+    # Horizontal valleys (split on y): top region reads first.
+    hgap, hcuts = _gaps([(b.y0, b.y1) for b in boxes])
+    # Vertical valleys (split on x): left region reads first.
+    vgap, vcuts = _gaps([(b.x0, b.x1) for b in boxes])
+    if hcuts and hgap >= vgap:
+        segs = _bands(boxes, hcuts, key=lambda b: b.y0, reverse=True)
+        if len(segs) > 1:
+            return [b for seg in segs for b in xy_cut_order(seg)]
+    if vcuts:
+        segs = _bands(boxes, vcuts, key=lambda b: b.x0, reverse=False)
+        if len(segs) > 1:
+            return [b for seg in segs for b in xy_cut_order(seg)]
     return sorted(boxes, key=lambda b: (-b.y1, b.x0))
 
 

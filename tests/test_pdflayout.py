@@ -134,6 +134,24 @@ def test_dict_span_form():
     assert res["text"] == "hi"
 
 
+def test_dense_page_is_not_quadratic():
+    """Scale guard: the sweep-close grouping must handle a dense page
+    (20k spans = 10k isolated lines AND 10k paragraph-gap boxes, the
+    worst shape for naive all-pairs scans) in well under a second."""
+    import time
+    spans = []
+    for r in range(10000):
+        y = 2_000_000.0 - 40.0 * r  # gap 30 > margin: every line its own box
+        spans.append(span(f"w{r}", 10, y))
+        spans.append(span(f"v{r}", 24, y))  # adjacent: same line as w
+    t0 = time.perf_counter()
+    res = pdflayout.analyze_page(spans)
+    wall = time.perf_counter() - t0
+    assert len(res["boxes"]) == 10000
+    assert res["boxes"][0]["text"] == "w0 v0"
+    assert wall < 2.0, f"dense page took {wall:.2f}s"
+
+
 # ---------------- payload integration ----------------
 
 def _layout_pdf(password=""):
