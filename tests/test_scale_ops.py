@@ -385,3 +385,32 @@ class TestStreaming:
         table2 = stream_extract(spark, in_dir, str(tmp_path / "tbl"),
                                 str(tmp_path / "ckpt"))
         assert table2.read(spark).count() == 24
+
+    def test_available_now_ingest_webtext(self, spark, tmp_path):
+        """The same incremental job covers the webtext axis: streamed
+        web pages run the DOM extractor and commit their article text
+        plus spans, exactly-once across redelivery."""
+        import datetime as dt
+
+        from ocr_spark import schemas
+        from ocr_spark.sources import synth
+        from ocr_spark.streaming.jobs import stream_extract
+
+        in_dir = str(tmp_path / "win")
+        ts = dt.datetime(2026, 3, 1)
+        rows = [dict(synth.make_web_row(i), warc_ts=ts) for i in range(18)]
+        spark.createDataFrame(rows, schema=schemas.INPUT_SCHEMA) \
+            .repartition(3).write.parquet(in_dir)
+
+        table = stream_extract(spark, in_dir, str(tmp_path / "wtbl"),
+                               str(tmp_path / "wckpt"))
+        out = table.read(spark)
+        got = {r["url"]: r for r in out.collect()}
+        assert len(got) == 18
+        assert all(r["doc_type"] == "webpage" for r in got.values())
+        assert all(r["extracted_text"] for r in got.values())
+        assert all(r["webpage"]["n_blocks"] >= 1 for r in got.values())
+
+        table2 = stream_extract(spark, in_dir, str(tmp_path / "wtbl"),
+                                str(tmp_path / "wckpt"))
+        assert table2.read(spark).count() == 18
