@@ -79,9 +79,19 @@ def main(argv=None, spark=None) -> dict:
     if args.input:
         input_df = spark.read.parquet(args.input)
     elif args.warc:
+        from pyspark.sql import functions as F
+
         from ocr_spark.sources import warc
-        input_df = warc.read_warc(spark, args.warc).drop(
-            "_warc_segment", "_warc_offset", "_warc_skipped")
+        # Malformed-record casualties must surface in the summary
+        # (same never-silent contract as the LSH drop counters); the
+        # accumulator collects them with no second scan of the
+        # segments. Bookkeeping rows (NULL url) are not documents.
+        warc_skips = spark.sparkContext.accumulator(0)
+        input_df = (warc.read_warc(spark, args.warc,
+                                   skip_accumulator=warc_skips)
+                    .filter(F.col("url").isNotNull())
+                    .drop("_warc_segment", "_warc_offset",
+                          "_warc_skipped"))
     else:
         from ocr_spark.sources import synth
         input_df = synth.synth_input_df(spark, args.synth,
@@ -101,6 +111,8 @@ def main(argv=None, spark=None) -> dict:
     summary = {"run_id": run_id, **result,
                "committed_rows": (table.current_snapshot() or {}).get(
                    "committed_rows", 0)}
+    if args.warc:
+        summary["warc_records_skipped"] = int(warc_skips.value)
 
     if args.neardup:
         # Optional curation stage over the whole committed table. The

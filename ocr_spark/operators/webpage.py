@@ -25,6 +25,7 @@ PAGE_META_SCHEMA = StructType([
 
 
 def _meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ..textlib.charset import sniff_decode
     from ..textlib.webmeta import extract_metadata
     cols = [f.name for f in PAGE_META_SCHEMA.fields]
     for pdf in batches:
@@ -32,8 +33,10 @@ def _meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for url, html in zip(pdf["url"], pdf["html"]):
             if html is None:
                 continue
-            m = extract_metadata(bytes(html).decode("utf-8",
-                                                    errors="replace"))
+            # Same charset sniff as the extraction cascade, so the
+            # metadata side table never disagrees with the extracted
+            # text on a non-UTF-8 page.
+            m = extract_metadata(sniff_decode(bytes(html))[0])
             rows.append((url, m["title"], m["description"], m["author"],
                          m["published"], m["canonical"], m["sitename"]))
         yield pd.DataFrame(rows, columns=cols)

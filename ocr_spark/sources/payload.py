@@ -137,7 +137,10 @@ def pdf_extract_text(data: bytes, password: str = "") -> str:
     out = []
     for page in body["pages"]:
         rows = page.get("text_rows")
-        if rows is None and page.get("spans"):
+        # Empty text_rows must not shadow a span page: the layout side
+        # table (pdf_extract_layout) analyzes the same spans, and the
+        # two views of one payload may never contradict each other.
+        if not rows and page.get("spans"):
             rows = pdflayout.page_rows(page["spans"])
         for row in rows or []:
             out.append(row)

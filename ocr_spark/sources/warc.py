@@ -40,18 +40,29 @@ GZIP_MAGIC = b"\x1f\x8b"
 _CRLF2 = b"\r\n\r\n"
 
 
-def _decompress(data: bytes) -> bytes:
+def _decompress(data: bytes) -> tuple[bytes, int]:
     """Decode a (possibly multi-member) gzip stream; passthrough for
-    plain WARC bytes."""
+    plain WARC bytes. Returns (decompressed, n_bad): a corrupt member
+    or non-gzip trailing garbage keeps every member decoded so far and
+    counts one casualty instead of raising — one bad segment out of
+    ~90k must degrade, never kill the ingest task."""
     if data[:2] != GZIP_MAGIC:
-        return data
+        return data, 0
     out = []
+    bad = 0
     while data:
+        if data[:2] != GZIP_MAGIC:
+            bad = 1
+            break
         d = zlib.decompressobj(wbits=31)
-        out.append(d.decompress(data))
-        out.append(d.flush())
+        try:
+            out.append(d.decompress(data))
+            out.append(d.flush())
+        except zlib.error:
+            bad = 1
+            break
         data = d.unused_data
-    return b"".join(out)
+    return b"".join(out), bad
 
 
 def iter_warc_records(data: bytes) -> Iterator[dict]:
@@ -60,9 +71,8 @@ def iter_warc_records(data: bytes) -> Iterator[dict]:
     scan re-synchronizes at the next version line; the count of such
     skips is reported by parse errors in ``headers['_skipped']`` on a
     synthetic trailing record only when nonzero."""
-    buf = _decompress(data)
+    buf, skipped = _decompress(data)
     pos = 0
-    skipped = 0
     n = len(buf)
     while pos < n:
         # Skip inter-record blank lines (records start with "WARC/").
@@ -128,9 +138,18 @@ def record_to_row(rec: dict) -> dict | None:
     ts = _parse_warc_date(h.get("warc-date", ""))
     if rtype == "response":
         content = rec["content"]
-        # Strip the HTTP envelope: body starts after the first CRLFCRLF.
-        split = content.find(_CRLF2)
-        body = content[split + 4:] if split >= 0 else content
+        # Strip the HTTP envelope: body starts after the first blank
+        # line — CRLFCRLF per spec, but crawlers preserve LF-only
+        # header blocks from non-compliant servers verbatim, so accept
+        # whichever blank line comes first.
+        crlf = content.find(_CRLF2)
+        lf = content.find(b"\n\n")
+        if crlf >= 0 and (lf < 0 or crlf <= lf):
+            body = content[crlf + 4:]
+        elif lf >= 0:
+            body = content[lf + 2:]
+        else:
+            body = content
         return {"url": url, "warc_ts": ts, "html": body, "text": "",
                 "lang": None}
     lang = h.get("warc-identified-content-language")
@@ -156,7 +175,8 @@ def segment_rows(data: bytes) -> tuple[list[dict], int]:
     return rows, skipped
 
 
-def read_warc(spark, path, num_partitions: int | None = None):
+def read_warc(spark, path, num_partitions: int | None = None,
+              skip_accumulator=None):
     """WARC/WET segments -> the north-rule input DataFrame.
 
     ``binaryFile`` gives one row per segment; Common Crawl's ~1 GB
@@ -164,7 +184,12 @@ def read_warc(spark, path, num_partitions: int | None = None):
     ~90k segments >> any executor count). Records split inside an
     Arrow-batched mapInPandas pass; per-segment skip counts ride a
     ``_warc_skipped`` column so a lossy segment is observable, not
-    silent (same contract as the LSH drop counters)."""
+    silent (same contract as the LSH drop counters) — a segment whose
+    every record is malformed still surfaces: it emits one
+    bookkeeping row with a NULL url carrying its count (document
+    consumers filter ``url IS NOT NULL``). ``skip_accumulator`` (a
+    SparkContext accumulator) additionally collects the total with no
+    second scan — best-effort under task retries, for job summaries."""
     import pandas as pd
 
     from pyspark.sql import functions as F
@@ -193,6 +218,13 @@ def read_warc(spark, path, num_partitions: int | None = None):
             out = []
             for path_, content in zip(pdf["path"], pdf["content"]):
                 rows, skipped = segment_rows(bytes(content))
+                if skipped and skip_accumulator is not None:
+                    skip_accumulator.add(skipped)
+                if not rows and skipped:
+                    # All-casualty segment: without a bookkeeping row
+                    # its loss would vanish from the DataFrame.
+                    out.append((None, None, None, None, None, path_,
+                                None, skipped))
                 for r in rows:
                     out.append((r["url"], r["warc_ts"], r["html"],
                                 r["text"], r["lang"], path_,

@@ -24,9 +24,11 @@ from __future__ import annotations
 import codecs
 import re
 
-_META_RE = re.compile(
-    rb"<meta[^>]{0,512}?charset\s*=\s*[\"']?\s*([a-zA-Z0-9._\-]+)",
-    re.IGNORECASE)
+_META_TAG_RE = re.compile(rb"<meta\b([^>]{0,512})", re.IGNORECASE)
+_ATTR_RE = re.compile(
+    rb"([a-zA-Z-]+)\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>\"']+))")
+_CONTENT_CHARSET_RE = re.compile(rb"charset\s*=\s*[\"']?\s*([a-zA-Z0-9._\-]+)",
+                                 re.IGNORECASE)
 
 # WHATWG label normalizations relevant to the fallback chain.
 _LABEL_MAP = {
@@ -42,6 +44,42 @@ _LABEL_MAP = {
 }
 
 
+def _declared_label(body: bytes) -> str | None:
+    """The meta-declared encoding label from the 1 KB ASCII prescan,
+    normalized and validated (None when absent/unusable). Faithful to
+    the WHATWG prescan's attribute semantics: a bare ``charset``
+    ATTRIBUTE on a <meta> tag counts anywhere, but ``charset=`` inside
+    a ``content`` value only counts when that tag also carries
+    ``http-equiv=content-type`` — so a page whose description merely
+    MENTIONS a charset is never mis-sniffed."""
+    for m in _META_TAG_RE.finditer(body[:1024]):
+        attrs: dict[bytes, bytes] = {}
+        for am in _ATTR_RE.finditer(m.group(1)):
+            name = am.group(1).lower()
+            if name not in attrs:
+                attrs[name] = am.group(2) or am.group(3) or am.group(4) or b""
+        raw = attrs.get(b"charset")
+        if raw is None and \
+                attrs.get(b"http-equiv", b"").lower() == b"content-type":
+            cm = _CONTENT_CHARSET_RE.search(attrs.get(b"content", b""))
+            raw = cm.group(1) if cm else None
+        if raw is None:
+            continue
+        label = raw.decode("ascii", errors="replace").strip().lower()
+        label = _LABEL_MAP.get(label, label)
+        try:
+            # bytes.decode rejects non-TEXT codecs (zlib/hex/base64),
+            # unlike codecs.lookup — both sniff functions must agree.
+            # Probe a real byte: empty bytes short-circuit before the
+            # codec lookup; errors="replace" so width-sensitive codecs
+            # (utf-32) validate instead of raising on the short probe.
+            b"A".decode(label, "replace")
+            return label
+        except (LookupError, ValueError):
+            continue  # unknown label: keep scanning / fall through
+    return None
+
+
 def sniff_encoding(body: bytes) -> str:
     """The encoding the WHATWG steps select for this byte stream."""
     if body.startswith(codecs.BOM_UTF8):
@@ -50,15 +88,9 @@ def sniff_encoding(body: bytes) -> str:
         return "utf-16-le-bom"
     if body.startswith(codecs.BOM_UTF16_BE):
         return "utf-16-be-bom"
-    m = _META_RE.search(body[:1024])
-    if m:
-        label = m.group(1).decode("ascii", errors="replace").lower()
-        label = _LABEL_MAP.get(label, label)
-        try:
-            codecs.lookup(label)
-            return label
-        except LookupError:
-            pass  # unknown label: fall through to content sniffing
+    label = _declared_label(body)
+    if label is not None:
+        return label
     try:
         body.decode("utf-8")
         return "utf-8"
@@ -77,14 +109,9 @@ def sniff_decode(body: bytes) -> tuple[str, str]:
         return body[2:].decode("utf-16-le", errors="replace"), "utf-16-le-bom"
     if body.startswith(codecs.BOM_UTF16_BE):
         return body[2:].decode("utf-16-be", errors="replace"), "utf-16-be-bom"
-    m = _META_RE.search(body[:1024])
-    if m:
-        label = m.group(1).decode("ascii", errors="replace").lower()
-        label = _LABEL_MAP.get(label, label)
-        try:
-            return body.decode(label, errors="replace"), label
-        except LookupError:
-            pass  # unknown label: fall through to content sniffing
+    label = _declared_label(body)
+    if label is not None:
+        return body.decode(label, errors="replace"), label
     try:
         return body.decode("utf-8"), "utf-8"
     except UnicodeDecodeError:

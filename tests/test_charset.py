@@ -59,6 +59,38 @@ def test_unknown_label_falls_through():
     assert sniff_encoding(raw) == "utf-8"
 
 
+def test_charset_mention_in_content_not_sniffed():
+    # WHATWG prescan: charset= inside content only counts with
+    # http-equiv=content-type — a description MENTIONING a charset
+    # must not hijack the page encoding.
+    head = ('<meta name="description" '
+            'content="how to set charset=koi8-r in html"/>')
+    raw = PAGE.format(head=head).encode("utf-8")
+    assert sniff_encoding(raw) == "utf-8"
+    assert "résumé" in sniff_decode(raw)[0]
+
+
+def test_non_text_codec_label_rejected_by_both_forms():
+    # codecs.lookup accepts bytes-to-bytes codecs like zlib/hex;
+    # neither sniff function may select one.
+    for label in ("zlib", "hex", "base64"):
+        raw = PAGE.format(head=f'<meta charset="{label}"/>').encode("utf-8")
+        assert sniff_encoding(raw) == "utf-8"
+        text, enc = sniff_decode(raw)
+        assert enc == "utf-8" and ARTICLE in text
+
+
+def test_page_metadata_uses_charset_sniff(spark):
+    from ocr_spark.operators.webpage import page_metadata
+    html = ('<html><head><meta charset="iso-8859-1"/>'
+            '<title>Café Guide</title></head>'
+            '<body><h1>x</h1></body></html>').encode("cp1252")
+    df = spark.createDataFrame([("https://x/1", bytearray(html))],
+                               "url string, html binary")
+    row = page_metadata(df).collect()[0]
+    assert row["title"] == "Café Guide"
+
+
 def test_undeclared_utf8_and_cp1252():
     utf8 = PAGE.format(head="").encode("utf-8")
     assert sniff_encoding(utf8) == "utf-8"

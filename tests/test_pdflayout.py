@@ -193,3 +193,12 @@ def test_pdf_extract_layout_respects_password():
 def test_text_rows_pages_have_no_layout_entries():
     data = pl.make_pdf_payload([{"text_rows": ["a"]}])
     assert pl.pdf_extract_layout(data) == []
+
+
+def test_empty_text_rows_does_not_shadow_spans():
+    # Both views of one payload must agree: extracted text and the
+    # layout side table come from the same spans.
+    data = pl.make_pdf_payload(
+        [{"text_rows": [], "spans": [span("hello", 10, 690)]}])
+    assert pl.pdf_extract_text(data) == "hello\n"
+    assert pl.pdf_extract_layout(data)[0]["boxes"][0]["text"] == "hello"

@@ -125,6 +125,59 @@ def test_read_warc_dataframe(spark, warc_dir):
             assert g["text"] == r["text"]
 
 
+def test_corrupt_gzip_member_degrades_not_raises():
+    """A bit-flipped member or trailing garbage keeps every member
+    decoded so far and counts a casualty — never an exception."""
+    rows = _rows(4)
+    members = [gzip.compress(warc.build_warc_bytes([r], False))
+               for r in rows]
+    flipped = bytearray(members[2])
+    flipped[12] ^= 0xFF
+    got, skipped = warc.segment_rows(
+        b"".join(members[:2]) + bytes(flipped))
+    assert skipped >= 1
+    assert [g["url"] for g in got] == [r["url"] for r in rows[:2]]
+    # Trailing non-gzip padding after valid members.
+    got2, skipped2 = warc.segment_rows(b"".join(members[:2]) + b"\x00" * 16)
+    assert skipped2 >= 1 and len(got2) == 2
+
+
+def test_all_malformed_segment_surfaces_bookkeeping_row(spark, tmp_path):
+    d = tmp_path / "badseg"
+    d.mkdir()
+    rec = warc.build_warc_bytes(_rows(1), False)
+    (d / "bad.warc").write_bytes(
+        rec.replace(b"Content-Length:", b"Content-Length: junk;", 1))
+    got = warc.read_warc(spark, str(d)).collect()
+    assert len(got) == 1
+    assert got[0]["url"] is None and got[0]["_warc_skipped"] >= 1
+
+
+def test_lf_only_http_envelope_stripped():
+    html = b"<html><body>lf-only page</body></html>"
+    http = b"HTTP/1.1 200 OK\nContent-Type: text/html\n\n" + html
+    rec = warc._record_bytes(
+        [("WARC-Type", "response"),
+         ("WARC-Target-URI", "https://x.synth.local/lf"),
+         ("WARC-Date", "2026-03-01T12:00:00Z")], http)
+    got, _ = warc.segment_rows(rec)
+    assert got[0]["html"] == html
+
+
+def test_job_warc_summary_reports_skips(spark, tmp_path):
+    d = tmp_path / "mixseg"
+    d.mkdir()
+    good = warc.build_warc_bytes(_rows(3), False)
+    bad = warc.build_warc_bytes([_rows(4)[3]], False).replace(
+        b"Content-Length:", b"Content-Length: junk;", 1)
+    (d / "seg.warc").write_bytes(good + bad)
+    from ocr_spark import job
+    r = job.main(["--warc", str(d), "--table", str(tmp_path / "t"),
+                  "--partitions", "2"], spark=spark)
+    assert r["processed"] == 3
+    assert r["warc_records_skipped"] >= 1
+
+
 def test_record_offsets_are_lineage_grade():
     """Offsets locate each record in the decompressed stream: strictly
     increasing, first at 0, and each points at a version line."""
