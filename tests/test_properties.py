@@ -141,3 +141,69 @@ def test_article_text_roundtrip(body):
     page = f"<html><body><article><p>{body}</p></article></body></html>"
     res = htmltext.extract_main(page)
     assert res["main_text"] == " ".join(body.split())
+
+
+# ---------------------------------------------------------------------------
+# Crawl-byte totality: the byte-facing entry points added for the
+# webtext tier must be TOTAL over arbitrary bytes — at 10^12 documents
+# every possible garbage input eventually arrives, and one raising row
+# kills a whole Arrow batch / segment task.
+
+from ocr_spark.sources import warc as warc_mod
+from ocr_spark.textlib import charset as charset_mod
+from ocr_spark.textlib import pdflayout as pdflayout_mod
+from ocr_spark.textlib import webmeta as webmeta_mod
+from ocr_spark.textlib.urlnorm import url_normalize
+
+
+@given(st.binary(max_size=2048))
+@settings(max_examples=300)
+def test_charset_sniff_total_on_arbitrary_bytes(data):
+    text, enc = charset_mod.sniff_decode(data)
+    assert isinstance(text, str) and isinstance(enc, str)
+
+
+@given(st.binary(max_size=2048))
+@settings(max_examples=300)
+def test_warc_parse_total_on_arbitrary_bytes(data):
+    rows, skipped = warc_mod.segment_rows(data)
+    assert skipped >= 0
+    for r in rows:
+        assert r["url"]
+
+
+@given(st.binary(max_size=512).map(
+    lambda b: b"WARC/1.0\r\n" + b))
+@settings(max_examples=200)
+def test_warc_parse_total_on_header_shaped_bytes(data):
+    warc_mod.segment_rows(data)
+
+
+@given(st.text(max_size=300))
+@settings(max_examples=300)
+def test_url_normalize_total_and_idempotent(u):
+    once = url_normalize(u)
+    assert url_normalize(once) == once
+
+
+@given(st.text(max_size=1024))
+@settings(max_examples=200)
+def test_webmeta_total_on_arbitrary_text(t):
+    m = webmeta_mod.extract_metadata(t)
+    assert set(m) == {"title", "description", "author", "published",
+                      "canonical", "sitename"}
+
+
+_span_vals = st.floats(min_value=-1e6, max_value=1e6,
+                       allow_nan=False, allow_infinity=False)
+
+
+@given(st.lists(st.tuples(st.text(max_size=8), _span_vals, _span_vals,
+                          _span_vals, _span_vals), max_size=30))
+@settings(max_examples=200)
+def test_pdflayout_total_on_arbitrary_geometry(spans):
+    res = pdflayout_mod.analyze_page([list(s) for s in spans])
+    # Every non-empty span's text must appear in the assembled page.
+    for t, *_ in spans:
+        if t:
+            assert t in res["text"]
