@@ -114,7 +114,9 @@ def url_normalize(c: Column) -> Column:
     driver-oracle replays them verbatim):
 
       1. strip the fragment (``#...``)
-      2. lowercase scheme + authority (path/query stay case-sensitive)
+      2. lowercase scheme + host — userinfo (``user:pass@``) stays
+         case-sensitive per RFC 3986 §6.2.2.1; path/query stay
+         case-sensitive too
       3. drop the default port (``:80`` for http, ``:443`` for https)
       4. drop tracking query params (TRACKING_PARAM_RE) and empty
          pairs, sort the survivors bytewise, rejoin with ``&``
@@ -124,9 +126,21 @@ def url_normalize(c: Column) -> Column:
     nofrag = F.regexp_replace(c, r"#.*$", "")
     base = F.regexp_extract(nofrag, r"^([a-zA-Z][a-zA-Z0-9+.\-]*://[^/?]+)", 1)
     rest = F.substring(nofrag, F.length(base) + 1, F.lit(1 << 30))
-    base = F.lower(base)
-    base = F.regexp_replace(base, r"^(http://[^/:]+):80$", "$1")
-    base = F.regexp_replace(base, r"^(https://[^/:]+):443$", "$1")
+    # Split the authority on the LAST '@' (greedy capture): scheme and
+    # host fold to lowercase, userinfo does not.
+    scheme = F.lower(
+        F.regexp_extract(base, r"^([a-zA-Z][a-zA-Z0-9+.\-]*://)", 1))
+    auth = F.regexp_extract(base, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://(.*)$", 1)
+    userinfo = F.regexp_extract(auth, r"^(.*@)", 1)
+    host = F.lower(F.substring(auth, F.length(userinfo) + 1,
+                               F.lit(1 << 30)))
+    host = F.when(scheme == "http://",
+                  F.regexp_replace(host, r"^([^:]+):80$", "$1"))\
+        .otherwise(host)
+    host = F.when(scheme == "https://",
+                  F.regexp_replace(host, r"^([^:]+):443$", "$1"))\
+        .otherwise(host)
+    base = F.concat(scheme, userinfo, host)
     path = F.regexp_extract(rest, r"^([^?]*)", 1)
     query = F.regexp_extract(rest, r"\?(.*)$", 1)
     params = F.filter(

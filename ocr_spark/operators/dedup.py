@@ -529,11 +529,29 @@ def _py_ngram_jaccard(k: int):
     return jac
 
 
+def derive_anchor_perms(threshold: float, anchor_rows: int,
+                        target_recall: float = 0.95) -> int:
+    """Smallest anchor count p with candidate recall
+    1-(1-threshold^anchor_rows)^p >= target_recall at J = threshold —
+    so the operator's DEFAULT parameters never silently under-recall
+    at the operator's own advertised threshold (the r3 trap: fixed
+    p=6 gave 0.82 recall at J=0.5)."""
+    miss = 1.0 - threshold ** anchor_rows
+    if miss <= 0.0:
+        return 1
+    import math
+    p = max(1, math.ceil(math.log(1.0 - target_recall) / math.log(miss)))
+    while 1.0 - miss ** p < target_recall:
+        p += 1
+    return p
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 8,
                         threshold: float = 0.5,
                         length_band: int = 32, max_bucket: int = 10_000,
-                        anchor_perms: int = 6, anchor_rows: int = 2,
+                        anchor_perms: int | None = None,
+                        anchor_rows: int = 2,
                         spread: bool = True, hash_mode: str = "poly",
                         return_report: bool = False):
     """Exact n-gram Jaccard pairs with (length band, anchor) blocking.

@@ -4,14 +4,16 @@ table ``(url, warc_ts, html BINARY, text, lang)``.
 
 Common Crawl ships each crawl as ~90k gzip WARC segments of ~1 GB,
 with every record compressed as its own gzip member so readers can
-split on member boundaries. Python's zlib transparently decodes
-multi-member streams and WARC records are self-delimiting via
-``Content-Length``, so this reader decompresses a segment once and
-walks records sequentially — the SEGMENT FILE is the Spark
-parallelism unit (one ``binaryFile`` row per segment, records split
-inside a mapInPandas pass), which matches how the corpus is actually
-laid out: parallelism = number of segments, no intra-file splits
-needed.
+split on member boundaries. WARC records are self-delimiting via
+``Content-Length``, so this reader decodes gzip members INCREMENTALLY
+and yields records as soon as their bytes are complete — peak
+decompressed buffering is max(one member, one record), never the
+whole segment (~4-5 GB for a ~1 GB segment; at 16-32 tasks per
+executor whole-segment buffering would be the executor's entire
+memory). The SEGMENT FILE is the Spark parallelism unit (one
+``binaryFile`` row per segment, records split inside a mapInPandas
+pass), which matches how the corpus is actually laid out:
+parallelism = number of segments, no intra-file splits needed.
 
 Record mapping (everything else — warcinfo, request, metadata,
 revisit — is skipped):
@@ -38,82 +40,176 @@ from collections.abc import Iterator
 
 GZIP_MAGIC = b"\x1f\x8b"
 _CRLF2 = b"\r\n\r\n"
+# Compressed-input feed window: bounds both the per-call decompressor
+# input and the post-member ``unused_data`` copy (the naive
+# data = d.unused_data loop re-copies the whole compressed remainder
+# once per member — O(members x segment) on a ~100k-member segment).
+_FEED = 1 << 20
+# A WARC header block is a few hundred bytes; a megabyte without the
+# terminating CRLFCRLF means the record is garbage, not a header.
+_MAX_HEADER = 1 << 20
 
 
-def _decompress(data: bytes) -> tuple[bytes, int]:
-    """Decode a (possibly multi-member) gzip stream; passthrough for
-    plain WARC bytes. Returns (decompressed, n_bad): a corrupt member
-    or non-gzip trailing garbage keeps every member decoded so far and
-    counts one casualty instead of raising — one bad segment out of
-    ~90k must degrade, never kill the ingest task."""
-    if data[:2] != GZIP_MAGIC:
-        return data, 0
-    out = []
-    bad = 0
-    while data:
-        if data[:2] != GZIP_MAGIC:
-            bad = 1
-            break
-        d = zlib.decompressobj(wbits=31)
-        try:
-            out.append(d.decompress(data))
-            out.append(d.flush())
-        except zlib.error:
-            bad = 1
-            break
-        data = d.unused_data
-    return b"".join(out), bad
+class _StreamDecoder:
+    """Member-by-member gzip decoder (passthrough for plain bytes).
+
+    ``next_chunk()`` returns one decompressed member at a time (or the
+    whole input when it isn't gzip), ``None`` at end of stream. A
+    corrupt or truncated member keeps every member decoded so far and
+    sets ``bad = 1`` instead of raising — one bad segment out of ~90k
+    must degrade, never kill the ingest task."""
+
+    def __init__(self, data: bytes):
+        self._mv = memoryview(data)
+        self._pos = 0
+        self._plain = data[:2] != GZIP_MAGIC
+        self._done = False
+        self.bad = 0
+
+    def next_chunk(self) -> bytes | None:
+        if self._done:
+            return None
+        if self._plain:
+            self._done = True
+            return bytes(self._mv)
+        while self._pos < len(self._mv):
+            if bytes(self._mv[self._pos:self._pos + 2]) != GZIP_MAGIC:
+                # Non-gzip trailing garbage after valid members.
+                self.bad = 1
+                break
+            d = zlib.decompressobj(wbits=31)
+            out = []
+            try:
+                while not d.eof and self._pos < len(self._mv):
+                    piece = self._mv[self._pos:self._pos + _FEED]
+                    out.append(d.decompress(piece))
+                    self._pos += len(piece)
+                if d.eof:
+                    self._pos -= len(d.unused_data)
+                    out.append(d.flush())
+                else:
+                    # Input exhausted mid-member: truncated download.
+                    self.bad = 1
+                    self._done = True
+                    return b"".join(out) or None
+            except zlib.error:
+                self.bad = 1
+                break
+            chunk = b"".join(out)
+            if chunk:
+                return chunk
+        self._done = True
+        return None
 
 
 def iter_warc_records(data: bytes) -> Iterator[dict]:
-    """Yield ``{"headers": {lower-name: value}, "content": bytes}`` per
-    record. Tolerant: a record that fails to parse is skipped and the
-    scan re-synchronizes at the next version line; the count of such
-    skips is reported by parse errors in ``headers['_skipped']`` on a
+    """Yield ``{"headers": {lower-name: value}, "content": bytes,
+    "offset": int}`` per record, decoding the segment INCREMENTALLY —
+    peak buffered decompressed bytes is max(one gzip member, one
+    record), never the whole segment. Tolerant and total: a record
+    that fails to parse (bad/negative Content-Length, endless header,
+    body truncated by a cut-off download) is skipped and the scan
+    re-synchronizes at the next version line; the cursor strictly
+    advances every iteration, so no malformed shape can loop. The
+    count of skips is reported in ``headers['_skipped']`` on a
     synthetic trailing record only when nonzero."""
-    buf, skipped = _decompress(data)
-    pos = 0
-    n = len(buf)
-    while pos < n:
+    dec = _StreamDecoder(data)
+    buf = b""
+    base = 0  # absolute offset of buf[0] in the decompressed stream
+    skipped = 0
+
+    def fill() -> bool:
+        nonlocal buf
+        chunk = dec.next_chunk()
+        if chunk is None:
+            return False
+        buf += chunk
+        return True
+
+    def resync(start: int) -> bool:
+        """Advance buf past the next ``\\r\\nWARC/`` at/after start,
+        pulling more chunks as needed; False when the stream ends
+        first. Keeps only a marker-sized tail while scanning."""
+        nonlocal buf, base
+        while True:
+            nxt = buf.find(b"\r\nWARC/", start)
+            if nxt >= 0:
+                base += nxt + 2
+                buf = buf[nxt + 2:]
+                return True
+            keep = max(len(buf) - 6, start)
+            base += keep
+            buf = buf[keep:]
+            start = 0
+            if not fill():
+                base += len(buf)
+                buf = b""
+                return False
+
+    while True:
         # Skip inter-record blank lines (records start with "WARC/").
-        while pos < n and buf[pos] in (0x0D, 0x0A):
-            pos += 1
-        if pos >= n:
+        i = 0
+        while i < len(buf) and buf[i] in (0x0D, 0x0A):
+            i += 1
+        if i:
+            base += i
+            buf = buf[i:]
+        while len(buf) < 5 and fill():
+            pass
+        if not buf:
             break
-        if not buf.startswith(b"WARC/", pos):
+        if not buf.startswith(b"WARC/"):
             # Out of sync: jump to the next version line.
-            nxt = buf.find(b"\r\nWARC/", pos)
             skipped += 1
-            if nxt < 0:
+            if not resync(0):
                 break
-            pos = nxt + 2
             continue
-        rec_offset = pos  # byte offset in the decompressed stream
-        hdr_end = buf.find(_CRLF2, pos)
+        hdr_end = buf.find(_CRLF2)
+        scan = 0
+        bad_header = False
+        while hdr_end < 0:
+            if len(buf) > _MAX_HEADER:
+                bad_header = True
+                break
+            scan = max(0, len(buf) - 3)
+            if not fill():
+                break
+            hdr_end = buf.find(_CRLF2, scan)
         if hdr_end < 0:
             skipped += 1
+            if bad_header and resync(5):
+                continue
             break
-        head = buf[pos:hdr_end].decode("utf-8", errors="replace")
-        lines = head.split("\r\n")
+        head = buf[:hdr_end].decode("utf-8", errors="replace")
         headers: dict[str, str] = {}
-        for line in lines[1:]:
+        for line in head.split("\r\n")[1:]:
             k, sep, v = line.partition(":")
             if sep:
                 headers[k.strip().lower()] = v.strip()
         try:
             length = int(headers.get("content-length", ""))
         except ValueError:
-            nxt = buf.find(b"\r\nWARC/", hdr_end)
+            length = -1
+        if length < 0:
+            # Unparseable or NEGATIVE Content-Length — a negative value
+            # must not walk the cursor backwards (re-yield loop).
             skipped += 1
-            if nxt < 0:
+            if not resync(hdr_end):
                 break
-            pos = nxt + 2
             continue
         body_start = hdr_end + 4
+        while len(buf) < body_start + length and fill():
+            pass
+        if len(buf) < body_start + length:
+            # Truncated download: a partial body is a casualty, not a
+            # silently corrupt document row.
+            skipped += 1
+            break
         content = buf[body_start:body_start + length]
-        pos = body_start + length
-        yield {"headers": headers, "content": content,
-               "offset": rec_offset}
+        yield {"headers": headers, "content": content, "offset": base}
+        base += body_start + length
+        buf = buf[body_start + length:]
+    skipped += dec.bad
     if skipped:
         yield {"headers": {"_skipped": str(skipped)}, "content": b""}
 
@@ -184,12 +280,14 @@ def read_warc(spark, path, num_partitions: int | None = None,
     ~90k segments >> any executor count). Records split inside an
     Arrow-batched mapInPandas pass; per-segment skip counts ride a
     ``_warc_skipped`` column so a lossy segment is observable, not
-    silent (same contract as the LSH drop counters) — a segment whose
-    every record is malformed still surfaces: it emits one
-    bookkeeping row with a NULL url carrying its count (document
-    consumers filter ``url IS NOT NULL``). ``skip_accumulator`` (a
-    SparkContext accumulator) additionally collects the total with no
-    second scan — best-effort under task retries, for job summaries."""
+    silent (same contract as the LSH drop counters). Document rows
+    always carry ``_warc_skipped = 0``; every segment with casualties
+    emits exactly ONE bookkeeping row (NULL url, the segment's count)
+    — so ``SUM(_warc_skipped)`` over the frame IS the total casualty
+    count, and document consumers filter ``url IS NOT NULL``.
+    ``skip_accumulator`` (a SparkContext accumulator) additionally
+    collects the total with no second scan — best-effort under task
+    retries, for job summaries."""
     import pandas as pd
 
     from pyspark.sql import functions as F
@@ -220,15 +318,17 @@ def read_warc(spark, path, num_partitions: int | None = None,
                 rows, skipped = segment_rows(bytes(content))
                 if skipped and skip_accumulator is not None:
                     skip_accumulator.add(skipped)
-                if not rows and skipped:
-                    # All-casualty segment: without a bookkeeping row
-                    # its loss would vanish from the DataFrame.
+                if skipped:
+                    # One bookkeeping row per lossy segment carries the
+                    # whole count (document rows stay 0) so a plain
+                    # SUM(_warc_skipped) is the total, never a
+                    # per-row-replicated overcount.
                     out.append((None, None, None, None, None, path_,
                                 None, skipped))
                 for r in rows:
                     out.append((r["url"], r["warc_ts"], r["html"],
                                 r["text"], r["lang"], path_,
-                                r["offset"], skipped))
+                                r["offset"], 0))
             yield pd.DataFrame(out, columns=cols)
 
     df = (spark.read.format("binaryFile").load(path)

@@ -13,8 +13,9 @@ import re
 TRACKING_PARAM_RE = re.compile(r"^(utm_[^=]*|gclid|fbclid|msclkid|mc_eid)(=.*)?$")
 
 _BASE_RE = re.compile(r"^([a-zA-Z][a-zA-Z0-9+.\-]*://[^/?]+)")
-_HTTP_PORT_RE = re.compile(r"^(http://[^/:]+):80$")
-_HTTPS_PORT_RE = re.compile(r"^(https://[^/:]+):443$")
+_SCHEME_RE = re.compile(r"^([a-zA-Z][a-zA-Z0-9+.\-]*://)")
+_PORT_RE = {"http://": re.compile(r"^([^:]+):80$"),
+            "https://": re.compile(r"^([^:]+):443$")}
 
 
 def url_normalize(url: str) -> str:
@@ -22,9 +23,18 @@ def url_normalize(url: str) -> str:
     m = _BASE_RE.match(nofrag)
     base = m.group(1) if m else ""
     rest = nofrag[len(base):]
-    base = base.lower()
-    base = _HTTP_PORT_RE.sub(r"\1", base)
-    base = _HTTPS_PORT_RE.sub(r"\1", base)
+    # Scheme and host fold to lowercase; userinfo (up to the LAST '@')
+    # stays case-sensitive per RFC 3986 §6.2.2.1.
+    sm = _SCHEME_RE.match(base)
+    scheme = sm.group(1).lower() if sm else ""
+    auth = base[len(sm.group(1)):] if sm else ""
+    at = auth.rfind("@")
+    userinfo = auth[:at + 1] if at >= 0 else ""
+    host = auth[at + 1:].lower()
+    port_re = _PORT_RE.get(scheme)
+    if port_re:
+        host = port_re.sub(r"\1", host)
+    base = scheme + userinfo + host
     path = re.match(r"^([^?]*)", rest).group(1)
     qm = re.search(r"\?(.*)$", rest)
     query = qm.group(1) if qm else ""

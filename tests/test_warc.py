@@ -84,6 +84,76 @@ def test_malformed_record_resync():
         and rows[3]["url"] in urls
 
 
+def test_negative_content_length_terminates_and_resyncs():
+    """Regression (r4 advice, high): a negative Content-Length used to
+    move the cursor BACKWARDS and re-yield the same record forever."""
+    rows = _rows(3)
+    recs = [warc.build_warc_bytes([r], False) for r in rows]
+    bad = recs[1].replace(b"Content-Length: ", b"Content-Length: -1", 1)
+    got, skipped = warc.segment_rows(recs[0] + bad + recs[2])
+    assert skipped >= 1
+    urls = [g["url"] for g in got]
+    assert rows[0]["url"] in urls and rows[2]["url"] in urls
+    # Exactly once each — the old bug re-yielded a record unboundedly.
+    assert len(urls) == len(set(urls))
+
+
+def test_truncated_body_counts_skip_not_corrupt_row():
+    """A record whose Content-Length exceeds the remaining bytes (a
+    cut-off download) must become a casualty, not a silently truncated
+    document row."""
+    rows = _rows(2)
+    data = warc.build_warc_bytes(rows, False)
+    got, skipped = warc.segment_rows(data[:-40])
+    assert skipped >= 1
+    assert [g["url"] for g in got] == [rows[0]["url"]]
+
+
+def test_streaming_decode_memory_bounded():
+    """Peak decompressed buffering is max(member, record), never the
+    whole segment: 32 x 1 MB members must iterate in ~a-member of
+    heap, not 32 MB."""
+    import tracemalloc
+
+    body = (b"<html><body>" + b"x" * (1 << 20) + b"</body></html>")
+    rows = [{"url": f"https://x.synth.local/m{i}", "warc_ts": TS,
+             "html": body, "text": "", "lang": None} for i in range(32)]
+    data = warc.build_warc_bytes(rows, True)
+    tracemalloc.start()
+    tracemalloc.reset_peak()
+    n = 0
+    total = 0
+    for rec in warc.iter_warc_records(data):
+        if "_skipped" not in rec["headers"]:
+            n += 1
+            total += len(rec["content"])
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert n == 32 and total > 32 * (1 << 20)
+    assert peak < 8 * (1 << 20), f"peak {peak} bytes"
+
+
+def test_skip_count_sums_once_per_segment(spark, tmp_path):
+    """SUM(_warc_skipped) over the frame equals the true casualty
+    count: document rows carry 0, one bookkeeping row per lossy
+    segment carries its whole count."""
+    import pyspark.sql.functions as F
+    d = tmp_path / "sumseg"
+    d.mkdir()
+    good = warc.build_warc_bytes(_rows(3), False)
+    bad = warc.build_warc_bytes([_rows(4)[3]], False).replace(
+        b"Content-Length:", b"Content-Length: junk;", 1)
+    (d / "seg.warc").write_bytes(good + bad)
+    df = warc.read_warc(spark, str(d))
+    rows = df.collect()
+    docs = [r for r in rows if r["url"] is not None]
+    book = [r for r in rows if r["url"] is None]
+    assert len(docs) == 3 and all(r["_warc_skipped"] == 0 for r in docs)
+    assert len(book) == 1 and book[0]["_warc_skipped"] >= 1
+    total = df.agg(F.sum("_warc_skipped")).collect()[0][0]
+    assert total == book[0]["_warc_skipped"]
+
+
 def test_http_header_strip_keeps_body_bytes():
     html = b"<html><body>exact \xe2\x82\xac bytes</body></html>"
     data = warc.build_warc_bytes(
