@@ -170,7 +170,8 @@ def main():
     # poly: numpy rolling-hash signature fast path (~3x vs the
     # expression form; verify stage stays exact-Jaccard).
     mh_pairs, mh_rep = dedup.minhash_lsh_pairs(
-        docs, threshold=0.3, hash_mode="poly", return_report=True)
+        docs, threshold=0.3, hash_mode="poly", return_report=True,
+        spread=cpus)
 
     @timed("minhash_lsh")
     def _mh():
@@ -179,7 +180,7 @@ def main():
     report("minhash_lsh", mh_rep)
 
     sh_pairs, sh_rep = dedup.simhash_pairs(docs, max_hamming=10,
-                                           return_report=True)
+                                           return_report=True, spread=cpus)
 
     @timed("simhash")
     def _sh():
@@ -188,7 +189,8 @@ def main():
     report("simhash", sh_rep)
 
     nj_pairs, nj_rep = dedup.ngram_jaccard_pairs(docs, threshold=0.5,
-                                                 return_report=True)
+                                                 return_report=True,
+                                                 spread=cpus)
 
     @timed("ngram_jaccard_pairs")
     def _nj():

@@ -211,28 +211,37 @@ def jaccard(a, b):
     return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
 
 
-def _spread(df: DataFrame, enabled: bool = True) -> DataFrame:
+def _spread(df: DataFrame, spread) -> DataFrame:
     """Small scans (one parquet file -> one task) would serialize the
-    compute-heavy signature stages on a single core; spread them to the
-    cluster's parallelism. An unconditional repartition would be a
-    full-corpus shuffle at production scale, so this probes the current
-    partition count first — df.rdd.getNumPartitions() is driver-side
-    plan work only (no job runs); callers that KNOW their scan is
-    already wide (production pipelines over many-file tables) pass
-    spread=False to skip the probe entirely."""
-    if not enabled:
+    compute-heavy signature stages on a single core; ``spread`` lets a
+    caller widen them. Semantics (r4 hygiene: the production default
+    must not touch df.rdd):
+
+      * ``False``/``None`` (DEFAULT) — leave the input layout alone.
+        Production pipelines over many-file tables are already wide;
+        an operator must not probe or reshuffle behind their back.
+      * ``int N`` — ``repartition(N)`` unconditionally: the caller
+        states the target parallelism (bench/driver queries over
+        one-file scans).
+      * ``True`` — legacy convenience: probe the current partition
+        count (df.rdd.getNumPartitions(), driver-side plan work only)
+        and widen to defaultParallelism when narrower. Kept for tests;
+        not used by any production path."""
+    if not spread:
         return df
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    if spread is True:
+        target = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            return df.repartition(target)
+        return df
+    return df.repartition(int(spread))
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", k: int = 8,
                       num_perm: int = 32, bands: int = 8,
                       threshold: float = 0.7, max_bucket: int = 1000,
-                      spread: bool = True,
+                      spread: int | bool = False,
                       hash_mode: str = "xxhash64",
                       return_report: bool = False):
     """MinHash + LSH near-dup pairs: shingle -> minhash -> band buckets ->
@@ -419,7 +428,7 @@ def simhash(c, bits: int = 64):
 
 def simhash_pairs(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", max_hamming: int = 3,
-                  max_bucket: int = 1000, spread: bool = True,
+                  max_bucket: int = 1000, spread: int | bool = False,
                   hash_mode: str = "xxhash64",
                   return_report: bool = False):
     """SimHash near-dup pairs: 64-bit fingerprint, candidate buckets by
@@ -552,7 +561,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         length_band: int = 32, max_bucket: int = 10_000,
                         anchor_perms: int | None = None,
                         anchor_rows: int = 2,
-                        spread: bool = True, hash_mode: str = "poly",
+                        spread: int | bool = False, hash_mode: str = "poly",
                         return_report: bool = False):
     """Exact n-gram Jaccard pairs with (length band, anchor) blocking.
 
@@ -568,9 +577,13 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     templated corpus made 3.5% of ALL pairs candidates — 442k
     candidates for 255 true pairs at sf0.1).
 
-    Recall: 1-(1-J^anchor_rows)^anchor_perms — defaults (r=2, p=6)
-    give 0.82 at J=0.5, 0.96 at J=0.7, >0.999 at J=0.9. Raise
-    anchor_perms for lower thresholds. Exact duplicates always collide.
+    Recall: 1-(1-J^anchor_rows)^anchor_perms. When anchor_perms is
+    None (the default) it is DERIVED from the threshold so candidate
+    recall at J = threshold is >= 0.95 (derive_anchor_perms): p=11 at
+    threshold 0.5 (recall 0.958 at J=0.5, 0.9994 at J=0.7), p=5 at
+    0.7, p=2 at 0.9. Pass an explicit anchor_perms to trade recall
+    for cost. Exact duplicates always collide; a planted-pairs
+    recall-floor test pins the default configuration.
 
     hash_mode: 'poly' (default) computes signatures in one numpy pass
     per Arrow batch; 'xxhash64' is the pure-expression JVM form (no
@@ -587,6 +600,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     (pairs, report) where report is the one-row cap_buckets
     drop-counter frame.
     """
+    if anchor_perms is None:
+        anchor_perms = derive_anchor_perms(threshold, anchor_rows)
     base = _spread(df, spread).select(F.col(id_col).alias("id"),
                                       F.col(text_col).alias("txt"))
     if hash_mode == "poly":

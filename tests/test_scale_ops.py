@@ -68,6 +68,46 @@ class TestDedup:
         assert len(pairs) == 1
         assert pairs[0]["jaccard"] == 1.0
 
+    def test_ngram_default_recall_floor(self, spark):
+        """The DEFAULT configuration must recover >= 0.9 of planted
+        pairs sitting AT its own advertised threshold (r4 ask: the r3
+        fixed p=6 silently dropped ~18% of J=0.5 pairs). anchor_perms
+        is now derived from the threshold for >= 0.95 design recall."""
+        import hashlib
+
+        from ocr_spark.operators.dedup import (_py_ngram_jaccard,
+                                               derive_anchor_perms)
+
+        assert derive_anchor_perms(0.5, 2) == 11
+        assert derive_anchor_perms(0.7, 2) == 5
+        assert derive_anchor_perms(0.9, 2) == 2
+
+        def hx(seed: str, n: int) -> str:
+            out = ""
+            i = 0
+            while len(out) < n:
+                out += hashlib.md5(f"{seed}:{i}".encode()).hexdigest() + " "
+                i += 1
+            return out[:n].strip()
+
+        jac = _py_ngram_jaccard(8)
+        rows, truth = [], []
+        for i in range(150):
+            base = hx(f"base{i}", 240)
+            # Shared 164-char prefix, fresh tail -> J ~ 0.507 in
+            # 8-gram space: threshold-level, not comfortably above it.
+            var = (base[:164] + hx(f"tail{i}", 240 - 164))[:240]
+            j = jac(base, var)
+            rows += [(2 * i, base), (2 * i + 1, var)]
+            if j >= 0.5:
+                truth.append((2 * i, 2 * i + 1))
+        assert len(truth) >= 100  # the construction plants J>=0.5 pairs
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {(r["id_a"], r["id_b"]) for r in
+               dedup.ngram_jaccard_pairs(df, threshold=0.5).collect()}
+        recall = sum(1 for p in truth if p in got) / len(truth)
+        assert recall >= 0.9, f"default-config recall {recall:.3f}"
+
     def test_exact_dedup_scales_on_documents(self, docs):
         out = dedup.exact_dedup(docs)
         assert out.agg(F.sum("dup_count")).first()[0] == docs.count()
