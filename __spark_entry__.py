@@ -673,7 +673,14 @@ def q_minhash_pairs(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-def _sql_minhash_pairs():
+def _sql_minhash_cte(source_sql: str) -> str:
+    """The md5-family MinHash pipeline as a reusable chain of CTE
+    definitions (shingle hash -> 32 permutations -> 8 bands -> capped
+    bucket join -> exact-Jaccard verify). ``source_sql`` must produce
+    (doc_id, text); the chain ends with CTE ``j`` = (id_a, id_b, jac).
+    Shared by the minhash_pairs oracle and the dedup_resolve oracle
+    (which runs the same pipeline on expression-derived clusters and
+    then resolves components)."""
     consts = dedup._perm_consts(32)
     rows_per_band = 4  # num_perm=32 / bands=8
     mh_terms = ",\n    ".join(
@@ -685,12 +692,12 @@ def _sql_minhash_pairs():
                 f"mh[{b * rows_per_band + j + 1}]::varchar"
                 for j in range(rows_per_band)))
         for b in range(8))
-    return f"""
-WITH d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS n
-           FROM documents WHERE doc_id < 200),
+    return f"""d AS ({source_sql}),
+dn AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS n
+       FROM d),
 s AS (SELECT doc_id, list_distinct(list_transform(
         range(1, greatest(length(n) - 7, 1) + 1), j -> substr(n, j::int, 8))) AS sh
-      FROM d),
+      FROM dn),
 h AS (SELECT doc_id, sh, list_transform(
         sh, x -> ('0x' || substr(md5(x), 1, 8))::bigint & 2147483647) AS hs
       FROM s),
@@ -709,9 +716,77 @@ j AS (SELECT cand.id_a, cand.id_b,
              ELSE len(list_intersect(sa.sh, sb.sh))::double
                   / len(list_distinct(list_concat(sa.sh, sb.sh))) END AS jac
       FROM cand JOIN s sa ON sa.doc_id = cand.id_a
-                JOIN s sb ON sb.doc_id = cand.id_b)
+                JOIN s sb ON sb.doc_id = cand.id_b)"""
+
+
+def _sql_minhash_pairs():
+    chain = _sql_minhash_cte(
+        "SELECT doc_id, text FROM documents WHERE doc_id < 200")
+    return f"""
+WITH {chain}
 SELECT id_a, id_b, round(jac, 6) AS jaccard
 FROM j WHERE jac >= 0.3 ORDER BY id_a, id_b
+"""
+
+
+def _cluster_docs(spark, sf_dir):
+    """Expression-derived planted near-dup clusters: docs 0..119 in
+    3-member groups sharing a hash-derived body (md5 hex words — so
+    cross-group Jaccard ~ 0 even though the corpus texts themselves
+    are templated) plus a short per-member suffix (within-group
+    Jaccard ~ 0.95: near-dup, not exact-dup)."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 120).select("doc_id")
+    lead = (F.col("doc_id") - F.col("doc_id") % 3).cast("string")
+    parts = [F.md5(F.concat(F.lit("g"), lead, F.lit(f":{j}"))
+                   .cast("binary")) for j in range(6)]
+    text = F.concat(F.concat_ws(" ", *parts), F.lit(" variant "),
+                    (F.col("doc_id") % 3).cast("string"))
+    return d.select("doc_id", text.alias("text"))
+
+
+def q_dedup_resolve(spark, sf_dir):
+    """Near-dup RESOLUTION end to end: planted clusters -> the REAL
+    minhash_lsh_pairs (md5 hash family) -> dedup_resolve connected
+    components -> per-document (cluster, keep) decisions. The oracle
+    replays the ENTIRE pipeline — the same md5 MinHash banding SQL as
+    the minhash_pairs oracle plus a recursive-CTE min-label closure —
+    so the check does not assume the planted structure is what the
+    pipeline finds."""
+    docs = _cluster_docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5, hash_mode="md5")
+    out = dedup.dedup_resolve(pairs, docs=docs)
+    return out.select("doc_id", "cluster", "keep")
+
+
+def _sql_cluster_docs() -> str:
+    body = " || ' ' || ".join(
+        f"md5('g' || (doc_id - doc_id % 3)::varchar || ':{j}')"
+        for j in range(6))
+    return (f"SELECT doc_id, {body} || ' variant ' || "
+            "(doc_id % 3)::varchar AS text "
+            "FROM documents WHERE doc_id < 120")
+
+
+def _sql_dedup_resolve():
+    chain = _sql_minhash_cte(_sql_cluster_docs())
+    return f"""
+WITH RECURSIVE {chain},
+p AS (SELECT id_a, id_b FROM j WHERE jac >= 0.5),
+edges AS (SELECT id_a AS src, id_b AS dst FROM p
+          UNION ALL SELECT id_b, id_a FROM p),
+verts AS (SELECT DISTINCT src AS id FROM edges),
+-- min-label transitive closure: (v, c) for every label c that reaches
+-- v; UNION dedups, so the recursion terminates at the closure.
+reach AS (SELECT id, id AS comp FROM verts
+          UNION
+          SELECT e.dst AS id, r.comp FROM reach r
+          JOIN edges e ON e.src = r.id),
+lbl AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)
+SELECT id AS doc_id, comp AS cluster, (id = comp) AS keep FROM lbl
+UNION ALL
+SELECT doc_id, doc_id AS cluster, TRUE AS keep FROM d
+WHERE doc_id NOT IN (SELECT id FROM verts)
+ORDER BY doc_id
 """
 
 
@@ -1882,6 +1957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_line_parse": q_tx_line_parse,
         "pricing_summary": q_pricing_summary,
         "minhash_pairs": q_minhash_pairs,
+        "dedup_resolve": q_dedup_resolve,
         "simhash_pairs": q_simhash_pairs,
         "lsh_ann": q_lsh_ann,
         "media_features": q_media_features,
@@ -1946,6 +2022,7 @@ def oracle_sql() -> dict[str, str]:
         "pdf_layout": _sql_pdf_layout(),
         "pdf_layout_boxes": _sql_pdf_layout_boxes(),
         "minhash_pairs": _sql_minhash_pairs(),
+        "dedup_resolve": _sql_dedup_resolve(),
         "simhash_pairs": _sql_simhash_pairs(),
         "lsh_ann": _sql_lsh_ann(),
         # r3: the byte-histogram fallback IS SQL-expressible via

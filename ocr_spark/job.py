@@ -20,6 +20,10 @@ a parquet table (sources/warc.py; segment file = task).
 --neardup <dir> adds a MinHash-LSH near-dup pass over the committed
 snapshot, persisting pairs plus the hot-bucket drop report (capped
 runs are never silent: the counters also land in the summary JSON).
+--dedup-apply <dir> resolves those pairs to connected components with
+one survivor per cluster (dedup.dedup_resolve) and persists the
+per-url decisions plus the filtered survivor corpus — the step that
+actually SHRINKS the corpus.
 
 Configuration (shuffle partitions, AQE, Arrow batch size, memory)
 comes from spark-submit --conf on a real cluster; launched standalone
@@ -58,6 +62,11 @@ def _parse(argv):
                         "snapshot's extracted_text and write pairs + the "
                         "hot-bucket drop report under this dir")
     p.add_argument("--neardup-max-bucket", type=int, default=1000)
+    p.add_argument("--dedup-apply", default=None, metavar="DIR",
+                   help="resolve the --neardup pairs to clusters "
+                        "(connected components), persist per-url "
+                        "(cluster, keep) decisions and the filtered "
+                        "survivor corpus under DIR (requires --neardup)")
     return p.parse_args(argv)
 
 
@@ -136,6 +145,30 @@ def main(argv=None, spark=None) -> dict:
                 **{k: int(rep[k]) for k in
                    ("n_buckets", "max_bucket_size", "n_hot_buckets",
                     "rows_dropped", "max_bucket")}}
+            if args.dedup_apply:
+                # Pairs are analytics; DECISIONS shrink the corpus:
+                # components -> one survivor per cluster -> anti-join
+                # the losers out. Both tables persist so a downstream
+                # job (or a resumed one) applies the same decisions.
+                committed_pairs = spark.read.parquet(
+                    f"{args.neardup}/pairs")
+                resolved = dedup.dedup_resolve(
+                    committed_pairs, docs=committed, id_col="url")
+                resolved.write.mode("overwrite").parquet(
+                    f"{args.dedup_apply}/resolved")
+                resolved = spark.read.parquet(
+                    f"{args.dedup_apply}/resolved")
+                survivors = dedup.dedup_apply(committed, resolved,
+                                              id_col="url")
+                survivors.write.mode("overwrite").parquet(
+                    f"{args.dedup_apply}/survivors")
+                n_docs = committed.count()
+                n_kept = spark.read.parquet(
+                    f"{args.dedup_apply}/survivors").count()
+                summary["dedup_apply"] = {
+                    "docs": n_docs, "survivors": n_kept,
+                    "dropped": n_docs - n_kept,
+                    "clusters": resolved.filter("keep").count()}
 
     print(json.dumps(summary))
     return summary

@@ -681,3 +681,105 @@ def _fold_anchor(cols):
     for c in cols[1:]:
         acc = F.shiftleft(acc, 31).bitwiseXOR(c)
     return acc
+
+
+# ---------------------------------------------------------------------------
+# Near-dup RESOLUTION: pairs -> connected components -> one survivor
+# per cluster -> a filtered corpus. The four near-dup operators above
+# emit PAIRS; a training-data pipeline isn't deduplicated until the
+# corpus actually shrinks — these two operators finish the job.
+# ---------------------------------------------------------------------------
+
+def dedup_resolve(pairs: DataFrame, docs: DataFrame | None = None,
+                  id_col: str = "doc_id",
+                  quality_col: str | None = None,
+                  max_iters: int = 25,
+                  return_stats: bool = False):
+    """Near-dup pairs -> clusters -> canonical-survivor decisions.
+
+    Connected components by iterative min-label propagation WITH
+    pointer jumping (each round every vertex takes the min label over
+    itself + neighbors, then labels compress one hop: comp <-
+    comp[comp]), so convergence is O(log diameter) rounds, not
+    O(diameter) — a 1M-doc mirror chain resolves in ~20 rounds instead
+    of 1M. No graphframes dependency: each round is two ids-only
+    equi-joins + one min-aggregation, AQE-friendly, and the per-round
+    frame is localCheckpoint()-ed so the iterative plan never grows
+    (lineage blowup is the classic Spark iterative-join failure).
+    Convergence is detected by counting changed labels per round
+    (type-agnostic: ids may be longs or urls; label min is
+    lexicographic for strings), one inner join over the checkpointed
+    label frames.
+
+    Survivor selection: with ``quality_col`` (+ ``docs``), the
+    max-quality member wins (ties -> min id); otherwise the min-id
+    member — which is exactly the converged component label, so no
+    extra pass. With ``docs`` given, documents in NO pair are appended
+    as their own singleton cluster (keep = true), so the output covers
+    the whole corpus, not just the contested part.
+
+    Returns (id_col, cluster, keep); with return_stats=True returns
+    (frame, {"iterations": n, "converged": bool}).
+    """
+    e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = e.union(e.select(F.col("dst").alias("src"),
+                             F.col("src").alias("dst"))).persist()
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+              .select("id", F.col("id").alias("comp"))
+              .localCheckpoint())
+    iters, converged = 0, False
+    for iters in range(1, max_iters + 1):
+        msgs = (edges.join(labels, edges.src == labels.id)
+                .select(F.col("dst").alias("id"), "comp"))
+        new = (labels.unionByName(msgs)
+               .groupBy("id").agg(F.min("comp").alias("comp")))
+        # Pointer jump: comp values are vertex ids, so compress one hop.
+        hop = new.select(F.col("id").alias("comp"),
+                         F.col("comp").alias("_comp2"))
+        new = (new.join(hop, "comp")
+               .select("id", F.col("_comp2").alias("comp"))
+               .localCheckpoint())
+        changed = (new.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .filter(F.col("n.comp") != F.col("o.comp"))
+                   .count())
+        labels = new
+        if changed == 0:
+            converged = True
+            break
+    edges.unpersist()
+    if quality_col is not None and docs is not None:
+        q = docs.select(F.col(id_col).alias("id"),
+                        F.col(quality_col).alias("_q"))
+        w = Window.partitionBy("comp").orderBy(F.col("_q").desc_nulls_last(),
+                                               F.col("id").asc())
+        out = (labels.join(q, "id", "left")
+               .withColumn("_rn", F.row_number().over(w))
+               .select(F.col("id").alias(id_col),
+                       F.col("comp").alias("cluster"),
+                       (F.col("_rn") == 1).alias("keep")))
+    else:
+        out = labels.select(F.col("id").alias(id_col),
+                            F.col("comp").alias("cluster"),
+                            (F.col("id") == F.col("comp")).alias("keep"))
+    if docs is not None:
+        singles = (docs.select(F.col(id_col))
+                   .join(labels.select(F.col("id").alias(id_col)),
+                         id_col, "left_anti")
+                   .select(F.col(id_col),
+                           F.col(id_col).alias("cluster"),
+                           F.lit(True).alias("keep")))
+        out = out.unionByName(singles)
+    if return_stats:
+        return out, {"iterations": iters, "converged": converged}
+    return out
+
+
+def dedup_apply(docs: DataFrame, resolved: DataFrame,
+                id_col: str = "doc_id") -> DataFrame:
+    """Shrink the corpus to near-dup survivors: one broadcast-or-
+    shuffled LEFT ANTI join against the loser set (losers are the
+    resolved rows with keep = false — typically a small fraction of
+    the corpus, so the anti-join's build side stays light)."""
+    losers = resolved.filter(~F.col("keep")).select(F.col(id_col))
+    return docs.join(losers, on=id_col, how="left_anti")

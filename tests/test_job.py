@@ -72,6 +72,43 @@ def test_job_neardup_reports_hot_bucket_drops(spark, tmp_path):
     assert spark.read.parquet(f"{nd}/bucket_report").count() == 1
 
 
+def test_job_dedup_apply_shrinks_corpus(spark, tmp_path):
+    """--dedup-apply turns the --neardup pairs into decisions: one
+    survivor per planted 3-member cluster, losers anti-joined out of
+    the persisted survivor corpus."""
+    import hashlib
+
+    inp = str(tmp_path / "in.parquet")
+    rows = []
+    for g in range(4):
+        body = " ".join(hashlib.md5(f"jg{g}:{j}".encode()).hexdigest()
+                        for j in range(6))
+        for v in range(3):
+            i = g * 3 + v
+            rows.append((f"https://cc.synth.local/app{i}/salary_slip/"
+                         f"{i}.png", None, None,
+                         body + f" variant {v}", "en", None))
+    spark.createDataFrame(rows, schema=schemas.INPUT_SCHEMA) \
+        .write.parquet(inp)
+
+    table = str(tmp_path / "table")
+    nd = str(tmp_path / "neardup")
+    da = str(tmp_path / "apply")
+    r = job.main(["--input", inp, "--table", table, "--partitions", "2",
+                  "--neardup", nd, "--dedup-apply", da], spark=spark)
+    assert r["neardup"]["pairs"] == 12  # 3 per clique x 4 cliques
+    assert r["dedup_apply"] == {"docs": 12, "survivors": 4,
+                                "dropped": 8, "clusters": 4}
+    assert spark.read.parquet(f"{da}/survivors").count() == 4
+    resolved = spark.read.parquet(f"{da}/resolved")
+    assert resolved.count() == 12
+    # One keeper per cluster; cluster ids are member urls.
+    from pyspark.sql import functions as F
+    agg = resolved.groupBy("cluster").agg(
+        F.sum(F.col("keep").cast("int")).alias("keepers")).collect()
+    assert len(agg) == 4 and all(row["keepers"] == 1 for row in agg)
+
+
 def test_job_via_spark_submit(tmp_path):
     """The actual deployment path: package ocr_spark into a zip, launch
     a fresh JVM via spark-submit --py-files, run the job end-to-end."""

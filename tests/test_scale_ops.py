@@ -219,6 +219,83 @@ class TestDedup:
         assert len(pairs) == 1
 
 
+class TestDedupResolve:
+    """pairs -> connected components -> survivor -> filtered corpus."""
+
+    def _pairs(self, spark, edges):
+        return spark.createDataFrame(edges, ["id_a", "id_b"])
+
+    def test_planted_three_components(self, spark):
+        # {0,1,2} triangle, {10,11} edge, {20,21,22,23} via a path.
+        edges = [(0, 1), (1, 2), (0, 2), (10, 11),
+                 (20, 21), (21, 22), (22, 23)]
+        out, stats = dedup.dedup_resolve(self._pairs(spark, edges),
+                                         return_stats=True)
+        rows = {r["doc_id"]: (r["cluster"], r["keep"])
+                for r in out.collect()}
+        assert rows == {0: (0, True), 1: (0, False), 2: (0, False),
+                        10: (10, True), 11: (10, False),
+                        20: (20, True), 21: (20, False),
+                        22: (20, False), 23: (20, False)}
+        assert stats["converged"]
+        assert stats["iterations"] <= 4
+
+    def test_chain_converges_logarithmically(self, spark):
+        # A 64-vertex path is the worst diameter shape: pointer
+        # jumping must resolve it in O(log n) rounds, not 64.
+        edges = [(i, i + 1) for i in range(63)]
+        out, stats = dedup.dedup_resolve(self._pairs(spark, edges),
+                                         return_stats=True)
+        rows = out.collect()
+        assert all(r["cluster"] == 0 for r in rows)
+        assert sum(r["keep"] for r in rows) == 1
+        assert stats["converged"]
+        assert stats["iterations"] <= 8, stats
+
+    def test_quality_survivor_and_singletons(self, spark):
+        docs = spark.createDataFrame(
+            [(0, 0.2), (1, 0.9), (2, 0.5), (7, 0.1)],
+            ["doc_id", "quality"])
+        out = dedup.dedup_resolve(self._pairs(spark, [(0, 1), (1, 2)]),
+                                  docs=docs, quality_col="quality")
+        rows = {r["doc_id"]: (r["cluster"], r["keep"])
+                for r in out.collect()}
+        # Max quality wins inside the cluster; 7 is untouched ->
+        # singleton keep.
+        assert rows == {0: (0, False), 1: (0, True), 2: (0, False),
+                        7: (7, True)}
+
+    def test_apply_shrinks_corpus(self, spark):
+        docs = spark.createDataFrame(
+            [(i, f"text {i}") for i in range(6)], ["doc_id", "text"])
+        resolved = dedup.dedup_resolve(
+            self._pairs(spark, [(0, 1), (3, 4)]), docs=docs)
+        kept = dedup.dedup_apply(docs, resolved)
+        assert sorted(r["doc_id"] for r in kept.collect()) == [0, 2, 3, 5]
+
+    def test_end_to_end_minhash_resolve_apply(self, spark):
+        """The REAL pipeline: near-identical variants -> minhash pairs
+        -> resolve -> apply leaves exactly one survivor per clique."""
+        import hashlib
+        rows = []
+        for g in range(5):
+            # Hash-derived group bodies: cross-group Jaccard ~ 0,
+            # within-group ~ 0.93 (a short per-variant suffix).
+            body = " ".join(hashlib.md5(f"g{g}:{j}".encode()).hexdigest()
+                            for j in range(6))
+            for v in range(3):
+                rows.append((g * 10 + v, body + f" variant {v}"))
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5)
+        resolved = dedup.dedup_resolve(pairs, docs=docs)
+        kept = sorted(r["doc_id"]
+                      for r in dedup.dedup_apply(docs, resolved).collect())
+        assert kept == [0, 10, 20, 30, 40]
+        clusters = {r["doc_id"]: r["cluster"] for r in resolved.collect()}
+        assert all(clusters[g * 10 + v] == g * 10
+                   for g in range(5) for v in range(3))
+
+
 class TestSimilarity:
     def test_cosine_topk_vs_numpy(self, spark, embeddings):
         import numpy as np
