@@ -1399,6 +1399,639 @@ FROM v ORDER BY applicant_id
 """
 
 
+# ---------------------------------------------------------------------------
+# r4: end-to-end `_sql` legs for the remaining five doc types (ITR,
+# Aadhaar, PAN, driving license, employee docs), on the proven
+# extract_pipeline_sql pattern: cheap-path text derived from
+# documents.parquet by expressions, pushed through the REAL
+# run_extraction (classify -> salt -> mapInArrow -> cascade ->
+# parsers), DuckDB replaying the parser semantics on the same derived
+# text. Branch variety is planted by doc_id arithmetic so every major
+# parser branch is selected by some rows; the oracle derives fields
+# from the TEXT it builds (regex replay) where the parser is
+# regex-shaped and from the branch arithmetic where it is scan-order.
+# ---------------------------------------------------------------------------
+
+_FIRSTS_T = [s.title() for s in _FIRSTS]
+_LASTS_T = [s.title() for s in _LASTS]
+_STREETS = ["MG Road", "Brigade Road", "Park Street", "Link Road"]
+_AREAS = ["Jayanagar", "Indiranagar", "Koramangala", "Malleshwaram"]
+_CITIES = ["Hyderabad", "Pune", "Chennai", "Mumbai"]
+_DESIG_VARIANTS = ["Software Engineer", "5arlware Engineer",
+                   "Soflvare Engineer"]
+_JOIN_MONTHS = ["May", "April", "June", "July"]
+
+
+def _pan_value_expr(doc_id):
+    return F.concat(F.lit("ABCDE"),
+                    (F.lit(1000) + doc_id % 9000).cast("string"),
+                    F.substring(F.lit("FGHJK"),
+                                (doc_id % 5 + 1).cast("int"), 1))
+
+
+_PAN_VALUE_SQL = ("'ABCDE' || cast(1000 + doc_id % 9000 AS varchar) "
+                  "|| substr('FGHJK', (doc_id % 5 + 1)::int, 1)")
+
+
+def _title_name_expr(doc_id, shift=0):
+    return F.concat(_pick(_FIRSTS_T, (doc_id + shift) % 8), F.lit(" "),
+                    _pick(_LASTS_T, ((doc_id + shift) * 5) % 8))
+
+
+def _title_name_sql(shift=0):
+    return (f"{_sql_pick(_FIRSTS_T, f'(doc_id + {shift}) % 8')} || ' ' || "
+            f"{_sql_pick(_LASTS_T, f'((doc_id + {shift}) * 5) % 8')}")
+
+
+def _upper_name_sql(shift=0):
+    return (f"{_sql_pick(_FIRSTS, f'(doc_id + {shift}) % 8')} || ' ' || "
+            f"{_sql_pick(_LASTS, f'((doc_id + {shift}) * 5) % 8')}")
+
+
+# ---- ITR ----
+
+def _itr_text_expr():
+    """Branch plan (P17-P27): even docs use the label-under forms
+    (Assessment Year / Total Income with a skipped row index / Taxes
+    Paid / Amount Refundable with a negative value), odd docs the
+    same-line regex fallbacks (A.Y. for doc_id%4==1, Assessment Year:
+    for %4==3, Total Income: Rs., Tax Paid:, Tax Payable>1000); every
+    doc carries a PAN, a Name label (even docs behind a rejected
+    'Status' header line) and a 'Submitted on' filing line."""
+    doc_id = F.col("doc_id")
+    pan = _pan_value_expr(doc_id)
+    name = _title_name_expr(doc_id)
+    ay1 = F.lit(2020) + doc_id % 6
+    ay = F.concat(ay1.cast("string"), F.lit("-"),
+                  F.lpad(((ay1 + 1) % 100).cast("string"), 2, "0"))
+    ti = (F.lit(500000) + doc_id % 400000).cast("string")
+    tp = (F.lit(10000) + doc_id % 90000).cast("string")
+    rf = (F.lit(2000) + doc_id % 8000).cast("string")
+    dd = F.lpad((doc_id % 28 + 1).cast("string"), 2, "0")
+    mm = F.lpad((doc_id % 12 + 1).cast("string"), 2, "0")
+    even = doc_id % 2 == 0
+    name_block = F.when(even, F.concat(F.lit("Name\nStatus\n"), name))\
+        .otherwise(F.concat(F.lit("Name\n"), name))
+    ay_block = F.when(even, F.concat(F.lit("Assessment Year\n"), ay))\
+        .when(doc_id % 4 == 1, F.concat(F.lit("A.Y. "), ay))\
+        .otherwise(F.concat(F.lit("Assessment Year: "), ay))
+    ti_block = F.when(even, F.concat(F.lit("Total Income\n12\n"), ti))\
+        .otherwise(F.concat(F.lit("Total Income: Rs. "), ti))
+    tp_block = F.when(even, F.concat(F.lit("Taxes Paid\n"), tp))\
+        .otherwise(F.concat(F.lit("Tax Paid: "), tp))
+    rf_block = F.when(even, F.concat(F.lit("Amount Refundable\n-"), rf))\
+        .otherwise(F.concat(F.lit("Tax Payable\n"), rf))
+    filed = F.concat(F.lit("Submitted on "), dd, F.lit("-"), mm,
+                     F.lit("-2025"))
+    return F.concat_ws("\n", F.lit("INCOME TAX RETURN"),
+                       F.concat(F.lit("PAN: "), pan),
+                       name_block, ay_block, ti_block, tp_block,
+                       rf_block, filed)
+
+
+_ITR_TEXT_SQL = f"""
+concat_ws(chr(10), 'INCOME TAX RETURN',
+  'PAN: ' || {_PAN_VALUE_SQL},
+  CASE WHEN doc_id % 2 = 0 THEN 'Name' || chr(10) || 'Status' || chr(10)
+       ELSE 'Name' || chr(10) END || {_title_name_sql()},
+  (CASE WHEN doc_id % 2 = 0 THEN 'Assessment Year' || chr(10)
+        WHEN doc_id % 4 = 1 THEN 'A.Y. '
+        ELSE 'Assessment Year: ' END)
+    || cast(2020 + doc_id % 6 AS varchar) || '-'
+    || lpad(cast((2020 + doc_id % 6 + 1) % 100 AS varchar), 2, '0'),
+  (CASE WHEN doc_id % 2 = 0 THEN 'Total Income' || chr(10) || '12' || chr(10)
+        ELSE 'Total Income: Rs. ' END)
+    || cast(500000 + doc_id % 400000 AS varchar),
+  (CASE WHEN doc_id % 2 = 0 THEN 'Taxes Paid' || chr(10)
+        ELSE 'Tax Paid: ' END) || cast(10000 + doc_id % 90000 AS varchar),
+  (CASE WHEN doc_id % 2 = 0 THEN 'Amount Refundable' || chr(10) || '-'
+        ELSE 'Tax Payable' || chr(10) END)
+    || cast(2000 + doc_id % 8000 AS varchar),
+  'Submitted on ' || lpad(cast(doc_id % 28 + 1 AS varchar), 2, '0') || '-'
+    || lpad(cast(doc_id % 12 + 1 AS varchar), 2, '0') || '-2025')
+"""
+
+
+def q_extract_itr_sql(spark, sf_dir):
+    """End-to-end ITR leg: derived acknowledgements through the REAL
+    run_extraction (T6 paddle-accept path -> P17 ParseITR with the
+    label-under/regex-fallback dual branches)."""
+    from ocr_spark.plans.pipeline import run_extraction
+    inp = _pipeline_input(spark, sf_dir, "itr", _itr_text_expr())
+    out = run_extraction(spark, inp, run_id="driver-itr-sql",
+                         num_partitions=8)
+    return out.select(
+        "url", "doc_type", "extracted_text",
+        F.col("itr.pan").alias("pan"),
+        F.col("itr.name").alias("name"),
+        F.col("itr.assessment_year").alias("assessment_year"),
+        F.round(F.col("itr.total_income"), 2).alias("total_income"),
+        F.round(F.col("itr.taxable_income"), 2).alias("taxable_income"),
+        F.round(F.col("itr.tax_paid"), 2).alias("tax_paid"),
+        F.round(F.col("itr.refund_amount"), 2).alias("refund_amount"),
+        F.col("itr.filing_date").alias("filing_date"),
+        "error")
+
+
+def _sql_extract_itr_sql():
+    url = _URL_SQL_TMPL.format(dt="itr")
+    return f"""
+WITH d AS (SELECT doc_id, {url} AS url, {_ITR_TEXT_SQL} AS t
+           FROM documents)
+SELECT url,
+  regexp_extract(url, '/([a-z_]+)/[^/]*$', 1) AS doc_type,
+  t AS extracted_text,
+  -- P19 replay: first PAN-shaped token in the text
+  regexp_extract(t, '\\b([A-Z]{{5}}[0-9]{{4}}[A-Z])\\b', 1) AS pan,
+  -- P22: scan-order name under the exact 'Name' label ('Status' header
+  -- rejected on even docs) -> the planted name either way
+  {_title_name_sql()} AS name,
+  -- P20/P21: label-under on even docs, regex fallback on odd -> both
+  -- resolve to the same planted AY (regex replay of the fallback)
+  CASE WHEN doc_id % 2 = 0
+       THEN cast(2020 + doc_id % 6 AS varchar) || '-'
+            || lpad(cast((2020 + doc_id % 6 + 1) % 100 AS varchar), 2, '0')
+       ELSE regexp_extract(t,
+            '(?i)(?:assessment\\s*year|A\\.?Y\\.?)[:\\s]*(\\d{{4}}[-]\\d{{2,4}})', 1)
+  END AS assessment_year,
+  -- P23 label-under (row index '12' skipped) / P24 regex fallback
+  CASE WHEN doc_id % 2 = 0 THEN (500000 + doc_id % 400000)::double
+       ELSE round(regexp_extract(t,
+            '(?i)total\\s*income[:\\s]*(?:Rs\\.?|INR)?\\s*([0-9,]+\\.?\\d*)',
+            1)::double, 2) END AS total_income,
+  0.0::double AS taxable_income,  -- ParseITR hardcodes 0.0 (P17)
+  CASE WHEN doc_id % 2 = 0 THEN (10000 + doc_id % 90000)::double
+       ELSE round(regexp_extract(t,
+            '(?i)tax\\s*paid[:\\s]*(?:Rs\\.?|INR)?\\s*([0-9,]+\\.?\\d*)',
+            1)::double, 2) END AS tax_paid,
+  -- P25: negative value -> abs on even docs; >1000 accept on odd
+  (2000 + doc_id % 8000)::double AS refund_amount,
+  -- P27: 'Submitted on dd-mm-2025' -> ISO day-first
+  '2025-' || lpad(cast(doc_id % 12 + 1 AS varchar), 2, '0') || '-'
+          || lpad(cast(doc_id % 28 + 1 AS varchar), 2, '0') AS filing_date,
+  NULL::varchar AS error
+FROM d ORDER BY url
+"""
+
+
+# ---- Aadhaar ----
+
+def _aadhaar_text_expr():
+    """Branch plan (P30-P39): even docs carry a labeled DOB, odd docs a
+    bare date (P32 fallback); doc_id%3==0 puts a rejected 'Government
+    of India' line between name and DOB (P33/P35 reject scan);
+    doc_id%4==3 drops the 12-digit number so last4 falls back to the
+    LAST 4-digit token (a trailing VID line, P37); female-before-male
+    (P36) on even docs; a 2-line address block closed by the
+    disclaimer marker (P38/P39)."""
+    doc_id = F.col("doc_id")
+    name = _title_name_expr(doc_id)
+    dob = F.concat(F.lpad((doc_id % 28 + 1).cast("string"), 2, "0"),
+                   F.lit("/"),
+                   F.lpad((doc_id % 12 + 1).cast("string"), 2, "0"),
+                   F.lit("/19"),
+                   F.lpad((50 + doc_id % 50).cast("string"), 2, "0"))
+    dob_line = F.when(doc_id % 2 == 0, F.concat(F.lit("DOB: "), dob))\
+        .otherwise(F.concat(F.lit("Date of Birth "), dob))
+    head = F.when(doc_id % 3 == 0,
+                  F.concat(name, F.lit("\nGovernment of India")))\
+        .otherwise(F.concat(F.lit("Aadhaar Enrolment\n"), name))
+    gender_line = F.when(doc_id % 2 == 0, F.lit("Gender: Female"))\
+        .otherwise(F.lit("Gender: Male"))
+    num_line = F.when(doc_id % 4 == 3, F.lit("Aadhaar Number Masked"))\
+        .otherwise(F.concat(F.lit("1234 5678 "),
+                            (F.lit(1000) + doc_id % 9000).cast("string")))
+    addr1 = F.concat(F.lit("Address: H No "),
+                     (doc_id % 999 + 1).cast("string"), F.lit(" "),
+                     _pick(_STREETS, doc_id % 4))
+    addr2 = F.concat(_pick(_AREAS, (doc_id * 3) % 4), F.lit(" "),
+                     (F.lit(560000) + doc_id % 100).cast("string"))
+    tail = F.when(doc_id % 4 == 3,
+                  F.concat(F.lit("\nVID "),
+                           (F.lit(8000) + doc_id % 2000).cast("string")))\
+        .otherwise(F.lit(""))
+    return F.concat(
+        F.concat_ws("\n", head, dob_line, gender_line, num_line,
+                    addr1, addr2, F.lit("Aadhaar is proof of identity")),
+        tail)
+
+
+_AADHAAR_TEXT_SQL = f"""
+concat_ws(chr(10),
+  CASE WHEN doc_id % 3 = 0
+       THEN {_title_name_sql()} || chr(10) || 'Government of India'
+       ELSE 'Aadhaar Enrolment' || chr(10) || {_title_name_sql()} END,
+  (CASE WHEN doc_id % 2 = 0 THEN 'DOB: ' ELSE 'Date of Birth ' END)
+    || lpad(cast(doc_id % 28 + 1 AS varchar), 2, '0') || '/'
+    || lpad(cast(doc_id % 12 + 1 AS varchar), 2, '0') || '/19'
+    || lpad(cast(50 + doc_id % 50 AS varchar), 2, '0'),
+  CASE WHEN doc_id % 2 = 0 THEN 'Gender: Female' ELSE 'Gender: Male' END,
+  CASE WHEN doc_id % 4 = 3 THEN 'Aadhaar Number Masked'
+       ELSE '1234 5678 ' || cast(1000 + doc_id % 9000 AS varchar) END,
+  'Address: H No ' || cast(doc_id % 999 + 1 AS varchar) || ' '
+    || {_sql_pick(_STREETS, "doc_id % 4")},
+  {_sql_pick(_AREAS, "(doc_id * 3) % 4")} || ' '
+    || cast(560000 + doc_id % 100 AS varchar),
+  'Aadhaar is proof of identity')
+|| CASE WHEN doc_id % 4 = 3
+        THEN chr(10) || 'VID ' || cast(8000 + doc_id % 2000 AS varchar)
+        ELSE '' END
+"""
+
+
+def q_extract_aadhaar_sql(spark, sf_dir):
+    """End-to-end Aadhaar leg: derived letters through the REAL
+    run_extraction (OCR-text path -> P30 ParseAadhaarFromText with the
+    DOB-anchored name/gender windows and the address block)."""
+    from ocr_spark.plans.pipeline import run_extraction
+    inp = _pipeline_input(spark, sf_dir, "aadhaar", _aadhaar_text_expr())
+    out = run_extraction(spark, inp, run_id="driver-aadhaar-sql",
+                         num_partitions=8)
+    return out.select(
+        "url", "doc_type", "extracted_text",
+        F.col("aadhaar.name").alias("name"),
+        F.col("aadhaar.dob").alias("dob"),
+        F.col("aadhaar.gender").alias("gender"),
+        F.col("aadhaar.address").alias("address"),
+        F.col("aadhaar.aadhaar_last4").alias("aadhaar_last4"),
+        F.col("aadhaar.source").alias("source"),
+        "error")
+
+
+def _sql_extract_aadhaar_sql():
+    url = _URL_SQL_TMPL.format(dt="aadhaar")
+    return f"""
+WITH d AS (SELECT doc_id, {url} AS url, {_AADHAAR_TEXT_SQL} AS t
+           FROM documents)
+SELECT url,
+  regexp_extract(url, '/([a-z_]+)/[^/]*$', 1) AS doc_type,
+  t AS extracted_text,
+  -- P33/P34/P35: first likely person name above the DOB line (the
+  -- 'Government of India' header on doc_id%3==0 is rejected by its
+  -- bad-token list) -> the planted name either way
+  {_title_name_sql()} AS name,
+  -- P32 replay: labeled and bare forms carry the same date
+  regexp_extract(t, '([0-9]{{2}}[/-][0-9]{{2}}[/-][0-9]{{4}})', 1) AS dob,
+  -- P36: female checked before male inside the DOB window
+  CASE WHEN doc_id % 2 = 0 THEN 'Female' ELSE 'Male' END AS gender,
+  -- P38/P39: label capture + one more line, stopped by the disclaimer
+  'H No ' || cast(doc_id % 999 + 1 AS varchar) || ' '
+    || {_sql_pick(_STREETS, "doc_id % 4")} || ', '
+    || {_sql_pick(_AREAS, "(doc_id * 3) % 4")} || ' '
+    || cast(560000 + doc_id % 100 AS varchar) AS address,
+  -- P37: third 12-digit group, else the LAST standalone 4-digit token
+  CASE WHEN doc_id % 4 = 3 THEN cast(8000 + doc_id % 2000 AS varchar)
+       ELSE regexp_extract(t,
+            '\\b(\\d{{4}})\\s+(\\d{{4}})\\s+(\\d{{4}})\\b', 3) END
+    AS aadhaar_last4,
+  'ocr' AS source,
+  NULL::varchar AS error
+FROM d ORDER BY url
+"""
+
+
+# ---- PAN ----
+
+def _pan_text_expr():
+    """Branch plan (P41-P43): doc_id%2==0 both labels; %4==1 name label
+    absent (first digit-free line fallback); %4==3 father label absent
+    too (KUMAR-line fallback). Department header lines are dropped by
+    cleanLines on every doc."""
+    doc_id = F.col("doc_id")
+    name = F.concat(_pick(_FIRSTS, doc_id % 8), F.lit(" "),
+                    _pick(_LASTS, (doc_id * 5) % 8))
+    father = F.when(doc_id % 4 == 3,
+                    F.concat(_pick(_FIRSTS, (doc_id + 2) % 8),
+                             F.lit(" KUMAR")))\
+        .otherwise(F.concat(_pick(_FIRSTS, (doc_id + 3) % 8), F.lit(" "),
+                            _pick(_LASTS, ((doc_id + 3) * 5) % 8)))
+    pan = _pan_value_expr(doc_id)
+    dob_line = F.concat(
+        F.lit("DOB "), F.lpad((doc_id % 28 + 1).cast("string"), 2, "0"),
+        F.lit("/"), F.lpad((doc_id % 12 + 1).cast("string"), 2, "0"),
+        F.lit("/19"), F.lpad((60 + doc_id % 40).cast("string"), 2, "0"))
+    tail = F.concat_ws("\n", F.lit("Permanent Account Number"), pan)
+    return F.when(doc_id % 2 == 0, F.concat_ws(
+        "\n", F.lit("INCOME TAX DEPARTMENT"), F.lit("GOVT OF INDIA"),
+        F.lit("Name"), name, F.lit("Father's Name"), father, tail,
+        dob_line))\
+        .when(doc_id % 4 == 1, F.concat_ws(
+            "\n", F.lit("INCOME TAX DEPARTMENT"), name,
+            F.lit("Father's Name"), father, tail, dob_line))\
+        .otherwise(F.concat_ws(
+            "\n", F.lit("INCOME TAX DEPARTMENT"), name, tail, father,
+            dob_line))
+
+
+_PAN_TEXT_SQL = f"""
+CASE WHEN doc_id % 2 = 0 THEN concat_ws(chr(10),
+    'INCOME TAX DEPARTMENT', 'GOVT OF INDIA',
+    'Name', {_upper_name_sql()},
+    'Father''s Name', {_upper_name_sql(3)},
+    'Permanent Account Number', {_PAN_VALUE_SQL},
+    'DOB ' || lpad(cast(doc_id % 28 + 1 AS varchar), 2, '0') || '/'
+      || lpad(cast(doc_id % 12 + 1 AS varchar), 2, '0') || '/19'
+      || lpad(cast(60 + doc_id % 40 AS varchar), 2, '0'))
+  WHEN doc_id % 4 = 1 THEN concat_ws(chr(10),
+    'INCOME TAX DEPARTMENT', {_upper_name_sql()},
+    'Father''s Name', {_upper_name_sql(3)},
+    'Permanent Account Number', {_PAN_VALUE_SQL},
+    'DOB ' || lpad(cast(doc_id % 28 + 1 AS varchar), 2, '0') || '/'
+      || lpad(cast(doc_id % 12 + 1 AS varchar), 2, '0') || '/19'
+      || lpad(cast(60 + doc_id % 40 AS varchar), 2, '0'))
+  ELSE concat_ws(chr(10),
+    'INCOME TAX DEPARTMENT', {_upper_name_sql()},
+    'Permanent Account Number', {_PAN_VALUE_SQL},
+    {_sql_pick(_FIRSTS, "(doc_id + 2) % 8")} || ' KUMAR',
+    'DOB ' || lpad(cast(doc_id % 28 + 1 AS varchar), 2, '0') || '/'
+      || lpad(cast(doc_id % 12 + 1 AS varchar), 2, '0') || '/19'
+      || lpad(cast(60 + doc_id % 40 AS varchar), 2, '0'))
+END
+"""
+
+
+def q_extract_pan_sql(spark, sf_dir):
+    """End-to-end PAN leg: derived cards through the REAL
+    run_extraction (paddle passthrough -> P41 ParsePANText with
+    label/fallback/KUMAR branches)."""
+    from ocr_spark.plans.pipeline import run_extraction
+    inp = _pipeline_input(spark, sf_dir, "pan", _pan_text_expr())
+    out = run_extraction(spark, inp, run_id="driver-pan-sql",
+                         num_partitions=8)
+    return out.select(
+        "url", "doc_type", "extracted_text",
+        F.col("pan.pan").alias("pan"),
+        F.col("pan.name").alias("name"),
+        F.col("pan.father_name").alias("father_name"),
+        F.col("pan.dob").alias("dob"),
+        F.col("pan.raw_text").alias("raw_text"),
+        "error")
+
+
+def _sql_extract_pan_sql():
+    url = _URL_SQL_TMPL.format(dt="pan")
+    return f"""
+WITH d AS (SELECT doc_id, {url} AS url, {_PAN_TEXT_SQL} AS t
+           FROM documents)
+SELECT url,
+  regexp_extract(url, '/([a-z_]+)/[^/]*$', 1) AS doc_type,
+  t AS extracted_text,
+  -- P41 replay over the uppercased text
+  regexp_extract(upper(t), '[A-Z]{{5}}[0-9]{{4}}[A-Z]', 0) AS pan,
+  -- P43: labeled on even docs, first digit-free line fallback on odd
+  -- (the planted name leads the cleaned lines either way)
+  {_upper_name_sql()} AS name,
+  -- P43: labeled father, or the KUMAR-line fallback on doc_id%4==3
+  CASE WHEN doc_id % 4 = 3
+       THEN {_sql_pick(_FIRSTS, "(doc_id + 2) % 8")} || ' KUMAR'
+       ELSE {_upper_name_sql(3)} END AS father_name,
+  regexp_extract(upper(t),
+    '(0[1-9]|[12][0-9]|3[01])[/-](0[1-9]|1[0-2])[/-][0-9]{{4}}', 0) AS dob,
+  upper(t) AS raw_text,
+  NULL::varchar AS error
+FROM d ORDER BY url
+"""
+
+
+# ---- Driving license ----
+
+def _dl_text_expr():
+    """Branch plan (P45): even docs carry issue<valid in marker order;
+    odd docs carry them INVERTED so the valid<issue swap branch fires
+    (final values identical by design — the swap is exercised, the
+    oracle expression stays uniform). Address via the ADDRESS label on
+    even docs, the SON/DAUGHTER/WIFE OF capture on odd. The name label
+    line ends with '.' so the greedy [A-Z\\s]{2,} capture cannot swallow
+    the next line."""
+    doc_id = F.col("doc_id")
+    name = F.concat(_pick(_FIRSTS, doc_id % 8), F.lit(" "),
+                    _pick(_LASTS, (doc_id * 5) % 8))
+    father = F.concat(_pick(_FIRSTS, (doc_id + 2) % 8), F.lit(" "),
+                      _pick(_LASTS, ((doc_id + 2) * 5) % 8))
+    dd = F.lpad((doc_id % 28 + 1).cast("string"), 2, "0")
+    mm = F.lpad((doc_id % 12 + 1).cast("string"), 2, "0")
+    issue_d = F.concat(dd, F.lit("/"), mm, F.lit("/2015"))
+    valid_d = F.concat(dd, F.lit("/"), mm, F.lit("/2035"))
+    dob_d = F.concat(dd, F.lit("/"), mm, F.lit("/19"),
+                     F.lpad((50 + doc_id % 50).cast("string"), 2, "0"))
+    even = doc_id % 2 == 0
+    issue_line = F.concat(F.lit("DATE OF ISSUE: "),
+                          F.when(even, issue_d).otherwise(valid_d))
+    valid_line = F.concat(F.lit("VALID TILL: "),
+                          F.when(even, valid_d).otherwise(issue_d))
+    addr_line = F.when(even, F.concat(
+        F.lit("ADDRESS: "), (doc_id % 99 + 1).cast("string"), F.lit(" "),
+        F.upper(_pick(_STREETS, doc_id % 4)), F.lit(" "),
+        (F.lit(560000) + doc_id % 100).cast("string")))\
+        .otherwise(F.concat(F.lit("SON/DAUGHTER/WIFE OF: "), father))
+    return F.concat_ws(
+        "\n", F.lit("INDIAN UNION DRIVING LICENCE"),
+        F.concat(F.lit("NAME: "), name, F.lit(".")),
+        F.concat(F.lit("DL NO KA 05 "),
+                 (F.lit(20150000) + doc_id).cast("string")),
+        issue_line, valid_line,
+        F.concat(F.lit("DOB: "), dob_d), addr_line)
+
+
+_DL_TEXT_SQL = f"""
+concat_ws(chr(10), 'INDIAN UNION DRIVING LICENCE',
+  'NAME: ' || {_upper_name_sql()} || '.',
+  'DL NO KA 05 ' || cast(20150000 + doc_id AS varchar),
+  'DATE OF ISSUE: ' || (CASE WHEN doc_id % 2 = 0
+      THEN lpad(cast(doc_id % 28 + 1 AS varchar), 2, '0') || '/'
+           || lpad(cast(doc_id % 12 + 1 AS varchar), 2, '0') || '/2015'
+      ELSE lpad(cast(doc_id % 28 + 1 AS varchar), 2, '0') || '/'
+           || lpad(cast(doc_id % 12 + 1 AS varchar), 2, '0') || '/2035' END),
+  'VALID TILL: ' || (CASE WHEN doc_id % 2 = 0
+      THEN lpad(cast(doc_id % 28 + 1 AS varchar), 2, '0') || '/'
+           || lpad(cast(doc_id % 12 + 1 AS varchar), 2, '0') || '/2035'
+      ELSE lpad(cast(doc_id % 28 + 1 AS varchar), 2, '0') || '/'
+           || lpad(cast(doc_id % 12 + 1 AS varchar), 2, '0') || '/2015' END),
+  'DOB: ' || lpad(cast(doc_id % 28 + 1 AS varchar), 2, '0') || '/'
+    || lpad(cast(doc_id % 12 + 1 AS varchar), 2, '0') || '/19'
+    || lpad(cast(50 + doc_id % 50 AS varchar), 2, '0'),
+  CASE WHEN doc_id % 2 = 0
+    THEN 'ADDRESS: ' || cast(doc_id % 99 + 1 AS varchar) || ' '
+         || upper({_sql_pick(_STREETS, "doc_id % 4")}) || ' '
+         || cast(560000 + doc_id % 100 AS varchar)
+    ELSE 'SON/DAUGHTER/WIFE OF: ' || {_upper_name_sql(2)} END)
+"""
+
+
+def q_extract_dl_sql(spark, sf_dir):
+    """End-to-end driving-license leg: derived licenses through the
+    REAL run_extraction (paddle len>10 accept -> P45 parseDL marker
+    scan + the valid<issue swap state machine on odd docs)."""
+    from ocr_spark.plans.pipeline import run_extraction
+    inp = _pipeline_input(spark, sf_dir, "driving_license",
+                          _dl_text_expr())
+    out = run_extraction(spark, inp, run_id="driver-dl-sql",
+                         num_partitions=8)
+    return out.select(
+        "url", "doc_type", "extracted_text",
+        F.col("dl.name").alias("name"),
+        F.col("dl.dl_number").alias("dl_number"),
+        F.col("dl.dob").alias("dob"),
+        F.col("dl.issue_date").alias("issue_date"),
+        F.col("dl.valid_till").alias("valid_till"),
+        F.col("dl.address").alias("address"),
+        "error")
+
+
+def _sql_extract_dl_sql():
+    url = _URL_SQL_TMPL.format(dt="driving_license")
+    return f"""
+WITH d AS (SELECT doc_id, {url} AS url, {_DL_TEXT_SQL} AS t
+           FROM documents)
+SELECT url,
+  regexp_extract(url, '/([a-z_]+)/[^/]*$', 1) AS doc_type,
+  t AS extracted_text,
+  -- name label capture stops at the planted '.'
+  regexp_extract(t, 'NAME[:\\s]*([A-Z ]+)\\.', 1) AS name,
+  regexp_extract(t, '\\b[A-Z]{{2}} ?\\d{{2}} ?\\d{{6,12}}\\b', 0) AS dl_number,
+  regexp_extract(t, 'DOB: (\\d{{2}}[/]\\d{{2}}[/]\\d{{4}})', 1) AS dob,
+  -- swap branch on odd docs lands on the same normalized pair
+  lpad(cast(doc_id % 28 + 1 AS varchar), 2, '0') || '/'
+    || lpad(cast(doc_id % 12 + 1 AS varchar), 2, '0') || '/2015'
+    AS issue_date,
+  lpad(cast(doc_id % 28 + 1 AS varchar), 2, '0') || '/'
+    || lpad(cast(doc_id % 12 + 1 AS varchar), 2, '0') || '/2035'
+    AS valid_till,
+  CASE WHEN doc_id % 2 = 0
+    THEN cast(doc_id % 99 + 1 AS varchar) || ' '
+         || upper({_sql_pick(_STREETS, "doc_id % 4")}) || ' '
+         || cast(560000 + doc_id % 100 AS varchar)
+    ELSE {_upper_name_sql(2)} END AS address,
+  NULL::varchar AS error
+FROM d ORDER BY url
+"""
+
+
+# ---- Employee docs (ID card + appointment letter, unioned) ----
+
+def _employee_id_text_expr():
+    """Branch plan (P47): FirstLast name line always; company literal
+    only on even docs; designation literal only on doc_id%3==0."""
+    doc_id = F.col("doc_id")
+    name = _title_name_expr(doc_id)
+    base = F.concat_ws(
+        "\n", F.lit("EMPLOYEE ID CARD"), name,
+        F.concat(F.lit("Employee ID: EMP-"),
+                 (F.lit(1000) + doc_id % 9000).cast("string")))
+    return F.concat(
+        base,
+        F.when(doc_id % 2 == 0, F.lit("\nTechNova Solutions Pvt Ltd"))
+        .otherwise(F.lit("")),
+        F.when(doc_id % 3 == 0, F.lit("\nDesignation: Software Engineer"))
+        .otherwise(F.lit("")))
+
+
+_EMP_ID_TEXT_SQL = """
+concat_ws(chr(10), 'EMPLOYEE ID CARD', {name},
+  'Employee ID: EMP-' || cast(1000 + doc_id % 9000 AS varchar))
+|| CASE WHEN doc_id % 2 = 0
+        THEN chr(10) || 'TechNova Solutions Pvt Ltd' ELSE '' END
+|| CASE WHEN doc_id % 3 = 0
+        THEN chr(10) || 'Designation: Software Engineer' ELSE '' END
+""".format(name=_title_name_sql())
+
+
+def _appointment_text_expr():
+    """Branch plan (P48): 'To.' + name two lines below on even docs,
+    'Dear <name>,' fallback on odd; all three designation OCR misreads
+    normalize to the literal; joining month hardcodes to 05 whatever
+    month word appears; Dengaluru -> Bangalore on doc_id%5==0."""
+    doc_id = F.col("doc_id")
+    name = _title_name_expr(doc_id)
+    head = F.when(doc_id % 2 == 0,
+                  F.concat(F.lit("APPOINTMENT LETTER\nTo.\nREF APPT 2025\n"),
+                           name))\
+        .otherwise(F.concat(F.lit("APPOINTMENT LETTER\nDear "), name,
+                            F.lit(",")))
+    return F.concat(
+        head, F.lit("\nTechNova Solutions Pvt Ltd\nYou will join as "),
+        _pick(_DESIG_VARIANTS, doc_id % 3),
+        F.lit("\nJoining Date: "), _pick(_JOIN_MONTHS, doc_id % 4),
+        F.lit(" "), (doc_id % 28 + 1).cast("string"), F.lit(", 2025"),
+        F.lit("\nLocation: "),
+        F.when(doc_id % 5 == 0, F.lit("Dengaluru"))
+        .otherwise(_pick(_CITIES, doc_id % 4)))
+
+
+_APPT_TEXT_SQL = f"""
+(CASE WHEN doc_id % 2 = 0
+  THEN 'APPOINTMENT LETTER' || chr(10) || 'To.' || chr(10)
+       || 'REF APPT 2025' || chr(10) || {_title_name_sql()}
+  ELSE 'APPOINTMENT LETTER' || chr(10) || 'Dear ' || {_title_name_sql()}
+       || ',' END)
+|| chr(10) || 'TechNova Solutions Pvt Ltd'
+|| chr(10) || 'You will join as ' || {_sql_pick(_DESIG_VARIANTS, "doc_id % 3")}
+|| chr(10) || 'Joining Date: ' || {_sql_pick(_JOIN_MONTHS, "doc_id % 4")}
+|| ' ' || cast(doc_id % 28 + 1 AS varchar) || ', 2025'
+|| chr(10) || 'Location: '
+|| CASE WHEN doc_id % 5 = 0 THEN 'Dengaluru'
+        ELSE {_sql_pick(_CITIES, "doc_id % 4")} END
+"""
+
+
+def q_extract_employee_sql(spark, sf_dir):
+    """End-to-end employee leg: derived ID cards + appointment letters
+    (one of each per document) through the REAL run_extraction (P46-P48
+    with the hardcoded-May and Dengaluru->Bangalore quirks)."""
+    from ocr_spark.plans.pipeline import run_extraction
+    ids = _pipeline_input(spark, sf_dir, "employee_id",
+                          _employee_id_text_expr())
+    apps = _pipeline_input(spark, sf_dir, "appointment_letter",
+                           _appointment_text_expr())
+    out = run_extraction(spark, ids.unionByName(apps),
+                         run_id="driver-emp-sql", num_partitions=8)
+    return out.select(
+        "url", "doc_type", "extracted_text",
+        F.coalesce(F.col("employee.name"),
+                   F.col("appointment.name")).alias("name"),
+        F.col("employee.employee_id").alias("employee_id"),
+        F.coalesce(F.col("employee.company"),
+                   F.col("appointment.company")).alias("company"),
+        F.coalesce(F.col("employee.designation"),
+                   F.col("appointment.designation")).alias("designation"),
+        F.col("appointment.joining_date").alias("joining_date"),
+        F.col("appointment.location").alias("location"),
+        "error")
+
+
+def _sql_extract_employee_sql():
+    id_url = _URL_SQL_TMPL.format(dt="employee_id")
+    app_url = _URL_SQL_TMPL.format(dt="appointment_letter")
+    return f"""
+WITH i AS (SELECT doc_id, {id_url} AS url, {_EMP_ID_TEXT_SQL} AS t
+           FROM documents),
+a AS (SELECT doc_id, {app_url} AS url, {_APPT_TEXT_SQL} AS t
+      FROM documents)
+SELECT url, 'employee_id' AS doc_type, t AS extracted_text,
+  {_title_name_sql()} AS name,
+  regexp_extract(t, '(?i)(EMP[- ]?\\d{{3,}})', 1) AS employee_id,
+  CASE WHEN doc_id % 2 = 0 THEN 'TechNova Solutions Pvt Ltd' ELSE '' END
+    AS company,
+  CASE WHEN doc_id % 3 = 0 THEN 'Software Engineer' ELSE '' END
+    AS designation,
+  NULL::varchar AS joining_date, NULL::varchar AS location,
+  NULL::varchar AS error
+FROM i
+UNION ALL
+SELECT url, 'appointment_letter' AS doc_type, t AS extracted_text,
+  {_title_name_sql()} AS name,
+  NULL::varchar AS employee_id,
+  'TechNova Solutions Pvt Ltd' AS company,
+  'Software Engineer' AS designation,  -- all misreads normalize (P48)
+  cast(doc_id % 28 + 1 AS varchar) || '/05/2025' AS joining_date,
+  CASE WHEN doc_id % 5 = 0 THEN 'Bangalore'
+       ELSE {_sql_pick(_CITIES, "doc_id % 4")} END AS location,
+  NULL::varchar AS error
+FROM a
+ORDER BY url, doc_type
+"""
+
+
 def q_extract_pipeline(spark, sf_dir):
     """Flagship extraction pipeline over synthesized north-rule input
     (cascade + parsers are pytest-golden-verified byte-identical; the
@@ -1963,6 +2596,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "extract_pipeline_sql": q_extract_pipeline_sql,
         "extract_bank_sql": q_extract_bank_sql,
+        "extract_itr_sql": q_extract_itr_sql,
+        "extract_aadhaar_sql": q_extract_aadhaar_sql,
+        "extract_pan_sql": q_extract_pan_sql,
+        "extract_dl_sql": q_extract_dl_sql,
+        "extract_employee_sql": q_extract_employee_sql,
         "crosscheck_sql": q_crosscheck_sql,
         "html_main_text": q_html_main_text,
         "html_spans": q_html_spans,
@@ -2006,6 +2644,11 @@ def oracle_sql() -> dict[str, str]:
         # same derived cheap-path corpus.
         "extract_pipeline_sql": _sql_extract_pipeline_sql(),
         "extract_bank_sql": _sql_extract_bank_sql(),
+        "extract_itr_sql": _sql_extract_itr_sql(),
+        "extract_aadhaar_sql": _sql_extract_aadhaar_sql(),
+        "extract_pan_sql": _sql_extract_pan_sql(),
+        "extract_dl_sql": _sql_extract_dl_sql(),
+        "extract_employee_sql": _sql_extract_employee_sql(),
         "crosscheck_sql": _sql_crosscheck_sql(),
         # Webtext axis: the Spark side parses REAL html built around
         # the document text; the oracle replays the expected article.
