@@ -454,16 +454,40 @@ FROM t ORDER BY doc_id
 """
 
 
+# Planted non-Latin samples for the script-vote stage (r4): docs with
+# doc_id%8 in 0..5 swap their text for one of these; 6..7 keep the
+# corpus text and exercise the Latin stopword vote.
+_SCRIPT_SAMPLES = [
+    ("ja", "これは日本語のテスト文書です ウェブページの本文"),
+    ("ko", "이것은 한국어 테스트 문서입니다 웹 페이지 본문"),
+    ("zh", "这是一个中文测试文档 网页正文内容提取测试"),
+    ("ru", "это тестовый документ на русском языке для проверки"),
+    ("ar", "هذا مستند تجريبي باللغة العربية لاختبار الاستخراج"),
+    ("hi", "यह हिंदी में एक परीक्षण दस्तावेज़ है निष्कर्षण के लिए"),
+]
+
+
+def _lang_docs(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    txt = F.col("text")
+    for i, (_, sample) in enumerate(_SCRIPT_SAMPLES):
+        txt = F.when(F.col("doc_id") % 8 == i, F.lit(sample)).otherwise(txt)
+    return d.select("doc_id", txt.alias("text"))
+
+
 def q_lang_id(spark, sf_dir):
-    """Language-ID heuristic: stopword vote, alphabetical tie-break."""
-    return _docs(spark, sf_dir).select(
+    """Two-stage language ID: unicode script vote (non-Latin samples
+    planted on doc_id%8 in 0..5), then the Latin stopword vote."""
+    return _lang_docs(spark, sf_dir).select(
         "doc_id", textstats.lang_id(F.col("text")).alias("lang_guess"))
 
 
 def _sql_lang_id():
-    # Generated from textstats.LANG_STOPWORDS so the SQL twin follows
-    # inventory changes automatically. Winner = max hit count, earliest
-    # language in sorted order on ties (the Spark loop's strict `>`).
+    # Generated from textstats.LANG_STOPWORDS + SCRIPT_RANGES so the
+    # SQL twin follows inventory changes automatically. Script vote
+    # first (kana at 5%, others at 30% of non-whitespace chars), then
+    # winner = max stopword hit count, earliest language in sorted
+    # order on ties (the Spark loop's strict `>`).
     langs = sorted(_STOPWORDS)
     hits = {lang: "len(list_filter(tok, t -> list_contains(["
             + ",".join(f"'{w}'" for w in _STOPWORDS[lang]) + "], t)))"
@@ -473,17 +497,97 @@ def _sql_lang_id():
     mx = "greatest(" + ", ".join(f"h_{lang}" for lang in langs) + ")"
     branches = "\n".join(f"  WHEN h_{lang} = mx THEN '{lang}'"
                          for lang in langs)
+    sample_case = "CASE " + " ".join(
+        f"WHEN doc_id % 8 = {i} THEN '{s}'"
+        for i, (_, s) in enumerate(_SCRIPT_SAMPLES)) + " ELSE text END"
+    script_cols = ",\n       ".join(
+        f"length(regexp_replace(txt, '[^{textstats.SCRIPT_RANGES[lang]}]',"
+        f" '', 'g')) AS sc_{lang}"
+        for lang in textstats.SCRIPT_ORDER)
+    script_branches = "\n".join(
+        f"  WHEN sc_{lang} > {textstats.script_threshold(lang)} * nw"
+        f" THEN '{lang}'"
+        for lang in textstats.SCRIPT_ORDER)
     return f"""
-WITH t AS (SELECT doc_id,
-  regexp_split_to_array(trim(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), ' ') AS tok
-  FROM documents),
-h AS (SELECT doc_id, {hit_cols} FROM t),
+WITH d AS (SELECT doc_id, {sample_case} AS txt FROM documents),
+t AS (SELECT doc_id, txt,
+  length(regexp_replace(txt, '\\s+', '', 'g')) AS nw,
+       {script_cols},
+  regexp_split_to_array(trim(regexp_replace(lower(trim(txt)), '\\s+', ' ', 'g')), ' ') AS tok
+  FROM d),
+h AS (SELECT doc_id, nw, {", ".join("sc_" + s for s in textstats.SCRIPT_ORDER)},
+             {hit_cols} FROM t),
 m AS (SELECT doc_id, *, {mx} AS mx FROM h)
 SELECT doc_id, CASE
+{script_branches}
   WHEN mx = 0 THEN 'und'
 {branches}
   END AS lang_guess
 FROM m ORDER BY doc_id
+"""
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition signals (Rae et al. 2021 thresholds):
+    doc_id%3==0 plants duplicate-line spam (dup_line_frac 0.5, fails
+    the 0.30 gate), %3==1 plants a bigram loop (top-2-gram character
+    mass ~0.7, fails the 0.18 gate), the rest keep the corpus text."""
+    d = _docs(spark, sf_dir)
+    sid = F.col("doc_id").cast("string")
+    boiler = F.lit("\nrepeated boiler line" * 3)
+    txt = F.when(F.col("doc_id") % 3 == 0,
+                 F.concat(F.lit("intro line "), sid, boiler))\
+        .when(F.col("doc_id") % 3 == 1,
+              F.concat(F.lit("click here " * 10 + "unique "), sid))\
+        .otherwise(F.col("text"))
+    stats = textstats.repetition_stats(
+        d.select("doc_id", txt.alias("text")))
+    return stats.select("doc_id", "n_tokens", "dup_line_frac",
+                        "top_bigram", "top_bigram_frac", "keep")
+
+
+def _sql_repetition_stats():
+    return f"""
+WITH d AS (SELECT doc_id,
+  CASE WHEN doc_id % 3 = 0 THEN 'intro line ' || cast(doc_id AS varchar)
+         || repeat(chr(10) || 'repeated boiler line', 3)
+       WHEN doc_id % 3 = 1 THEN repeat('click here ', 10)
+         || 'unique ' || cast(doc_id AS varchar)
+       ELSE text END AS t
+  FROM documents),
+l AS (SELECT doc_id, t,
+        list_filter(list_transform(string_split(t, chr(10)),
+                                   x -> trim(x)), x -> x <> '') AS lines,
+        regexp_replace(lower(trim(t)), '\\s+', ' ', 'g') AS norm
+      FROM d),
+s AS (SELECT doc_id,
+        CASE WHEN len(lines) = 0 THEN 0.0
+             ELSE round(1.0 - len(list_distinct(lines))::double
+                        / len(lines), 6) END AS dup_line_frac,
+        length(norm) AS nchars,
+        regexp_split_to_array(trim(norm), ' ') AS tok,
+        len(regexp_split_to_array(trim(norm), ' ')) AS n_tokens
+      FROM l),
+b AS (SELECT doc_id, unnest(list_transform(
+        range(1, len(tok)), j -> tok[j::int] || ' ' || tok[(j+1)::int]))
+        AS bg
+      FROM s WHERE len(tok) >= 2),
+c AS (SELECT doc_id, bg, count(*) AS cnt FROM b GROUP BY 1, 2),
+m AS (SELECT doc_id, bg, cnt FROM c
+      QUALIFY row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY cnt DESC, bg DESC) = 1),
+j AS (SELECT s.doc_id, s.n_tokens, s.dup_line_frac,
+        coalesce(m.bg, '') AS top_bigram,
+        CASE WHEN m.cnt IS NULL OR s.nchars = 0 THEN 0.0
+             ELSE round(m.cnt * length(m.bg)::double / s.nchars, 6)
+        END AS top_bigram_frac
+      FROM s LEFT JOIN m ON s.doc_id = m.doc_id)
+SELECT doc_id, n_tokens, dup_line_frac, top_bigram, top_bigram_frac,
+       (dup_line_frac <= {textstats.GOPHER_MAX_DUP_LINE_FRAC}
+        AND (n_tokens < {textstats.GOPHER_MIN_TOKENS_FOR_BIGRAM_GATE}
+             OR top_bigram_frac <= {textstats.GOPHER_MAX_TOP_BIGRAM_FRAC}))
+         AS keep
+FROM j ORDER BY doc_id
 """
 
 
@@ -2584,6 +2688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "stopword_ratio": q_stopword_ratio,
         "lang_id": q_lang_id,
+        "repetition_stats": q_repetition_stats,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_bruteforce": q_ann_bruteforce,
         "embedding_neardup": q_embedding_neardup,
@@ -2630,6 +2735,7 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": _sql_token_stats(),
         "stopword_ratio": _sql_stopword_ratio(),
         "lang_id": _sql_lang_id(),
+        "repetition_stats": _sql_repetition_stats(),
         "ngram_jaccard": _sql_ngram_jaccard(),
         "ann_bruteforce": _sql_ann_bruteforce(),
         "embedding_neardup": _sql_embedding_neardup(),

@@ -24,6 +24,9 @@ runs are never silent: the counters also land in the summary JSON).
 one survivor per cluster (dedup.dedup_resolve) and persists the
 per-url decisions plus the filtered survivor corpus — the step that
 actually SHRINKS the corpus.
+--quality-filter <dir> applies the Gopher repetition thresholds
+(duplicate-line fraction, top-bigram character mass) to the committed
+snapshot, persisting the per-url signals and the filtered corpus.
 
 Configuration (shuffle partitions, AQE, Arrow batch size, memory)
 comes from spark-submit --conf on a real cluster; launched standalone
@@ -67,6 +70,12 @@ def _parse(argv):
                         "(connected components), persist per-url "
                         "(cluster, keep) decisions and the filtered "
                         "survivor corpus under DIR (requires --neardup)")
+    p.add_argument("--quality-filter", default=None, metavar="DIR",
+                   help="apply the Gopher repetition thresholds "
+                        "(textstats.gopher_quality_filter) to the "
+                        "committed snapshot's extracted_text; persist "
+                        "the per-url signals + the filtered corpus "
+                        "under DIR and report kept/dropped counts")
     return p.parse_args(argv)
 
 
@@ -169,6 +178,30 @@ def main(argv=None, spark=None) -> dict:
                     "docs": n_docs, "survivors": n_kept,
                     "dropped": n_docs - n_kept,
                     "clusters": resolved.filter("keep").count()}
+
+    if args.quality_filter:
+        # Gopher-style repetition gate (textstats; Rae et al. 2021
+        # thresholds): the signals table persists next to the filtered
+        # corpus so a dropped page is always explainable.
+        from ocr_spark.operators import textstats
+        committed = table.read(spark)
+        if committed is not None:
+            stats = textstats.repetition_stats(
+                committed.select("url", "extracted_text"),
+                text_col="extracted_text", id_col="url")
+            stats.write.mode("overwrite").parquet(
+                f"{args.quality_filter}/signals")
+            stats = spark.read.parquet(f"{args.quality_filter}/signals")
+            kept = committed.join(stats.filter("keep").select("url"),
+                                  on="url", how="left_semi")
+            kept.write.mode("overwrite").parquet(
+                f"{args.quality_filter}/filtered")
+            n_docs = committed.count()
+            n_kept = spark.read.parquet(
+                f"{args.quality_filter}/filtered").count()
+            summary["quality_filter"] = {
+                "docs": n_docs, "kept": n_kept,
+                "dropped": n_docs - n_kept}
 
     print(json.dumps(summary))
     return summary

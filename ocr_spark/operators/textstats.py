@@ -40,6 +40,29 @@ LANG_STOPWORDS = {
            "was", "er", "maar", "om", "dan", "ook", "bij"],
 }
 
+# Unicode script ranges (public: Unicode block charts) for the
+# script-vote stage of lang_id — the stopword vote is Latin-only, so
+# CJK/Cyrillic/Arabic/Devanagari pages (a large share of Common Crawl)
+# would otherwise all fall through to 'en'/'und'. The driver oracle SQL
+# is GENERATED from these tables (__spark_entry__._sql_lang_id).
+SCRIPT_RANGES = {
+    "ja": "぀-ヿ",                 # hiragana + katakana
+    "ko": "가-힯ᄀ-ᇿ",    # hangul syllables + jamo
+    "zh": "一-鿿",                 # CJK unified ideographs
+    "ru": "Ѐ-ӿ",                 # cyrillic
+    "ar": "؀-ۿ",                 # arabic
+    "hi": "ऀ-ॿ",                 # devanagari
+}
+# Precedence: kana identifies Japanese even though Japanese text is
+# majority Han — check it first with a low threshold; every other
+# script needs a 30% share of non-whitespace characters.
+SCRIPT_ORDER = ["ja", "ko", "zh", "ru", "ar", "hi"]
+
+
+def script_threshold(lang: str) -> float:
+    return 0.05 if lang == "ja" else 0.30
+
+
 _BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
@@ -93,8 +116,14 @@ def quality_score(c: Column) -> Column:
 
 
 def lang_id(c: Column) -> Column:
-    """Stopword-vote language ID: the language with the most stopword
-    hits wins; ties break alphabetically; no hits -> 'und'."""
+    """Two-stage language ID, pure expressions:
+
+    1. Unicode script vote (SCRIPT_ORDER): a script whose characters
+       exceed its share threshold of the non-whitespace text wins —
+       kana first at 5% (Japanese is majority Han), the rest at 30%.
+    2. Latin stopword vote: the language with the most stopword hits
+       wins; ties break alphabetically; no hits -> 'und'.
+    """
     tok = tokens(c)
     best_lang = F.lit("und")
     best_hits = F.lit(0)
@@ -104,7 +133,16 @@ def lang_id(c: Column) -> Column:
         better = hits > best_hits
         best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
         best_hits = F.when(better, hits).otherwise(best_hits)
-    return best_lang
+    nonws = F.length(F.regexp_replace(c, r"\s+", ""))
+    expr = best_lang
+    for lang in reversed(SCRIPT_ORDER):
+        script_chars = F.length(
+            F.regexp_replace(c, f"[^{SCRIPT_RANGES[lang]}]", ""))
+        expr = F.when(
+            script_chars.cast("double")
+            > F.lit(script_threshold(lang)) * nonws,
+            F.lit(lang)).otherwise(expr)
+    return expr
 
 
 def fingerprint(c: Column) -> Column:
@@ -117,6 +155,101 @@ def rolling_fingerprint(c: Column, window: int = 16) -> Column:
     document's character k-grams (stable under local edits elsewhere)."""
     from .dedup import shingles
     return F.array_min(F.transform(shingles(c, window), lambda s: F.xxhash64(s)))
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition signals (public thresholds: Rae et al. 2021,
+# "Scaling Language Models: ... Gopher", Table A1): repetitive pages
+# (boilerplate line spam, keyword-stuffed bigram loops) are the classic
+# web-corpus pollution that length/stopword signals miss.
+# ---------------------------------------------------------------------------
+
+GOPHER_MAX_DUP_LINE_FRAC = 0.30
+GOPHER_MAX_TOP_BIGRAM_FRAC = 0.18
+# The n-gram mass gate only means something past a word-count floor (a
+# two-word page has top-bigram mass 1.0 by construction); Gopher's own
+# pipeline drops short docs with a separate length filter before the
+# repetition gates apply.
+GOPHER_MIN_TOKENS_FOR_BIGRAM_GATE = 20
+
+
+def line_array(c: Column) -> Column:
+    """Trimmed non-empty lines (expression)."""
+    return F.filter(F.transform(F.split(c, "\n"), F.trim),
+                    lambda x: x != "")
+
+
+def dup_line_fraction(c: Column) -> Column:
+    """Fraction of lines that repeat an earlier line — pure expression,
+    one array pass per document."""
+    lines = line_array(c)
+    n = F.size(lines)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct(lines)).cast("double") / n)
+
+
+def bigram_array(c: Column) -> Column:
+    """Adjacent word bigrams of the normalized text (expression)."""
+    tok = tokens(c)
+    n = F.size(tok)
+    idx = F.sequence(F.lit(1), n - 1)
+    return F.when(n < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(idx, lambda j: F.concat(
+            F.element_at(tok, j), F.lit(" "), F.element_at(tok, j + 1))))
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-document repetition signals:
+
+      * dup_line_frac — fraction of repeated lines (expression-only).
+      * top_bigram / top_bigram_frac — the most frequent word bigram
+        and the fraction of normalized characters it covers
+        (count x len(bigram) / len(norm_text)).
+
+    Scale shape: the bigram mode is explode -> two-level hash
+    aggregation (partial map-side combine on (id, bigram), then
+    max(struct(count, bigram)) per id — deterministic tie-break on the
+    larger bigram string), never a per-document O(n^2) array loop. One
+    shuffle on (id, bigram), one on id."""
+    c = F.col(text_col)
+    base = df.select(
+        F.col(id_col),
+        F.length(normalize_text(c)).alias("_nchars"),
+        token_count(c).alias("n_tokens"),
+        F.round(dup_line_fraction(c), 6).alias("dup_line_frac"),
+        bigram_array(c).alias("_bg"))
+    counts = (base.select(F.col(id_col), F.explode("_bg").alias("bigram"))
+              .groupBy(id_col, "bigram").agg(F.count("*").alias("cnt")))
+    top = (counts.groupBy(id_col)
+           .agg(F.max(F.struct(F.col("cnt"), F.col("bigram"))).alias("t"))
+           .select(F.col(id_col), F.col("t.bigram").alias("top_bigram"),
+                   F.col("t.cnt").alias("_cnt")))
+    out = (base.drop("_bg").join(top, on=id_col, how="left")
+           .select(
+               F.col(id_col), "n_tokens", "dup_line_frac",
+               F.coalesce(F.col("top_bigram"), F.lit("")).alias("top_bigram"),
+               F.when(
+                   F.col("_cnt").isNull() | (F.col("_nchars") == 0),
+                   F.lit(0.0))
+               .otherwise(F.round(
+                   F.col("_cnt") * F.length("top_bigram")
+                   / F.col("_nchars"), 6)).alias("top_bigram_frac")))
+    return out.withColumn(
+        "keep",
+        (F.col("dup_line_frac") <= GOPHER_MAX_DUP_LINE_FRAC)
+        & ((F.col("n_tokens") < GOPHER_MIN_TOKENS_FOR_BIGRAM_GATE)
+           | (F.col("top_bigram_frac") <= GOPHER_MAX_TOP_BIGRAM_FRAC)))
+
+
+def gopher_quality_filter(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Corpus filtered to documents passing the Gopher repetition
+    thresholds (left-semi join against the keep set — ids only ride
+    the shuffle)."""
+    keep = repetition_stats(df, text_col, id_col).filter("keep")\
+        .select(F.col(id_col))
+    return df.join(keep, on=id_col, how="left_semi")
 
 
 def document_stats(df: DataFrame, text_col: str = "text",

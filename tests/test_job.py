@@ -109,6 +109,31 @@ def test_job_dedup_apply_shrinks_corpus(spark, tmp_path):
     assert len(agg) == 4 and all(row["keepers"] == 1 for row in agg)
 
 
+def test_job_quality_filter_reports_counts(spark, tmp_path):
+    """--quality-filter drops the planted repetitive page and persists
+    signals + filtered corpus with counts in the summary."""
+    from pyspark.sql import functions as F
+
+    inp = str(tmp_path / "in.parquet")
+    spam = "intro line" + "\nrepeated boiler line" * 3
+    prose = ("the quick brown fox jumps over the lazy dog while a calm "
+             "river flows past the old stone bridge in the morning sun")
+    spark.createDataFrame(
+        [(f"https://cc.synth.local/app{i}/salary_slip/{i}.png", None,
+          None, spam if i % 2 == 0 else prose, "en", None)
+         for i in range(6)], schema=schemas.INPUT_SCHEMA).write.parquet(inp)
+
+    table = str(tmp_path / "table")
+    qf = str(tmp_path / "qf")
+    r = job.main(["--input", inp, "--table", table, "--partitions", "2",
+                  "--quality-filter", qf], spark=spark)
+    assert r["quality_filter"] == {"docs": 6, "kept": 3, "dropped": 3}
+    assert spark.read.parquet(f"{qf}/filtered").count() == 3
+    sig = spark.read.parquet(f"{qf}/signals")
+    assert sig.count() == 6
+    assert sig.filter("NOT keep").count() == 3
+
+
 def test_job_via_spark_submit(tmp_path):
     """The actual deployment path: package ocr_spark into a zip, launch
     a fresh JVM via spark-submit --py-files, run the job end-to-end."""

@@ -453,6 +453,58 @@ class TestTextStats:
         assert out == {0: "es", 1: "en", 2: "und",
                        3: "it", 4: "pt", 5: "nl"}
 
+    def test_lang_id_script_vote(self, spark):
+        """Non-Latin scripts are identified by unicode script ranges
+        BEFORE the Latin stopword vote: Japanese wins on kana share
+        even though its text is majority Han; a Latin page with CJK
+        sprinkles below threshold stays with the stopword vote."""
+        df = spark.createDataFrame(
+            [(0, "日本語のページ本文はここにあります"),          # kana+han
+             (1, "这是一个完全中文的网页正文内容"),               # han only
+             (2, "이 문서는 한국어로 작성되었습니다"),
+             (3, "это страница на русском языке для теста"),
+             (4, "هذه صفحة باللغة العربية للاختبار"),
+             (5, "यह पृष्ठ हिंदी में लिखा गया है"),
+             (6, "the quick brown fox 漢字 and the lazy dog of it")],
+            ["doc_id", "text"])
+        out = {r["doc_id"]: r["lang_guess"]
+               for r in df.select("doc_id", textstats.lang_id(
+                   F.col("text")).alias("lang_guess")).collect()}
+        assert out == {0: "ja", 1: "zh", 2: "ko", 3: "ru",
+                       4: "ar", 5: "hi", 6: "en"}
+
+    def test_repetition_stats_gopher_gates(self, spark):
+        """Gopher repetition signals: duplicate-line spam fails the
+        0.30 line gate, a bigram loop fails the 0.18 top-2-gram mass
+        gate, clean prose passes both."""
+        spam = "intro line 7" + "\nrepeated boiler line" * 3
+        loop = "click here " * 10 + "unique 7"
+        prose = ("the quick brown fox jumps over the lazy dog while "
+                 "a calm river flows past the old stone bridge")
+        df = spark.createDataFrame(
+            [(0, spam), (1, loop), (2, prose)], ["doc_id", "text"])
+        out = {r["doc_id"]: r
+               for r in textstats.repetition_stats(df).collect()}
+        assert out[0]["dup_line_frac"] == 0.5 and not out[0]["keep"]
+        assert out[1]["top_bigram"] == "click here"
+        assert out[1]["top_bigram_frac"] > 0.18 and not out[1]["keep"]
+        assert out[2]["keep"]
+        kept = textstats.gopher_quality_filter(df).collect()
+        assert [r["doc_id"] for r in kept] == [2]
+
+    def test_repetition_stats_edge_shapes(self, spark):
+        """Empty and single-token docs produce zero signals, not
+        nulls/crashes (the explode side is empty for them)."""
+        df = spark.createDataFrame(
+            [(0, ""), (1, "word"), (2, "a b")], ["doc_id", "text"])
+        out = {r["doc_id"]: r
+               for r in textstats.repetition_stats(df).collect()}
+        assert out[0]["dup_line_frac"] == 0.0
+        assert out[0]["top_bigram"] == "" and out[0]["top_bigram_frac"] == 0.0
+        assert out[1]["top_bigram"] == ""
+        assert out[2]["top_bigram"] == "a b"
+        assert all(out[i]["keep"] for i in range(3))
+
     def test_fingerprint_stability(self, docs):
         fp = docs.select(textstats.fingerprint(F.col("text")).alias("fp"),
                          textstats.rolling_fingerprint(F.col("text")).alias("rfp"))
