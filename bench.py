@@ -255,12 +255,47 @@ def main():
         # top-k by (-sim, corpus_id) — the operator's tie-break.
         top = sorted(range(len(ids)), key=lambda c: (-sims[qi, c], ids[c]))[:k]
         exact_pairs.update((int(ids[qi]), int(ids[c])) for c in top)
+    nat_queries = emb.filter(F.col("vec_id") < int(ids[n_q - 1]) + 1)
     ann = similarity.lsh_cosine_topk(
-        emb.filter(F.col("vec_id") < int(ids[n_q - 1]) + 1), emb,
-        k=k, planes=ANN_PLANES, tables=ANN_TABLES)
+        nat_queries, emb, k=k, planes=ANN_PLANES, tables=ANN_TABLES)
     got = {(r["query_id"], r["corpus_id"])
            for r in ann.select("query_id", "corpus_id").collect()}
     recall = round(len(got & exact_pairs) / len(exact_pairs), 4)
+
+    # Multi-probe leg (r4): 1-bit-flip neighbor buckets on the QUERY
+    # side tune candidate fraction (and natural-corpus recall) up
+    # without more tables — the measured gain over the probes=0
+    # baseline, with the candidate fraction it costs, goes in the JSON.
+    ANN_PROBES = ANN_PLANES  # probe every Hamming-1 neighbor bucket
+
+    def _cand_fraction(probes: int) -> float:
+        q = nat_queries.select(F.col("vec_id").alias("query_id"),
+                               F.col("embedding").cast("array<double>")
+                               .alias("qv"))
+        c = emb.select(F.col("vec_id").alias("corpus_id"),
+                       F.col("embedding").cast("array<double>")
+                       .alias("cv"))
+        qb = similarity._bucket_rows(q, "query_id", "qv", ANN_PLANES,
+                                     ANN_TABLES, "md5", probes=probes)
+        cb = similarity._bucket_rows(c, "corpus_id", "cv", ANN_PLANES,
+                                     ANN_TABLES, "md5")
+        n_cand = (qb.join(cb, ["table", "bucket"])
+                  .filter(F.col("query_id") != F.col("corpus_id"))
+                  .select("query_id", "corpus_id").dropDuplicates()
+                  .count())
+        return round(n_cand / (n_q * len(ids)), 4)
+
+    ann_mp = similarity.lsh_cosine_topk(
+        nat_queries, emb, k=k, planes=ANN_PLANES, tables=ANN_TABLES,
+        probes=ANN_PROBES)
+    got_mp = {(r["query_id"], r["corpus_id"])
+              for r in ann_mp.select("query_id", "corpus_id").collect()}
+    recall_mp = round(len(got_mp & exact_pairs) / len(exact_pairs), 4)
+    mp_report = {"probes": ANN_PROBES,
+                 "recall_at_10_natural": recall_mp,
+                 "candidate_fraction": _cand_fraction(ANN_PROBES),
+                 "baseline_recall_at_10": recall,
+                 "baseline_candidate_fraction": _cand_fraction(0)}
 
     from pyspark.sql.types import (ArrayType, DoubleType, LongType,
                                    StructField, StructType)
@@ -310,6 +345,7 @@ def main():
         "walls": walls,
         "bucket_reports": bucket_reports,
         "ann_recall_at_10_natural": recall,
+        "ann_multiprobe": mp_report,
         "ann_planted_recall_at_1": planted_recall,
         "ann_recall_config": {"planes": ANN_PLANES, "tables": ANN_TABLES,
                               "n_queries": n_q, "planted_cos": 0.95,

@@ -354,6 +354,50 @@ class TestSimilarity:
                      df, threshold=0.99, max_bucket=100).collect()}
         assert pairs == {(0, 1)}
 
+    def test_multiprobe_buckets_shape(self, spark, embeddings):
+        """probes=p emits 1+p buckets per (row, table): slot 0 is the
+        base signature, each probe differs from it by exactly one bit
+        (both hash-mode paths)."""
+        base = embeddings.limit(20).select(
+            F.col("vec_id").alias("id"),
+            F.col("embedding").cast("array<double>").alias("v"))
+        for mode in ("md5", "xxhash64"):
+            plain = {(r["id"], r["table"]): r["bucket"] for r in
+                     similarity._bucket_rows(base, "id", "v", 6, 3,
+                                             mode).collect()}
+            probed = similarity._bucket_rows(base, "id", "v", 6, 3,
+                                             mode, probes=2).collect()
+            per_key = {}
+            for r in probed:
+                per_key.setdefault((r["id"], r["table"]), []).append(
+                    r["bucket"])
+            assert all(len(v) == 3 for v in per_key.values())
+            for key, buckets in per_key.items():
+                assert plain[key] in buckets
+                for b in buckets:
+                    d = bin(b ^ plain[key]).count("1")
+                    assert d <= 1
+
+    def test_multiprobe_recall_never_below_baseline(self, spark,
+                                                    embeddings):
+        """Query-side multi-probe only ADDS candidate buckets, so the
+        top-k result set can only gain recall vs probes=0 (same planes/
+        tables); corpus bucket rows stay one per table."""
+        queries = embeddings.filter(F.col("vec_id") < 20)
+        base = {(r["query_id"], r["corpus_id"]) for r in
+                similarity.lsh_cosine_topk(
+                    queries, embeddings, k=5, planes=8, tables=2)
+                .collect()}
+        probed = {(r["query_id"], r["corpus_id"]) for r in
+                  similarity.lsh_cosine_topk(
+                      queries, embeddings, k=5, planes=8, tables=2,
+                      probes=8).collect()}
+        exact = {(r["query_id"], r["corpus_id"]) for r in
+                 similarity.cosine_topk(queries, embeddings, k=5)
+                 .collect()}
+        assert len(probed & exact) >= len(base & exact)
+        assert len(probed) >= len(base)
+
     def test_pandas_buckets_equal_expression_buckets(self, spark, embeddings):
         """The BLAS fast path must produce bit-identical md5-family
         buckets to the Catalyst expression form."""
