@@ -198,6 +198,20 @@ def main():
 
     report("ngram_jaccard_pairs", nj_rep)
 
+    # Near-dup RESOLUTION (r4): pairs -> connected components ->
+    # survivor decisions -> corpus shrink, on the minhash pairs above.
+    # Timed as one unit because that's the operational shape: a dedup
+    # pass that doesn't end in a smaller corpus isn't dedup.
+    @timed("dedup_resolve_apply")
+    def _dr():
+        resolved = dedup.dedup_resolve(mh_pairs, docs=docs)
+        dedup.dedup_apply(docs, resolved).count()
+
+    # Gopher repetition signals + filter (r4).
+    @timed("repetition_stats")
+    def _rs():
+        textstats.repetition_stats(docs).count()
+
     @timed("ann_bruteforce")
     def _ann():
         similarity.cosine_topk(emb.filter(F.col("vec_id") < 32), emb, k=10).count()
@@ -277,8 +291,10 @@ def main():
                        .alias("cv"))
         qb = similarity._bucket_rows(q, "query_id", "qv", ANN_PLANES,
                                      ANN_TABLES, "md5", probes=probes)
-        cb = similarity._bucket_rows(c, "corpus_id", "cv", ANN_PLANES,
-                                     ANN_TABLES, "md5")
+        cb = similarity._cap_buckets(
+            similarity._bucket_rows(c, "corpus_id", "cv", ANN_PLANES,
+                                    ANN_TABLES, "md5"),
+            ["table", "bucket"], 10_000)  # mirror the operator's cap
         n_cand = (qb.join(cb, ["table", "bucket"])
                   .filter(F.col("query_id") != F.col("corpus_id"))
                   .select("query_id", "corpus_id").dropDuplicates()

@@ -76,7 +76,11 @@ def _parse(argv):
                         "committed snapshot's extracted_text; persist "
                         "the per-url signals + the filtered corpus "
                         "under DIR and report kept/dropped counts")
-    return p.parse_args(argv)
+    args = p.parse_args(argv)
+    if args.dedup_apply and not args.neardup:
+        p.error("--dedup-apply requires --neardup (it resolves the "
+                "pairs that stage persists)")
+    return args
 
 
 def main(argv=None, spark=None) -> dict:

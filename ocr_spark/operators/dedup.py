@@ -539,20 +539,32 @@ def _py_ngram_jaccard(k: int):
 
 
 def derive_anchor_perms(threshold: float, anchor_rows: int,
-                        target_recall: float = 0.95) -> int:
+                        target_recall: float = 0.95,
+                        max_perms: int = 64) -> int:
     """Smallest anchor count p with candidate recall
     1-(1-threshold^anchor_rows)^p >= target_recall at J = threshold —
     so the operator's DEFAULT parameters never silently under-recall
     at the operator's own advertised threshold (the r3 trap: fixed
-    p=6 gave 0.82 recall at J=0.5)."""
+    p=6 gave 0.82 recall at J=0.5).
+
+    Capped at ``max_perms`` (64): below threshold ~0.25 the derivation
+    explodes (p ~ log(1-recall)/log(1-J^r) — 1197 anchors at J=0.05),
+    and a thousand-permutation signature stage is a plan/memory
+    blowup, not a recall strategy. At the cap the recall guarantee no
+    longer holds; very low thresholds need a different blocking scheme
+    (or the exact cosine/verify-everything path), not more anchors."""
+    import math
+    threshold = min(max(threshold, 0.0), 1.0)
+    target_recall = min(target_recall, 0.9999)
     miss = 1.0 - threshold ** anchor_rows
     if miss <= 0.0:
         return 1
-    import math
+    if miss >= 1.0:
+        return max_perms
     p = max(1, math.ceil(math.log(1.0 - target_recall) / math.log(miss)))
-    while 1.0 - miss ** p < target_recall:
+    while 1.0 - miss ** p < target_recall and p < max_perms:
         p += 1
-    return p
+    return min(p, max_perms)
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",

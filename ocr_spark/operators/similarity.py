@@ -194,7 +194,12 @@ def _bucket_rows(base: DataFrame, id_col: str, vec_col: str,
     hash_mode='md5' runs the numpy-matmul pandas UDF (fast path; the
     md5 weight matrix is precomputed once per worker, so signatures
     cost one BLAS matmul per batch). hash_mode='xxhash64' keeps the
-    expression form (JVM-side weights, no python)."""
+    expression form (JVM-side weights, no python).
+
+    probes clamps to [0, planes]: there are only `planes` distinct
+    1-bit flips (beyond that the BLAS argsort would fault and the
+    expression form would emit never-matching buckets)."""
+    probes = max(0, min(probes, planes))
     if hash_mode == "md5":
         udf = _lsh_buckets_pandas_udf(planes, tables, probes)
         step = 1 + probes

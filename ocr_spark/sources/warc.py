@@ -146,16 +146,21 @@ def iter_warc_records(data: bytes) -> Iterator[dict]:
                 buf = b""
                 return False
 
+    truncated = False
     while True:
-        # Skip inter-record blank lines (records start with "WARC/").
-        i = 0
-        while i < len(buf) and buf[i] in (0x0D, 0x0A):
-            i += 1
-        if i:
-            base += i
-            buf = buf[i:]
-        while len(buf) < 5 and fill():
-            pass
+        # Skip inter-record blank lines (records start with "WARC/"),
+        # refilling as needed — a member boundary can land right before
+        # the separator, so the skip must re-run after every fill or a
+        # chunk that starts with CRLF would count a phantom casualty.
+        while True:
+            i = 0
+            while i < len(buf) and buf[i] in (0x0D, 0x0A):
+                i += 1
+            if i:
+                base += i
+                buf = buf[i:]
+            if len(buf) >= 5 or not fill():
+                break
         if not buf:
             break
         if not buf.startswith(b"WARC/"):
@@ -204,12 +209,16 @@ def iter_warc_records(data: bytes) -> Iterator[dict]:
             # Truncated download: a partial body is a casualty, not a
             # silently corrupt document row.
             skipped += 1
+            truncated = True
             break
         content = buf[body_start:body_start + length]
         yield {"headers": headers, "content": content, "offset": base}
         base += body_start + length
         buf = buf[body_start + length:]
-    skipped += dec.bad
+    # A truncated gzip member and the truncated record it produced are
+    # ONE casualty, not two — only add the decoder's flag when the
+    # parse loop didn't already count the same byte-stream failure.
+    skipped += max(dec.bad - (1 if truncated else 0), 0)
     if skipped:
         yield {"headers": {"_skipped": str(skipped)}, "content": b""}
 

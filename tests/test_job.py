@@ -109,6 +109,15 @@ def test_job_dedup_apply_shrinks_corpus(spark, tmp_path):
     assert len(agg) == 4 and all(row["keepers"] == 1 for row in agg)
 
 
+def test_job_dedup_apply_requires_neardup(spark, tmp_path):
+    """--dedup-apply without --neardup is a usage error, not a silent
+    no-op (r4 review)."""
+    import pytest
+    with pytest.raises(SystemExit):
+        job._parse(["--synth", "4", "--table", str(tmp_path / "t"),
+                    "--dedup-apply", str(tmp_path / "da")])
+
+
 def test_job_quality_filter_reports_counts(spark, tmp_path):
     """--quality-filter drops the planted repetitive page and persists
     signals + filtered corpus with counts in the summary."""

@@ -81,6 +81,12 @@ class TestDedup:
         assert derive_anchor_perms(0.5, 2) == 11
         assert derive_anchor_perms(0.7, 2) == 5
         assert derive_anchor_perms(0.9, 2) == 2
+        # Degenerate thresholds neither crash nor explode (r4 review):
+        # the derivation caps at 64 anchors.
+        assert derive_anchor_perms(0.0, 2) == 64
+        assert derive_anchor_perms(0.05, 2) == 64
+        assert derive_anchor_perms(1.0, 2) == 1
+        assert derive_anchor_perms(0.5, 2, target_recall=1.0) <= 64
 
         def hx(seed: str, n: int) -> str:
             out = ""
@@ -377,6 +383,18 @@ class TestSimilarity:
                 for b in buckets:
                     d = bin(b ^ plain[key]).count("1")
                     assert d <= 1
+
+    def test_multiprobe_clamps_to_planes(self, spark, embeddings):
+        """probes > planes clamps (only `planes` distinct 1-bit flips
+        exist): both hash modes return planes+1 buckets per table
+        instead of faulting (md5) or emitting dead buckets (xxhash64)."""
+        base = embeddings.limit(5).select(
+            F.col("vec_id").alias("id"),
+            F.col("embedding").cast("array<double>").alias("v"))
+        for mode in ("md5", "xxhash64"):
+            rows = similarity._bucket_rows(base, "id", "v", 4, 2, mode,
+                                           probes=99).collect()
+            assert len(rows) == 5 * 2 * (1 + 4)
 
     def test_multiprobe_recall_never_below_baseline(self, spark,
                                                     embeddings):

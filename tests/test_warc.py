@@ -154,6 +154,32 @@ def test_skip_count_sums_once_per_segment(spark, tmp_path):
     assert total == book[0]["_warc_skipped"]
 
 
+def test_member_boundary_before_separator_counts_no_skip():
+    """Regression (r4 review): a gzip member that BEGINS with the
+    previous record's CRLF separator must not count a phantom casualty
+    — the blank-line skip re-runs after every fill."""
+    rows = _rows(3)
+    recs = [warc.build_warc_bytes([r], False) for r in rows]
+    # Move each record's trailing CRLFCRLF to the head of the next
+    # member: members 1,2 start with b"\r\n\r\nWARC/".
+    members = [gzip.compress(recs[0][:-4]),
+               gzip.compress(b"\r\n\r\n" + recs[1][:-4]),
+               gzip.compress(b"\r\n\r\n" + recs[2])]
+    got, skipped = warc.segment_rows(b"".join(members))
+    assert skipped == 0
+    assert [g["url"] for g in got] == [r["url"] for r in rows]
+
+
+def test_truncated_download_counts_one_casualty():
+    """Regression (r4 review): a cut-off gzip download (truncated
+    member -> truncated record) is ONE casualty, not two."""
+    rows = _rows(2)
+    data = gzip.compress(warc.build_warc_bytes(rows, False))
+    got, skipped = warc.segment_rows(data[:-25])
+    assert [g["url"] for g in got] == [rows[0]["url"]]
+    assert skipped == 1
+
+
 def test_http_header_strip_keeps_body_bytes():
     html = b"<html><body>exact \xe2\x82\xac bytes</body></html>"
     data = warc.build_warc_bytes(

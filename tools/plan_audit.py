@@ -150,6 +150,32 @@ def main() -> None:
           "MapInArrow" in p and "BatchEvalPython" not in p,
           f"MapInArrow={'MapInArrow' in p}")
 
+    # 9a. r4: the Gopher repetition signals are expressions + two-level
+    #     hash aggregation (map-side partial combine), never Python.
+    p = plans["repetition_stats"]
+    check("repetition_stats",
+          "explode -> hash aggregation, no Python in plan",
+          "HashAggregate" in p and "BatchEvalPython" not in p
+          and "ArrowEvalPython" not in p,
+          f"HashAggregate={'HashAggregate' in p}")
+
+    # 9b. r4: the five new `_sql` doc-type legs ride the same Arrow
+    #     cascade as the flagship — MapInArrow, no row-at-a-time Python.
+    for name in ("extract_itr_sql", "extract_aadhaar_sql",
+                 "extract_pan_sql", "extract_dl_sql",
+                 "extract_employee_sql"):
+        p = plans[name]
+        check(name, "Arrow-vectorized cascade (MapInArrow, no row UDF)",
+              "MapInArrow" in p and "BatchEvalPython" not in p,
+              f"MapInArrow={'MapInArrow' in p}")
+
+    # 9c. r4: dedup_resolve's output frame (post label-propagation
+    #     checkpoints) joins ids only and stays JVM-side.
+    p = plans["dedup_resolve"]
+    check("dedup_resolve",
+          "ids-only component/survivor joins (no Python in plan)",
+          "BatchEvalPython" not in p and "ERROR" not in p, "")
+
     # 9. No CartesianProduct anywhere: every join is keyed or broadcast
     #    (the brute-force oracle baselines use broadcast nested loop,
     #    which bounds the big side to one scan).
