@@ -591,6 +591,62 @@ FROM j ORDER BY doc_id
 """
 
 
+def q_line_dedup(spark, sf_dir):
+    """Corpus-level boilerplate line removal (CCNet-style, Wenzek et
+    al. 2020): every doc gets a shared cookie banner above and a
+    shared footer below its own unique body line; a rarer line shared
+    by exactly doc_freq==max_doc_freq docs sits ON the boundary (kept),
+    and a short 'OK' line is under the min-chars floor (kept)."""
+    d = _docs(spark, sf_dir)
+    sid = F.col("doc_id").cast("string")
+    txt = F.concat(
+        F.lit("This website uses cookies to improve your experience\n"
+              "OK\n"),
+        F.when(F.col("doc_id") % 100 == 0,
+               F.lit("Subscribe to our newsletter today\n"))
+        .otherwise(F.lit("")),
+        F.lit("body "), sid, F.lit(": "), F.col("text"),
+        F.lit("\nCopyright example footer all rights reserved"))
+    out = textstats.line_dedup(d.select("doc_id", txt.alias("text")))
+    return out.select("doc_id", "text", "n_lines_removed")
+
+
+def _sql_line_dedup():
+    maxf = textstats.LINE_DEDUP_MAX_DOC_FREQ
+    minc = textstats.LINE_DEDUP_MIN_CHARS
+    return f"""
+WITH d AS (SELECT doc_id,
+  'This website uses cookies to improve your experience' || chr(10)
+  || 'OK' || chr(10)
+  || CASE WHEN doc_id % 100 = 0
+          THEN 'Subscribe to our newsletter today' || chr(10)
+          ELSE '' END
+  || 'body ' || cast(doc_id AS varchar) || ': ' || text || chr(10)
+  || 'Copyright example footer all rights reserved' AS t
+  FROM documents),
+l0 AS (SELECT doc_id, string_split(t, chr(10)) AS arr FROM d),
+lx AS (SELECT doc_id, u.pos AS pos, u.line AS line
+       FROM (SELECT doc_id, unnest(list_transform(
+               range(1, len(arr) + 1),
+               i -> {{'pos': i, 'line': arr[i::int]}})) AS u FROM l0)),
+el AS (SELECT *, CASE WHEN length(trim(line)) >= {minc}
+                      THEN md5(trim(line)) END AS key FROM lx),
+hot AS (SELECT key FROM (
+          SELECT key, count(DISTINCT doc_id) AS dc FROM el
+          WHERE key IS NOT NULL GROUP BY key)
+        WHERE dc > {maxf}),
+m AS (SELECT e.doc_id, e.pos, e.line, (h.key IS NOT NULL) AS is_hot
+      FROM el e LEFT JOIN hot h ON e.key = h.key)
+SELECT doc_id,
+  array_to_string(list_transform(
+      list_sort(list({{'pos': pos, 'line': line}})
+                FILTER (WHERE NOT is_hot)),
+      s -> s.line), chr(10)) AS text,
+  count(*) FILTER (WHERE is_hot)::int AS n_lines_removed
+FROM m GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard between adjacent documents (verify stage of
     the near-dup pipeline, deterministic pairing)."""
@@ -2689,6 +2745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stopword_ratio": q_stopword_ratio,
         "lang_id": q_lang_id,
         "repetition_stats": q_repetition_stats,
+        "line_dedup": q_line_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_bruteforce": q_ann_bruteforce,
         "embedding_neardup": q_embedding_neardup,
@@ -2736,6 +2793,7 @@ def oracle_sql() -> dict[str, str]:
         "stopword_ratio": _sql_stopword_ratio(),
         "lang_id": _sql_lang_id(),
         "repetition_stats": _sql_repetition_stats(),
+        "line_dedup": _sql_line_dedup(),
         "ngram_jaccard": _sql_ngram_jaccard(),
         "ann_bruteforce": _sql_ann_bruteforce(),
         "embedding_neardup": _sql_embedding_neardup(),

@@ -212,6 +212,11 @@ def main():
     def _rs():
         textstats.repetition_stats(docs).count()
 
+    # Corpus-level boilerplate line removal (r4, CCNet-style).
+    @timed("line_dedup")
+    def _ld():
+        textstats.line_dedup(docs).count()
+
     @timed("ann_bruteforce")
     def _ann():
         similarity.cosine_topk(emb.filter(F.col("vec_id") < 32), emb, k=10).count()

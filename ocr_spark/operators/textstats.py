@@ -252,6 +252,73 @@ def gopher_quality_filter(df: DataFrame, text_col: str = "text",
     return df.join(keep, on=id_col, how="left_semi")
 
 
+# ---------------------------------------------------------------------------
+# Corpus-level line dedup (CCNet-style paragraph dedup, Wenzek et al.
+# LREC 2020; also RefinedWeb's line-wise corrections): a line repeated
+# across MANY documents is boilerplate (cookie banners, nav text,
+# footers) that per-document signals can't see.
+# ---------------------------------------------------------------------------
+
+LINE_DEDUP_MAX_DOC_FREQ = 5
+LINE_DEDUP_MIN_CHARS = 15
+
+
+def line_dedup(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id",
+               max_doc_freq: int = LINE_DEDUP_MAX_DOC_FREQ,
+               min_chars: int = LINE_DEDUP_MIN_CHARS,
+               return_report: bool = False):
+    """Remove lines that appear in more than ``max_doc_freq`` distinct
+    documents from EVERY document (corpus-level boilerplate). Matching
+    is on the md5 of the trimmed line; lines shorter than ``min_chars``
+    trimmed characters are kept unconditionally (short lines collide
+    by chance, and dropping them would chew up list markup).
+
+    Returns (id, text, n_lines_removed) with per-document line order
+    preserved; with return_report=True also a one-row frame
+    (n_hot_lines, lines_removed, docs_touched).
+
+    Scale shape: explode -> distinct (id, line-hash) -> count per hash
+    (both hash aggregations with map-side partial combine) -> the hot
+    set joins back by hash (ids+hash only ride the shuffles; at real
+    corpus scale the hot set is small enough to broadcast) -> ordered
+    reassembly per document via array_sort over (pos, line) structs.
+    No Python anywhere."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(c, "\n")).alias("pos", "line"))
+    lines = lines.withColumn("_t", F.trim(F.col("line")))
+    lines = lines.withColumn(
+        "_key", F.when(F.length("_t") >= min_chars,
+                       F.md5(F.col("_t").cast("binary"))))
+    hot = (lines.filter(F.col("_key").isNotNull())
+           .select(F.col(id_col), "_key").distinct()
+           .groupBy("_key").agg(F.count("*").alias("_docs"))
+           .filter(F.col("_docs") > max_doc_freq)
+           .select("_key"))
+    marked = lines.join(hot.withColumn("_hot", F.lit(True)),
+                        on="_key", how="left")
+    out = (marked.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.when(~F.coalesce(F.col("_hot"), F.lit(False)),
+                           F.struct(F.col("pos"), F.col("line"))))),
+                lambda s: s["line"]),
+            "\n").alias(text_col),
+        F.sum(F.coalesce(F.col("_hot"), F.lit(False)).cast("int"))
+        .alias("n_lines_removed")))
+    if return_report:
+        report = out.agg(
+            F.sum("n_lines_removed").alias("lines_removed"),
+            F.sum(F.when(F.col("n_lines_removed") > 0, 1).otherwise(0))
+            .alias("docs_touched")).crossJoin(
+                hot.agg(F.count("*").alias("n_hot_lines")))
+        return out, report
+    return out
+
+
 def document_stats(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id") -> DataFrame:
     """One-pass per-document stats frame."""

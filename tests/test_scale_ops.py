@@ -567,6 +567,51 @@ class TestTextStats:
         assert out[2]["top_bigram"] == "a b"
         assert all(out[i]["keep"] for i in range(3))
 
+    def test_line_dedup_removes_corpus_boilerplate(self, spark):
+        """A line shared by more than max_doc_freq documents vanishes
+        from every document; unique lines and sub-floor short lines
+        stay; the report carries the drop counters."""
+        banner = "This website uses cookies to continue browsing"
+        rows = [(i, f"{banner}\nunique content line for document {i}\nOK")
+                for i in range(10)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out, report = textstats.line_dedup(df, max_doc_freq=5,
+                                           return_report=True)
+        got = {r["doc_id"]: r for r in out.collect()}
+        for i in range(10):
+            assert got[i]["text"] == \
+                f"unique content line for document {i}\nOK"
+            assert got[i]["n_lines_removed"] == 1
+        rep = report.first()
+        assert rep["n_hot_lines"] == 1
+        assert rep["lines_removed"] == 10 and rep["docs_touched"] == 10
+
+    def test_line_dedup_boundary_and_order(self, spark):
+        """doc_freq == max_doc_freq is KEPT (strict >); intra-document
+        repeats count one distinct doc; removal preserves the order of
+        surviving lines."""
+        shared = "shared across exactly five documents here"
+        five = [(i, shared + "\ntail line " + str(i) * 10)
+                for i in range(5)]
+        intra = [(10, "repeated inside one single document\n"
+                      "repeated inside one single document")]
+        df = spark.createDataFrame(five + intra, ["doc_id", "text"])
+        got = {r["doc_id"]: r["text"]
+               for r in textstats.line_dedup(df, max_doc_freq=5)
+               .collect()}
+        for i in range(5):
+            assert got[i].startswith(shared)
+        assert got[10].count("repeated inside") == 2
+        # Order preservation around removed lines.
+        boiler = "corpus boilerplate line appearing everywhere"
+        docs2 = [(i, f"{boiler}\nkeep A{i}\n{boiler}\nkeep B{i}")
+                 for i in range(8)]
+        df2 = spark.createDataFrame(docs2, ["doc_id", "text"])
+        got2 = {r["doc_id"]: r for r in
+                textstats.line_dedup(df2, max_doc_freq=5).collect()}
+        assert got2[0]["text"] == "keep A0\nkeep B0"
+        assert got2[0]["n_lines_removed"] == 2
+
     def test_fingerprint_stability(self, docs):
         fp = docs.select(textstats.fingerprint(F.col("text")).alias("fp"),
                          textstats.rolling_fingerprint(F.col("text")).alias("rfp"))
