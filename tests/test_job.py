@@ -143,6 +143,56 @@ def test_job_quality_filter_reports_counts(spark, tmp_path):
     assert sig.filter("NOT keep").count() == 3
 
 
+def test_job_full_curation_chain(spark, tmp_path):
+    """The whole curation chain in one run: extraction -> near-dup
+    pairs -> resolve/apply -> Gopher quality filter, every stage's
+    counters in the one summary."""
+    import hashlib
+
+    inp = str(tmp_path / "in.parquet")
+    rows = []
+    i = 0
+    # Three 2-member near-dup cliques (one survivor each)...
+    for g in range(3):
+        body = " ".join(hashlib.md5(f"cc{g}:{j}".encode()).hexdigest()
+                        for j in range(6))
+        for v in range(2):
+            rows.append((f"https://cc.synth.local/app{i}/salary_slip/"
+                         f"{i}.png", None, None,
+                         body + f" variant {v}", "en", None))
+            i += 1
+    # ...plus two repetitive-spam docs the quality gate drops (their
+    # distinct intro lines hold their mutual Jaccard at 0.6, under the
+    # 0.7 near-dup threshold — dedup leaves them for the quality gate)...
+    for _ in range(2):
+        rows.append((f"https://cc.synth.local/app{i}/salary_slip/"
+                     f"{i}.png", None, None,
+                     f"intro {i}" + "\nrepeated boiler line" * 3,
+                     "en", None))
+        i += 1
+    # ...and two clean distinct docs that survive everything.
+    for g in range(2):
+        body = " ".join(hashlib.md5(f"ok{g}:{j}".encode()).hexdigest()
+                        for j in range(6))
+        rows.append((f"https://cc.synth.local/app{i}/salary_slip/"
+                     f"{i}.png", None, None, body, "en", None))
+        i += 1
+    spark.createDataFrame(rows, schema=schemas.INPUT_SCHEMA)\
+        .write.parquet(inp)
+
+    r = job.main(["--input", inp, "--table", str(tmp_path / "t"),
+                  "--partitions", "2",
+                  "--neardup", str(tmp_path / "nd"),
+                  "--dedup-apply", str(tmp_path / "da"),
+                  "--quality-filter", str(tmp_path / "qf")],
+                 spark=spark)
+    assert r["processed"] == 10
+    assert r["neardup"]["pairs"] == 3
+    assert r["dedup_apply"] == {"docs": 10, "survivors": 7,
+                                "dropped": 3, "clusters": 7}
+    assert r["quality_filter"] == {"docs": 10, "kept": 8, "dropped": 2}
+
+
 def test_job_via_spark_submit(tmp_path):
     """The actual deployment path: package ocr_spark into a zip, launch
     a fresh JVM via spark-submit --py-files, run the job end-to-end."""

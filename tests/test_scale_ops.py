@@ -279,6 +279,59 @@ class TestDedupResolve:
         kept = dedup.dedup_apply(docs, resolved)
         assert sorted(r["doc_id"] for r in kept.collect()) == [0, 2, 3, 5]
 
+    def test_resolve_invariants_on_random_graph(self, spark):
+        """Structural invariants on a seeded random graph: the output
+        covers exactly the vertex set (plus singletons from docs),
+        every cluster label is the min id of its members, and exactly
+        one keeper exists per cluster."""
+        import random
+        rng = random.Random(20260818)
+        edges = [(rng.randrange(60), rng.randrange(60))
+                 for _ in range(80)]
+        edges = [(a, b) for a, b in edges if a != b]
+        out = dedup.dedup_resolve(self._pairs(spark, edges)).collect()
+        vertices = {v for e in edges for v in e}
+        assert {r["doc_id"] for r in out} == vertices
+        by_cluster = {}
+        for r in out:
+            by_cluster.setdefault(r["cluster"], []).append(r)
+        # Python union-find ground truth.
+        parent = {v: v for v in vertices}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        truth = {}
+        for v in vertices:
+            truth.setdefault(find(v), set()).add(v)
+        expect = {min(members): members for members in truth.values()}
+        for cluster, rows in by_cluster.items():
+            assert cluster == min(r["doc_id"] for r in rows)
+            assert {r["doc_id"] for r in rows} == expect[cluster]
+            assert sum(r["keep"] for r in rows) == 1
+
+    def test_line_dedup_idempotent(self, spark):
+        """Applying line_dedup to its own output changes nothing: the
+        hot lines are gone, so no remaining line exceeds the doc-freq
+        threshold."""
+        boiler = "corpus boilerplate line appearing everywhere"
+        rows = [(i, f"{boiler}\nkeep line number {i}\n{boiler}")
+                for i in range(8)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        once = textstats.line_dedup(df, max_doc_freq=5)\
+            .select("doc_id", "text")
+        twice = textstats.line_dedup(once, max_doc_freq=5)\
+            .select("doc_id", "text")
+        assert once.exceptAll(twice).count() == 0
+        assert twice.exceptAll(once).count() == 0
+
     def test_end_to_end_minhash_resolve_apply(self, spark):
         """The REAL pipeline: near-identical variants -> minhash pairs
         -> resolve -> apply leaves exactly one survivor per clique."""
