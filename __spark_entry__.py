@@ -34,12 +34,10 @@ _MONTHS = ["January", "February", "March", "April", "May", "June",
            "Jan", "Feb", "Mar", "Apr", "May", "Jun",
            "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
 
-_SALARY_RES = [
-    r"(?i)net\s*(?:pay|salary|amount|payment)[\s:]*(?:Rs\.?|INR|₹)?\s*([0-9,]+\.?\d*)",
-    r"(?i)total\s*(?:pay|salary|amount)[\s:]*(?:Rs\.?|INR|₹)?\s*([0-9,]+\.?\d*)",
-    r"(?i)salary[\s:]*(?:Rs\.?|INR|₹)?\s*([0-9,]+\.?\d*)",
-    r"(?i)gross\s*(?:pay|salary)[\s:]*(?:Rs\.?|INR|₹)?\s*([0-9,]+\.?\d*)",
-]
+# Single source of truth shared with the Spark expression form
+# (functions/expressions.py) — the oracle SQL is generated from the
+# same list, so a pattern edit cannot desynchronize the two engines.
+_SALARY_RES = X.SALARY_AMOUNT_PATTERNS
 
 _ACCT_RES = [
     r"account\s*no[\s\-]*([0-9]{9,18})",
@@ -289,8 +287,8 @@ n AS (
   SELECT pair_id, a, b,
          replace(replace(lower(a),' ',''),'.','') AS a2,
          replace(replace(lower(b),' ',''),'.','') AS b2,
-         regexp_split_to_array(trim(lower(a)), '\\s+') AS wa,
-         regexp_split_to_array(trim(lower(b)), '\\s+') AS wb
+         regexp_split_to_array(trim(lower(a)), '[\\s\\v]+') AS wa,
+         regexp_split_to_array(trim(lower(b)), '[\\s\\v]+') AS wb
   FROM p),
 t AS (
   SELECT *,
@@ -397,7 +395,7 @@ def q_dedup_exact(spark, sf_dir):
 
 def _sql_dedup_exact():
     return """
-SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash,
+SELECT md5(regexp_replace(lower(trim(text)), '[\\s\\v]+', ' ', 'g')) AS content_hash,
        min(doc_id) AS survivor_id, count(*) AS dup_count
 FROM documents GROUP BY 1 ORDER BY content_hash
 """
@@ -412,7 +410,7 @@ def q_fingerprint(spark, sf_dir):
 def _sql_fingerprint():
     return """
 SELECT doc_id,
-       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+       md5(regexp_replace(lower(trim(text)), '[\\s\\v]+', ' ', 'g')) AS fingerprint
 FROM documents ORDER BY doc_id
 """
 
@@ -429,8 +427,10 @@ def q_token_stats(spark, sf_dir):
 def _sql_token_stats():
     return r"""
 SELECT doc_id,
-       len(regexp_split_to_array(trim(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), ' ')) AS n_tokens,
-       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
+       CASE WHEN trim(regexp_replace(lower(trim(text)), '[\s\v]+', ' ', 'g')) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(regexp_replace(lower(trim(text)), '[\s\v]+', ' ', 'g')), ' '))
+       END AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s\v]')) AS n_bpe_tokens
 FROM documents ORDER BY doc_id
 """
 
@@ -445,7 +445,7 @@ def _sql_stopword_ratio():
     sw = ",".join(f"'{w}'" for w in _STOPWORDS["en"])
     return f"""
 WITH t AS (SELECT doc_id,
-  regexp_split_to_array(trim(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), ' ') AS tok
+  regexp_split_to_array(trim(regexp_replace(lower(trim(text)), '[\\s\\v]+', ' ', 'g')), ' ') AS tok
   FROM documents)
 SELECT doc_id, round(CASE WHEN len(tok) = 0 THEN 0.0
   ELSE len(list_filter(tok, t -> list_contains([{sw}], t)))::double / len(tok) END, 6)
@@ -511,9 +511,9 @@ def _sql_lang_id():
     return f"""
 WITH d AS (SELECT doc_id, {sample_case} AS txt FROM documents),
 t AS (SELECT doc_id, txt,
-  length(regexp_replace(txt, '\\s+', '', 'g')) AS nw,
+  length(regexp_replace(txt, '[\\s\\v]+', '', 'g')) AS nw,
        {script_cols},
-  regexp_split_to_array(trim(regexp_replace(lower(trim(txt)), '\\s+', ' ', 'g')), ' ') AS tok
+  regexp_split_to_array(trim(regexp_replace(lower(trim(txt)), '[\\s\\v]+', ' ', 'g')), ' ') AS tok
   FROM d),
 h AS (SELECT doc_id, nw, {", ".join("sc_" + s for s in textstats.SCRIPT_ORDER)},
              {hit_cols} FROM t),
@@ -558,7 +558,7 @@ WITH d AS (SELECT doc_id,
 l AS (SELECT doc_id, t,
         list_filter(list_transform(string_split(t, chr(10)),
                                    x -> trim(x)), x -> x <> '') AS lines,
-        regexp_replace(lower(trim(t)), '\\s+', ' ', 'g') AS norm
+        regexp_replace(lower(trim(t)), '[\\s\\v]+', ' ', 'g') AS norm
       FROM d),
 s AS (SELECT doc_id,
         CASE WHEN len(lines) = 0 THEN 0.0
@@ -566,7 +566,9 @@ s AS (SELECT doc_id,
                         / len(lines), 6) END AS dup_line_frac,
         length(norm) AS nchars,
         regexp_split_to_array(trim(norm), ' ') AS tok,
-        len(regexp_split_to_array(trim(norm), ' ')) AS n_tokens
+        CASE WHEN trim(norm) = '' THEN 0
+             ELSE len(regexp_split_to_array(trim(norm), ' '))
+        END AS n_tokens
       FROM l),
 b AS (SELECT doc_id, unnest(list_transform(
         range(1, len(tok)), j -> tok[j::int] || ' ' || tok[(j+1)::int]))
@@ -638,10 +640,13 @@ hot AS (SELECT key FROM (
 m AS (SELECT e.doc_id, e.pos, e.line, (h.key IS NOT NULL) AS is_hot
       FROM el e LEFT JOIN hot h ON e.key = h.key)
 SELECT doc_id,
-  array_to_string(list_transform(
+  -- coalesce: a doc whose EVERY line is hot keeps '' like the Spark
+  -- side's array_join over an empty collect_list (DuckDB's filtered
+  -- list() yields NULL there)
+  coalesce(array_to_string(list_transform(
       list_sort(list({{'pos': pos, 'line': line}})
                 FILTER (WHERE NOT is_hot)),
-      s -> s.line), chr(10)) AS text,
+      s -> s.line), chr(10)), '') AS text,
   count(*) FILTER (WHERE is_hot)::int AS n_lines_removed
 FROM m GROUP BY doc_id ORDER BY doc_id
 """
@@ -667,7 +672,7 @@ def _sql_ngram_jaccard():
           "j -> substr(n, j::int, 8)))")
     return f"""
 WITH d AS (SELECT doc_id,
-  regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS n FROM documents),
+  regexp_replace(lower(trim(text)), '[\\s\\v]+', ' ', 'g') AS n FROM documents),
 s AS (SELECT doc_id, {sh} AS sh FROM d),
 a AS (SELECT doc_id AS pair_id, sh AS sa FROM s),
 b AS (SELECT doc_id - 1 AS pair_id, sh AS sb FROM s)
@@ -776,7 +781,7 @@ WITH t AS (
          || (CASE WHEN o_orderkey % 2 = 0 THEN 'SALARY CREDIT' ELSE 'POS DEBIT' END)
          || '  ' || cast(round(o_totalprice, 2) AS varchar) AS line
   FROM orders),
-p AS (SELECT tx_id, line, regexp_split_to_array(trim(line), '\\s+') AS parts FROM t),
+p AS (SELECT tx_id, line, regexp_split_to_array(trim(line), '[\\s\\v]+') AS parts FROM t),
 f AS (SELECT tx_id,
              strftime(strptime(parts[1], '%d/%m/%Y'), '%Y-%m-%d') AS tx_date,
              array_to_string(parts[2:len(parts)-1], ' ') AS description,
@@ -853,7 +858,7 @@ def _sql_minhash_cte(source_sql: str) -> str:
                 for j in range(rows_per_band)))
         for b in range(8))
     return f"""d AS ({source_sql}),
-dn AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS n
+dn AS (SELECT doc_id, regexp_replace(lower(trim(text)), '[\\s\\v]+', ' ', 'g') AS n
        FROM d),
 s AS (SELECT doc_id, list_distinct(list_transform(
         range(1, greatest(length(n) - 7, 1) + 1), j -> substr(n, j::int, 8))) AS sh
@@ -972,7 +977,7 @@ def _sql_simhash_pairs():
         f"(CASE WHEN 2 * list_sum(list_transform(hi, h -> (h >> {b}) & 1)) > nt"
         f" THEN {1 << b} ELSE 0 END)" for b in range(32))
     return f"""
-WITH d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS n
+WITH d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '[\\s\\v]+', ' ', 'g') AS n
            FROM documents WHERE doc_id < 200),
 t AS (SELECT doc_id, regexp_split_to_array(trim(n), ' ') AS tok FROM d),
 h AS (SELECT doc_id,
@@ -1369,7 +1374,7 @@ def _sql_extract_bank_sql():
     url = _URL_SQL_TMPL.format(dt="bank_statement")
     tx_parse = """
 p AS (SELECT url, holder, acct, line,
-             regexp_split_to_array(trim(line), '\\s+') AS parts
+             regexp_split_to_array(trim(line), '[\\s\\v]+') AS parts
       FROM lines),
 f AS (SELECT url, holder, acct,
              strftime(strptime(parts[1], '%d/%m/%Y'), '%Y-%m-%d') AS tx_date,
@@ -1520,8 +1525,8 @@ n AS (SELECT doc_id,
       FROM d),
 t AS (SELECT *,
         enw[1] || ' ' || enw[2] AS employee_name,
-        regexp_split_to_array(trim(tx1), '\\s+') AS p1,
-        regexp_split_to_array(trim(tx2), '\\s+') AS p2
+        regexp_split_to_array(trim(tx1), '[\\s\\v]+') AS p1,
+        regexp_split_to_array(trim(tx2), '[\\s\\v]+') AS p2
       FROM n),
 x AS (SELECT *,
         replace(p1[len(p1)], ',', '')::double AS amt1,
@@ -2367,7 +2372,7 @@ SELECT doc_id,
        list_concat(
          list_filter(
            list_transform(string_split(coalesce(text, ''), chr(10)),
-                          x -> trim(regexp_replace(x, '\\s+', ' ', 'g'))),
+                          x -> trim(regexp_replace(x, '[\\s\\v]+', ' ', 'g'))),
            x -> x <> ''),
          [{p1}, {p2}]) AS lines
 FROM documents"""

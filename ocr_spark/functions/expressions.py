@@ -79,19 +79,24 @@ def extract_pan(c: Column) -> Column:
     return F.regexp_extract(c, r"\b([A-Z]{5}[0-9]{4}[A-Z])\b", 1)
 
 
+# The prioritized P4 label regexes — the single source of truth shared
+# with the driver oracle generator (__spark_entry__ imports this list,
+# so a pattern edit cannot silently desynchronize Spark and DuckDB).
+SALARY_AMOUNT_PATTERNS = [
+    r"(?i)net\s*(?:pay|salary|amount|payment)[\s:]*(?:Rs\.?|INR|₹)?\s*([0-9,]+\.?\d*)",
+    r"(?i)total\s*(?:pay|salary|amount)[\s:]*(?:Rs\.?|INR|₹)?\s*([0-9,]+\.?\d*)",
+    r"(?i)salary[\s:]*(?:Rs\.?|INR|₹)?\s*([0-9,]+\.?\d*)",
+    r"(?i)gross\s*(?:pay|salary)[\s:]*(?:Rs\.?|INR|₹)?\s*([0-9,]+\.?\d*)",
+]
+
+
 def extract_salary_amount(c: Column) -> Column:
     """extractSalaryAmount (ref utils/ocr_parser.go:88-105): prioritized
     label regexes, comma-strip, cast."""
-    pats = [
-        r"(?i)net\s*(?:pay|salary|amount|payment)[\s:]*(?:Rs\.?|INR|₹)?\s*([0-9,]+\.?\d*)",
-        r"(?i)total\s*(?:pay|salary|amount)[\s:]*(?:Rs\.?|INR|₹)?\s*([0-9,]+\.?\d*)",
-        r"(?i)salary[\s:]*(?:Rs\.?|INR|₹)?\s*([0-9,]+\.?\d*)",
-        r"(?i)gross\s*(?:pay|salary)[\s:]*(?:Rs\.?|INR|₹)?\s*([0-9,]+\.?\d*)",
-    ]
     cands = [
         F.nullif(F.regexp_replace(F.regexp_extract(c, p, 1), ",", ""), F.lit(""))
         .cast("double")
-        for p in pats
+        for p in SALARY_AMOUNT_PATTERNS
     ]
     return F.coalesce(*cands, F.lit(0.0))
 

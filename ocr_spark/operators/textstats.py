@@ -72,7 +72,13 @@ def tokens(c: Column) -> Column:
 
 
 def token_count(c: Column) -> Column:
-    return F.size(tokens(c))
+    """0 for empty/whitespace-only text — F.split('', ' ') yields ['']
+    and would misreport 1 (r4 review: skews corpus token statistics
+    and the repetition gate's token floor). The guard runs on the
+    NORMALIZED text so tab-only input counts 0 too."""
+    return F.when(
+        F.trim(normalize_text(F.coalesce(c, F.lit("")))) == "",
+        F.lit(0)).otherwise(F.size(tokens(c)))
 
 
 def bpe_ish_token_count(c: Column) -> Column:

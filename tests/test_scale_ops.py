@@ -279,6 +279,16 @@ class TestDedupResolve:
         kept = dedup.dedup_apply(docs, resolved)
         assert sorted(r["doc_id"] for r in kept.collect()) == [0, 2, 3, 5]
 
+    def test_resolve_empty_pairs_all_singletons(self, spark):
+        docs = spark.createDataFrame([(i, f"t{i}") for i in range(4)],
+                                     ["doc_id", "text"])
+        empty = spark.createDataFrame([], "id_a long, id_b long")
+        out = dedup.dedup_resolve(empty, docs=docs).collect()
+        assert {(r["doc_id"], r["cluster"], r["keep"]) for r in out} \
+            == {(i, i, True) for i in range(4)}
+        assert dedup.dedup_apply(docs, dedup.dedup_resolve(
+            empty, docs=docs)).count() == 4
+
     def test_resolve_invariants_on_random_graph(self, spark):
         """Structural invariants on a seeded random graph: the output
         covers exactly the vertex set (plus singletons from docs),
