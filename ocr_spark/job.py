@@ -27,6 +27,9 @@ actually SHRINKS the corpus.
 --quality-filter <dir> applies the Gopher repetition thresholds
 (duplicate-line fraction, top-bigram character mass) to the committed
 snapshot, persisting the per-url signals and the filtered corpus.
+--line-dedup <dir> removes corpus-level boilerplate lines (a trimmed
+line shared by more than 5 distinct documents) from every document,
+persisting the cleaned corpus with per-document removal counts.
 
 Configuration (shuffle partitions, AQE, Arrow batch size, memory)
 comes from spark-submit --conf on a real cluster; launched standalone
@@ -76,6 +79,12 @@ def _parse(argv):
                         "committed snapshot's extracted_text; persist "
                         "the per-url signals + the filtered corpus "
                         "under DIR and report kept/dropped counts")
+    p.add_argument("--line-dedup", default=None, metavar="DIR",
+                   help="remove corpus-level boilerplate lines "
+                        "(textstats.line_dedup, CCNet-style) from the "
+                        "committed snapshot's extracted_text; persist "
+                        "the cleaned corpus under DIR and report the "
+                        "removal counters")
     args = p.parse_args(argv)
     if args.dedup_apply and not args.neardup:
         p.error("--dedup-apply requires --neardup (it resolves the "
@@ -206,6 +215,25 @@ def main(argv=None, spark=None) -> dict:
             summary["quality_filter"] = {
                 "docs": n_docs, "kept": n_kept,
                 "dropped": n_docs - n_kept}
+
+    if args.line_dedup:
+        # Corpus-level boilerplate line removal (CCNet-style): cleaned
+        # text + per-doc removal counts persist; the one-row report
+        # rides the summary (never-silent contract).
+        from ocr_spark.operators import textstats
+        committed = table.read(spark)
+        if committed is not None:
+            cleaned, rep = textstats.line_dedup(
+                committed.select("url", "extracted_text"),
+                text_col="extracted_text", id_col="url",
+                return_report=True)
+            cleaned.write.mode("overwrite").parquet(
+                f"{args.line_dedup}/cleaned")
+            r = rep.first()
+            summary["line_dedup"] = {
+                "lines_removed": int(r["lines_removed"] or 0),
+                "docs_touched": int(r["docs_touched"] or 0),
+                "n_hot_lines": int(r["n_hot_lines"] or 0)}
 
     print(json.dumps(summary))
     return summary

@@ -193,6 +193,35 @@ def test_job_full_curation_chain(spark, tmp_path):
     assert r["quality_filter"] == {"docs": 10, "kept": 8, "dropped": 2}
 
 
+def test_job_line_dedup_cleans_corpus(spark, tmp_path):
+    """--line-dedup strips the line shared by every document and
+    reports the removal counters in the summary."""
+    import hashlib
+
+    inp = str(tmp_path / "in.parquet")
+    banner = "This website uses cookies to continue browsing"
+    rows = []
+    for i in range(8):
+        body = " ".join(hashlib.md5(f"ld{i}:{j}".encode()).hexdigest()
+                        for j in range(4))
+        rows.append((f"https://cc.synth.local/app{i}/salary_slip/"
+                     f"{i}.png", None, None, f"{banner}\n{body}",
+                     "en", None))
+    spark.createDataFrame(rows, schema=schemas.INPUT_SCHEMA)\
+        .write.parquet(inp)
+
+    ld = str(tmp_path / "ld")
+    r = job.main(["--input", inp, "--table", str(tmp_path / "t"),
+                  "--partitions", "2", "--line-dedup", ld], spark=spark)
+    assert r["line_dedup"] == {"lines_removed": 8, "docs_touched": 8,
+                               "n_hot_lines": 1}
+    cleaned = spark.read.parquet(f"{ld}/cleaned")
+    assert cleaned.count() == 8
+    assert cleaned.filter(
+        cleaned.extracted_text.contains("cookies")).count() == 0
+    assert all(row["n_lines_removed"] == 1 for row in cleaned.collect())
+
+
 def test_job_via_spark_submit(tmp_path):
     """The actual deployment path: package ocr_spark into a zip, launch
     a fresh JVM via spark-submit --py-files, run the job end-to-end."""
