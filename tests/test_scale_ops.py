@@ -327,6 +327,23 @@ class TestDedupResolve:
             assert {r["doc_id"] for r in rows} == expect[cluster]
             assert sum(r["keep"] for r in rows) == 1
 
+    def test_line_dedup_reconstructs_when_nothing_hot(self, spark):
+        """With no hot lines the operator is the identity on text —
+        including empty lines, trailing newlines, in-doc duplicates,
+        and whitespace-only lines (the ordered-reassembly round trip)."""
+        docs = [
+            (0, "first unique line zero\n\nsecond after an empty line"),
+            (1, "trailing newline doc ends here\n"),
+            (2, "same line twice in one doc\nsame line twice in one doc"),
+            (3, "   \nonly whitespace above and tabs\t\nbelow"),
+            (4, ""),
+        ]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        got = {r["doc_id"]: (r["text"], r["n_lines_removed"])
+               for r in textstats.line_dedup(df).collect()}
+        for i, text in docs:
+            assert got[i] == (text, 0)
+
     def test_line_dedup_idempotent(self, spark):
         """Applying line_dedup to its own output changes nothing: the
         hot lines are gone, so no remaining line exceeds the doc-freq
