@@ -405,6 +405,38 @@ class TestSimilarity:
                 assert m["corpus_id"] == cid
                 assert abs(m["cos_sim"] - s) < 1e-9
 
+    def test_pruned_topk_equals_unpruned(self, spark, embeddings):
+        """The BLAS prune changes the plan (candidates-only shuffle),
+        never the result: pruned and pure-expression plans agree
+        row-for-row, including ranks."""
+        queries = embeddings.filter(F.col("vec_id") < 8)
+        a = similarity.cosine_topk(queries, embeddings, k=7, prune=True)
+        b = similarity.cosine_topk(queries, embeddings, k=7, prune=False)
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0
+
+    def test_pruned_topk_tie_break_on_massive_ties(self, spark):
+        """A corpus of identical vectors ties every cosine: the prune's
+        per-batch (-cos, corpus_id) ordering must deliver the same
+        min-id winners as the exact window, not an arbitrary subset."""
+        v = [0.3, -0.4, 0.5, 0.1]
+        rows = [(i, v) for i in range(200)] + [(1000, [0.3, -0.4, 0.5, 0.1])]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        q = spark.createDataFrame([(1000, v)], ["vec_id", "embedding"])
+        got = similarity.cosine_topk(q, df, k=5).orderBy("rank").collect()
+        assert [r["corpus_id"] for r in got] == [0, 1, 2, 3, 4]
+
+    def test_pruned_topk_string_ids_fall_back(self, spark):
+        """Non-integer ids can't ride the prune's long schema: the
+        operator silently uses the pure-expression plan and still
+        answers correctly."""
+        rows = [("a", [1.0, 0.0]), ("b", [0.9, 0.1]), ("c", [0.0, 1.0])]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        q = spark.createDataFrame([("q", [1.0, 0.05])],
+                                  ["vec_id", "embedding"])
+        got = similarity.cosine_topk(q, df, k=2).orderBy("rank").collect()
+        assert [r["corpus_id"] for r in got] == ["a", "b"]
+
     def test_lsh_topk_is_subset_of_bruteforce_scores(self, spark, embeddings):
         queries = embeddings.filter(F.col("vec_id") < 5)
         ann = similarity.lsh_cosine_topk(queries, embeddings, k=3, planes=6)

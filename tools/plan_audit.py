@@ -77,6 +77,15 @@ def main() -> None:
               next((ln.strip() for ln in p.splitlines()
                     if "Broadcast" in ln and "Join" in ln), ""))
 
+    # 3b. r4: the exact top-k prunes executor-side — candidates-only
+    #    shuffle (MapInPandas prune), no CartesianProduct cross join of
+    #    the full corpus x query score matrix through the window.
+    p = plans["ann_bruteforce"]
+    check("ann_bruteforce",
+          "BLAS prune: candidates-only shuffle into the ranking window",
+          "MapInPandas" in p and "CartesianProduct" not in p,
+          f"MapInPandas={'MapInPandas' in p}")
+
     # 4. Whole-stage codegen on the expression-heavy extract queries.
     #    AQE hides codegen stage annotations in the pre-execution
     #    formatted plan, so check the non-adaptive simple plan: `*(n)`
