@@ -1051,6 +1051,67 @@ FROM r WHERE rank <= 3 ORDER BY query_id, rank
 """
 
 
+def q_ivf_ann(spark, sf_dir):
+    """IVF ANN (the data-dependent, partition-prunable scale path):
+    corpus vectors assign to their nearest-centroid cell, queries probe
+    the nprobe nearest cells, candidates re-score with exact cosine.
+
+    Oracle configuration: train_iters=0, so the centroids are the raw
+    first-nlist corpus vectors (deterministic seeds — no floating-point
+    averaging for a second engine to diverge on) and every stage
+    (assignment argmax, probe ranking, scoring) is the same
+    sequential-sum expression cosine the green ann_bruteforce oracle
+    already certifies; assign_mode='expr' keeps it pure-codegen.
+    Trained (train_iters>0) and BLAS paths are pytest-pinned
+    (tests/test_ivf.py: full-probe == brute force, expr == blas)."""
+    e = _emb(spark, sf_dir)
+    cents = similarity.ivf_train(e, nlist=8, train_iters=0)
+    out = similarity.ivf_cosine_topk(
+        e.filter(F.col("vec_id") < 3), e, k=3, centroids=cents,
+        nprobe=3, assign_mode="expr")
+    return out.select("query_id", "rank", "corpus_id",
+                      F.round("cos_sim", 4).alias("cos_sim"))
+
+
+def _sql_ivf_ann():
+    cos = ("list_sum(list_transform(range(1, len({a}) + 1),"
+           " i -> {a}[i::int] * {b}[i::int]))"
+           " / (sqrt(list_sum(list_transform({a}, x -> x * x)))"
+           " * sqrt(list_sum(list_transform({b}, x -> x * x))))")
+    return f"""
+WITH cent AS (SELECT vec_id AS cid, embedding::double[] AS c
+              FROM embeddings WHERE vec_id < 8),
+e AS (SELECT vec_id, embedding::double[] AS v FROM embeddings),
+ca0 AS (SELECT e.vec_id AS corpus_id, cent.cid,
+               {cos.format(a='e.v', b='cent.c')} AS cos
+        FROM e, cent),
+ca AS (SELECT corpus_id, cid FROM (
+         SELECT corpus_id, cid,
+                row_number() OVER (PARTITION BY corpus_id
+                                   ORDER BY cos DESC, cid ASC) AS rn
+         FROM ca0) WHERE rn = 1),
+qp AS (SELECT corpus_id AS query_id, cid FROM (
+         SELECT corpus_id, cid,
+                row_number() OVER (PARTITION BY corpus_id
+                                   ORDER BY cos DESC, cid ASC) AS rn
+         FROM ca0 WHERE corpus_id < 3) WHERE rn <= 3),
+cand AS (SELECT qp.query_id, ca.corpus_id
+         FROM qp JOIN ca USING (cid)
+         WHERE qp.query_id <> ca.corpus_id),
+s AS (SELECT query_id, corpus_id,
+             {cos.format(a='q.v', b='c.v')} AS cos_sim
+      FROM cand
+      JOIN e q ON q.vec_id = cand.query_id
+      JOIN e c ON c.vec_id = cand.corpus_id),
+r AS (SELECT query_id, corpus_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, corpus_id ASC) AS rank
+      FROM s)
+SELECT query_id, rank, corpus_id, round(cos_sim, 4) AS cos_sim
+FROM r WHERE rank <= 3 ORDER BY query_id, rank
+"""
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: opaque binary payloads -> deterministic
     byte-histogram features via Arrow mapInPandas (real image/audio
@@ -2760,6 +2821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_resolve": q_dedup_resolve,
         "simhash_pairs": q_simhash_pairs,
         "lsh_ann": q_lsh_ann,
+        "ivf_ann": q_ivf_ann,
         "media_features": q_media_features,
         "extract_pipeline_sql": q_extract_pipeline_sql,
         "extract_bank_sql": q_extract_bank_sql,
@@ -2837,6 +2899,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_resolve": _sql_dedup_resolve(),
         "simhash_pairs": _sql_simhash_pairs(),
         "lsh_ann": _sql_lsh_ann(),
+        "ivf_ann": _sql_ivf_ann(),
         # r3: the byte-histogram fallback IS SQL-expressible via
         # hex(encode(text)) — media_features joins the oracle gate.
         "media_features": _sql_media_features(),

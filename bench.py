@@ -236,6 +236,24 @@ def main():
 
     report("lsh_ann", lsh_rep)
 
+    # IVF ANN: the data-DEPENDENT path (learned centroids, one cell per
+    # corpus vector, partition-prunable on disk). Training — spherical
+    # k-means, one BLAS matmul + tiny partial-sum frame per batch — is
+    # pre-clock like the LSH plan construction; the timed number is the
+    # probed search. Recall/candidate-fraction go in ivf_report below.
+    IVF_NLIST, IVF_NPROBE, IVF_ITERS = 16, 4, 2
+    ivf_cents = similarity.ivf_train(emb, nlist=IVF_NLIST,
+                                     train_iters=IVF_ITERS)
+    ivf_out, ivf_rep = similarity.ivf_cosine_topk(
+        emb.filter(F.col("vec_id") < 32), emb, k=10, centroids=ivf_cents,
+        nprobe=IVF_NPROBE, return_report=True)
+
+    @timed("ivf_ann")
+    def _ivf():
+        ivf_out.count()
+
+    report("ivf_ann", ivf_rep)
+
     @timed("textstats")
     def _ts():
         textstats.document_stats(docs).count()
@@ -318,6 +336,34 @@ def main():
                  "baseline_recall_at_10": recall,
                  "baseline_candidate_fraction": _cand_fraction(0)}
 
+    # IVF natural-corpus recall@10 at the same query set, with the
+    # candidate fraction its nprobe/nlist configuration costs — the
+    # apples-to-apples comparison against the sign-LSH legs above
+    # (IVF is data-dependent, so on the gap-free corpus it buys recall
+    # with occupancy instead of hyperplane luck).
+    ivf_got = {(r["query_id"], r["corpus_id"])
+               for r in similarity.ivf_cosine_topk(
+                   nat_queries, emb, k=k, centroids=ivf_cents,
+                   nprobe=IVF_NPROBE)
+               .select("query_id", "corpus_id").collect()}
+    recall_ivf = round(len(ivf_got & exact_pairs) / len(exact_pairs), 4)
+    qc = similarity._ivf_cells(
+        nat_queries.select(F.col("vec_id").alias("query_id"),
+                           F.col("embedding").cast("array<double>")
+                           .alias("qv")),
+        ivf_cents, "query_id", "qv", IVF_NPROBE, "blas")
+    cc = similarity._ivf_cells(
+        emb.select(F.col("vec_id").alias("corpus_id"),
+                   F.col("embedding").cast("array<double>").alias("cv")),
+        ivf_cents, "corpus_id", "cv", 1, "blas")
+    ivf_n_cand = (qc.join(cc, "ivf_cid")
+                  .filter(F.col("query_id") != F.col("corpus_id")).count())
+    ivf_report = {"nlist": IVF_NLIST, "nprobe": IVF_NPROBE,
+                  "train_iters": IVF_ITERS,
+                  "recall_at_10_natural": recall_ivf,
+                  "candidate_fraction": round(
+                      ivf_n_cand / (n_q * len(ids)), 4)}
+
     from pyspark.sql.types import (ArrayType, DoubleType, LongType,
                                    StructField, StructType)
     rng = np.random.default_rng(12345)
@@ -367,6 +413,7 @@ def main():
         "bucket_reports": bucket_reports,
         "ann_recall_at_10_natural": recall,
         "ann_multiprobe": mp_report,
+        "ann_ivf": ivf_report,
         "ann_planted_recall_at_1": planted_recall,
         "ann_recall_config": {"planes": ANN_PLANES, "tables": ANN_TABLES,
                               "n_queries": n_q, "planted_cos": 0.95,

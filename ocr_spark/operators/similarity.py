@@ -410,3 +410,276 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
         from .dedup import bucket_report
         return pairs, bucket_report(uncapped, ["table", "bucket"], max_bucket)
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the partition-pruned scale path.
+#
+# Sign-LSH above is data-INDEPENDENT: recall is fixed by hyperplane
+# geometry, so on a gap-free corpus no configuration reaches high
+# recall cheaply (measured in bench.py). IVF is the data-DEPENDENT
+# alternative: learn `nlist` centroids from the corpus (spherical
+# k-means), assign every corpus vector to exactly ONE cell, and answer
+# a query by scoring only the `nprobe` cells whose centroids are
+# nearest the query — the classic inverted-file design (Sivic &
+# Zisserman, "Video Google", ICCV 2003; the FAISS IndexIVFFlat shape).
+#
+# Spark mapping, designed for the 100 TB lens:
+#  * Centroids are MODEL STATE — nlist x dim doubles, kilobytes — so
+#    they live driver-side and enter the plan as literals / broadcast
+#    closures, exactly how MLlib ships KMeans coefficients.
+#  * Training never shuffles vectors: each Arrow batch emits one
+#    (cell, partial_sum, count) frame map-side and the tiny partials
+#    reduce on the driver (treeAggregate's shape, without RDDs).
+#  * The index is the ids-only (corpus_id, ivf_cid) relation; vectors
+#    re-join once for exact scoring — same candidates-then-exact-score
+#    contract as the LSH family, so results are always true cosines.
+#  * ivf_write_index persists the corpus partitionBy(ivf_cid), turning
+#    a probe into a partition-PRUNED scan: nprobe=8 over nlist=1024
+#    reads ~0.8% of the files. That scan-level skipping is the reason
+#    IVF (not LSH) is the on-disk ANN layout at corpus scale.
+
+
+def _seed_centroids(c: DataFrame, nlist: int) -> list[list[float]]:
+    """Deterministic init: the nlist corpus vectors with the smallest
+    ids (orderBy-limit — reproducible on any executor layout)."""
+    rows = c.orderBy("corpus_id").limit(nlist).collect()
+    return [list(r["cv"]) for r in rows]
+
+
+def ivf_train(corpus: DataFrame, nlist: int = 16, train_iters: int = 2,
+              corpus_id: str = "vec_id", vec_col: str = "embedding"
+              ) -> list[list[float]]:
+    """Spherical k-means centroids for an IVF index.
+
+    Lloyd iterations on L2-normalized vectors (assignment = max cosine;
+    update = renormalized mean — Dhillon & Modha 2001). Assignment runs
+    as one BLAS matmul per Arrow batch; each batch contributes a
+    (nlist x dim) partial-sum frame, so the shuffle-free reduce moves
+    kilobytes per task regardless of corpus size. train_iters=0 returns
+    the raw deterministic seeds (the oracle-replayable configuration:
+    no floating-point averaging for a second engine to diverge on).
+
+    Empty cells keep their previous centroid (standard Lloyd guard)."""
+    c = corpus.select(F.col(corpus_id).alias("corpus_id"),
+                      F.col(vec_col).cast("array<double>").alias("cv"))
+    cents = _seed_centroids(c, nlist)
+    if train_iters <= 0 or len(cents) < 2:
+        return cents
+    import numpy as np
+    C = np.vstack([np.asarray(v, dtype=np.float64) for v in cents])
+    cn = np.linalg.norm(C, axis=1, keepdims=True)
+    C = np.divide(C, cn, out=np.zeros_like(C), where=cn != 0)
+    k_cells, dim = C.shape
+    sc = corpus.sparkSession.sparkContext
+    for _ in range(train_iters):
+        bc = sc.broadcast(C)
+
+        def partials(batches):
+            import numpy as _np
+            import pandas as _pd
+            W = bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                M = _np.vstack([_np.asarray(v, dtype=_np.float64)
+                                for v in pdf["cv"]])
+                mn = _np.linalg.norm(M, axis=1, keepdims=True)
+                M = _np.divide(M, mn, out=_np.zeros_like(M), where=mn != 0)
+                a = _np.argmax(M @ W.T, axis=1)  # ties -> lowest cid
+                sums = _np.zeros_like(W)
+                _np.add.at(sums, a, M)
+                counts = _np.bincount(a, minlength=len(W))
+                occ = _np.nonzero(counts)[0]
+                yield _pd.DataFrame({
+                    "cid": occ.astype("int32"),
+                    "n": counts[occ].astype("int64"),
+                    "s": list(sums[occ])})
+
+        rows = c.mapInPandas(
+            partials, "cid int, n long, s array<double>").collect()
+        sums = np.zeros((k_cells, dim))
+        counts = np.zeros(k_cells, dtype=np.int64)
+        for r in rows:
+            sums[r["cid"]] += np.asarray(r["s"])
+            counts[r["cid"]] += r["n"]
+        occ = counts > 0
+        newC = C.copy()
+        newC[occ] = sums[occ] / counts[occ, None]
+        nn = np.linalg.norm(newC, axis=1, keepdims=True)
+        C = np.divide(newC, nn, out=np.zeros_like(newC), where=nn != 0)
+        bc.destroy()
+    return [row.tolist() for row in C]
+
+
+def _cell_structs(vec, centroids):
+    """ARRAY<STRUCT<negcos,cid>> of exact expression cosine against each
+    centroid literal — array_min gives the assignment (max cos, ties to
+    the lowest cid), array_sort+slice gives the probe list. Pure
+    codegen-side expressions: the DuckDB twin replays them bit-for-bit
+    (the same sequential-sum cosine the green ann_bruteforce oracle
+    already certifies)."""
+    entries = []
+    for j, cvec in enumerate(centroids):
+        lit = F.array(*[F.lit(float(x)) for x in cvec])
+        entries.append(F.struct((-cosine(vec, lit)).alias("negcos"),
+                                F.lit(j).alias("cid")))
+    return F.array(*entries)
+
+
+def _ivf_assign_blas_udf(centroids, nprobe: int = 1):
+    """(query_id/corpus_id, vec) batches -> nearest-`nprobe` cell ids
+    per row, one BLAS matmul per Arrow batch. Ties break to the lowest
+    cid (stable argsort), matching the expression form; near-tie
+    float divergence vs the expression path is the same documented
+    boundary epsilon as the LSH BLAS signatures."""
+    import numpy as np
+    C = np.vstack([np.asarray(v, dtype=np.float64) for v in centroids])
+    cn = np.linalg.norm(C, axis=1, keepdims=True)
+    Ch = np.divide(C, cn, out=np.zeros_like(C), where=cn != 0)
+
+    def assign(batches):
+        import numpy as _np
+        import pandas as _pd
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            id_col = pdf.columns[0]
+            M = _np.vstack([_np.asarray(v, dtype=_np.float64)
+                            for v in pdf[pdf.columns[1]]])
+            mn = _np.linalg.norm(M, axis=1, keepdims=True)
+            M = _np.divide(M, mn, out=_np.zeros_like(M), where=mn != 0)
+            sims = M @ Ch.T
+            order = _np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+            n = len(pdf)
+            yield _pd.DataFrame({
+                id_col: _np.repeat(pdf[id_col].to_numpy(), nprobe),
+                "ivf_cid": order.reshape(-1).astype("int32")})
+
+    return assign
+
+
+def _ivf_cells(df: DataFrame, centroids, id_col: str, vec_col: str,
+               nprobe: int = 1, mode: str = "blas") -> DataFrame:
+    """(id, ivf_cid) rows: the nearest `nprobe` cells per vector.
+    nprobe=1 is index assignment; >1 is query-side probing.
+    mode='expr' is the pure-expression oracle-parity path, 'blas' the
+    one-matmul-per-batch fast path."""
+    nprobe = max(1, min(nprobe, len(centroids)))
+    base = df.select(F.col(id_col),
+                     F.col(vec_col).cast("array<double>").alias("_v"))
+    if mode == "blas":
+        return base.mapInPandas(
+            _ivf_assign_blas_udf(centroids, nprobe),
+            f"{id_col} long, ivf_cid int")
+    structs = _cell_structs(F.col("_v"), centroids)
+    if nprobe == 1:
+        return base.select(id_col,
+                           F.array_min(structs).getField("cid")
+                           .alias("ivf_cid"))
+    probed = F.transform(F.slice(F.array_sort(structs), 1, nprobe),
+                         lambda s: s.getField("cid"))
+    return base.select(id_col, F.explode(probed).alias("ivf_cid"))
+
+
+def ivf_cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
+                    nlist: int = 16, nprobe: int = 2,
+                    train_iters: int = 2, centroids=None,
+                    query_id: str = "vec_id", corpus_id: str = "vec_id",
+                    vec_col: str = "embedding",
+                    assign_mode: str = "blas",
+                    max_cell: int = 1_000_000,
+                    return_report: bool = False):
+    """ANN: IVF candidate generation, then exact cosine scoring.
+
+    Each corpus vector lives in exactly ONE cell (no cross-table
+    dedup step — unlike LSH, candidates are disjoint by construction);
+    each query probes its `nprobe` nearest cells. Expected candidate
+    fraction ~ occupancy(probed cells)/|corpus|, tunable from nprobe/
+    nlist directly. nprobe >= nlist degenerates to the exact
+    brute-force result (pytest pins this equivalence).
+
+    centroids: pass a pretrained list (ivf_train) to amortize training
+    across searches; None trains here. assign_mode 'expr' keeps
+    assignment/probing as pure sequential-sum expressions (the
+    DuckDB-oracle family); 'blas' is the matmul fast path.
+
+    max_cell caps degenerate cells (a cell that hot means the quantizer
+    carries no information there — same contract as cap_buckets);
+    return_report=True returns (topk, report) with the drop counters.
+    """
+    q = queries.select(F.col(query_id).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("qv"))
+    c = corpus.select(F.col(corpus_id).alias("corpus_id"),
+                      F.col(vec_col).cast("array<double>").alias("cv"))
+    if centroids is None:
+        centroids = ivf_train(c, nlist=nlist, train_iters=train_iters,
+                              corpus_id="corpus_id", vec_col="cv")
+    c_cells = _ivf_cells(c, centroids, "corpus_id", "cv",
+                         nprobe=1, mode=assign_mode)
+    uncapped = c_cells
+    c_cells = _cap_buckets(c_cells, ["ivf_cid"], max_cell)
+    q_cells = _ivf_cells(q, centroids, "query_id", "qv",
+                         nprobe=nprobe, mode=assign_mode)
+    cand = (c_cells.join(F.broadcast(q_cells), "ivf_cid")
+            .filter(F.col("query_id") != F.col("corpus_id"))
+            .select("query_id", "corpus_id"))
+    scored = (cand.join(c, "corpus_id")
+              .join(F.broadcast(q), "query_id")
+              .select("query_id", "corpus_id",
+                      cosine(F.col("qv"), F.col("cv")).alias("cos_sim")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("corpus_id").asc())
+    topk = (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+    if return_report:
+        from .dedup import bucket_report
+        return topk, bucket_report(uncapped, ["ivf_cid"], max_cell)
+    return topk
+
+
+def ivf_write_index(corpus: DataFrame, path: str, centroids,
+                    corpus_id: str = "vec_id", vec_col: str = "embedding",
+                    assign_mode: str = "blas",
+                    mode: str = "overwrite") -> None:
+    """Persist the corpus as an on-disk IVF index: rows carry their
+    assigned cell and the layout is partitionBy(ivf_cid), so a probed
+    search becomes a partition-pruned scan (ivf_search_index). At
+    100 TB this is the difference between scanning the corpus and
+    scanning nprobe/nlist of it — file skipping at the source, before
+    any compute."""
+    c = corpus.select(F.col(corpus_id).alias("corpus_id"),
+                      F.col(vec_col).cast("array<double>").alias("cv"))
+    assigned = c.join(
+        _ivf_cells(c, centroids, "corpus_id", "cv", 1, assign_mode),
+        "corpus_id")
+    assigned.write.partitionBy("ivf_cid").mode(mode).parquet(path)
+
+
+def ivf_search_index(spark, path: str, queries: DataFrame, centroids,
+                     k: int = 10, nprobe: int = 2,
+                     query_id: str = "vec_id", vec_col: str = "embedding",
+                     assign_mode: str = "blas"):
+    """Search an ivf_write_index layout. The probed cell ids (at most
+    |Q| x nprobe distinct values — bounded by the small-query contract,
+    like the query broadcast) become a literal IN filter on the
+    partition column, so the parquet scan statically prunes every
+    unprobed cell's files; candidates then follow the exact-scoring
+    tail of ivf_cosine_topk."""
+    q = queries.select(F.col(query_id).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("qv"))
+    q_cells = _ivf_cells(q, centroids, "query_id", "qv",
+                         nprobe=nprobe, mode=assign_mode)
+    cids = sorted({r["ivf_cid"]
+                   for r in q_cells.select("ivf_cid").distinct().collect()})
+    idx = (spark.read.parquet(path)
+           .filter(F.col("ivf_cid").isin([int(x) for x in cids])))
+    scored = (idx.join(F.broadcast(q_cells), "ivf_cid")
+              .filter(F.col("query_id") != F.col("corpus_id"))
+              .join(F.broadcast(q), "query_id")
+              .select("query_id", "corpus_id",
+                      cosine(F.col("qv"), F.col("cv")).alias("cos_sim")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("corpus_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

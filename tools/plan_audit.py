@@ -185,6 +185,16 @@ def main() -> None:
           "ids-only component/survivor joins (no Python in plan)",
           "BatchEvalPython" not in p and "ERROR" not in p, "")
 
+    # 9d. r4.1: the IVF ANN oracle leg assigns/probes cells with pure
+    #     expressions against centroid literals (no Python eval in the
+    #     plan) and the probe join broadcasts the small query side.
+    p = plans["ivf_ann"]
+    check("ivf_ann",
+          "pure-expression cell assignment + broadcast probe join",
+          "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+          and "MapInPandas" not in p and "BroadcastHashJoin" in p,
+          f"BroadcastHashJoin={'BroadcastHashJoin' in p}")
+
     # 9. No CartesianProduct anywhere: every join is keyed or broadcast
     #    (the brute-force oracle baselines use broadcast nested loop,
     #    which bounds the big side to one scan).
