@@ -518,6 +518,46 @@ def _ngram_anchor_pandas_udf(k: int, anchor_perms: int, anchor_rows: int,
     return sig
 
 
+def _shingle_hash64_pandas_udf(k: int):
+    """Per-DOC sorted unique 64-bit char-k-gram hashes, vectorized.
+
+    The verify stage's whole cost model: hashing a doc's shingle set is
+    one numpy pass (UTF-32 view -> sliding window -> polynomial matmul
+    mod 2^64), done ONCE per candidate doc, where the r3/r4 verify
+    rebuilt Python string-shingle sets per PAIR (~20 rebuilds per doc on
+    the bench corpus — measured as ~9.5s of the operator's ~10.5s wall
+    at sf0.1). UTF-32 code-point windows keep CHARACTER k-gram
+    semantics identical to the `shingles` expression and
+    `_py_ngram_jaccard` (byte windows would diverge on non-ASCII text).
+    Short texts (< k chars) hash their zero-padded self — the same
+    "lone truncated shingle" identity class as the string twin.
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    @pandas_udf(ArrayType(LongType()))
+    def sh64(texts: pd.Series) -> pd.Series:
+        import numpy as np
+        norm = (texts.fillna("").str.strip().str.lower()
+                .str.replace(r"\s+", " ", regex=True))
+        powers = (np.uint64(1_000_003) **
+                  np.arange(k - 1, -1, -1, dtype=np.uint64))
+        out = []
+        for s in norm:
+            cp = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+            if len(cp) < k:
+                cp = np.pad(cp, (0, k - len(cp)))
+                n_sh = 1
+            else:
+                n_sh = len(cp) - k + 1
+            win = np.lib.stride_tricks.sliding_window_view(cp, k)[:n_sh]
+            h = win.astype(np.uint64) @ powers  # natural mod-2^64 wrap
+            out.append(np.unique(h).view(np.int64))
+        return pd.Series(out)
+
+    return sh64
+
+
 def _py_ngram_jaccard(k: int):
     """Exact char-k-gram Jaccard, the python twin of the `jaccard` +
     `shingles` expressions (same <k short-shingle edge: a text shorter
@@ -604,11 +644,13 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     randomness and the verify stage is hash-independent.
 
     Scale shape: blocking rows carry ONLY (id, band, perm, anchor) —
-    shingle arrays never ride the shuffle; candidate ids re-join the
-    raw text once and the exact-Jaccard verify runs as a vectorized
-    pandas UDF (strings are smaller than shingle arrays, and the
-    expression form's interpreted array_intersect was the other half
-    of the r3.1 bench cost). With return_report=True returns
+    shingle arrays never ride the blocking shuffle; within-bucket pairs
+    come from a collect_list + pipelined generators on the window-cap's
+    own exchange (no self-join, no join-side sorts); verify hashes each
+    candidate doc's char-shingle set ONCE (64-bit, numpy-vectorized,
+    semi-joined to candidate ids) and intersects sorted hash arrays per
+    pair — value-identical to exact string Jaccard up to a ~1e-12
+    within-pair 64-bit collision. With return_report=True returns
     (pairs, report) where report is the one-row cap_buckets
     drop-counter frame.
     """
@@ -657,28 +699,64 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                                       F.col("band") + 1)).alias("b"))
         .select("id", "b", F.posexplode("an").alias("perm", "anchor")))
     capped = cap_buckets(keyed, ["b", "perm", "anchor"], max_bucket)
-    l, r = capped.alias("l"), capped.alias("r")
+    # Within-bucket pair generation WITHOUT a self-join: collect each
+    # bucket's ids (bounded by max_bucket — the window cap above already
+    # dropped degenerate buckets, streaming, before anything is
+    # materialized) and emit i<j combinations through two pipelined
+    # generators (posexplode -> slice -> explode, never the full combo
+    # array in memory). The groupBy clusters on exactly the keys the
+    # window partitioned on, so EnsureRequirements inserts NO second
+    # exchange — one ids-only shuffle total where the r3 form paid the
+    # same exchange plus two join-side sorts and a sort-merge self-join.
+    # The candidate SET is identical (every unordered id pair sharing a
+    # bucket, once per bucket), so oracles and planted-pair tests are
+    # mechanism-independent.
+    buckets = (capped.groupBy("b", "perm", "anchor")
+               .agg(F.collect_list("id").alias("ids"))
+               .filter(F.size("ids") >= 2))
     cand = (
-        l.join(r, on=["b", "perm", "anchor"], how="inner")
-        .filter(F.col("l.id") < F.col("r.id"))
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        buckets.select(F.posexplode("ids").alias("i", "x"), "ids")
+        .select("x", F.explode(F.slice(F.col("ids"), F.col("i") + 2,
+                                       F.size("ids"))).alias("y"))
+        .select(F.least("x", "y").alias("id_a"),
+                F.greatest("x", "y").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    jac = _py_ngram_jaccard(k)
+    # Verify: Jaccard over 64-bit-hashed char-shingle sets, hashed ONCE
+    # per candidate doc (semi-joined ids -> texts -> one vectorized
+    # numpy pass) and compared per pair with np.intersect1d over sorted
+    # arrays. Value-identical to exact string-shingle Jaccard unless
+    # two distinct shingles in one pair's union collide in 64 bits
+    # (P ~ |union|^2 / 2^65 — < 1e-12 even at million-shingle docs), so
+    # planted-truth tests and thresholds see exact values. This replaced
+    # a per-PAIR Python set build (each doc re-shingled once per partner;
+    # ~20x redundant on the bench corpus): sf0.1 verify 9.5s -> ~1.5s.
+    # Scale shape: the candidate-ids semi-join keeps the corpus-side
+    # text shuffle pruned to docs that actually appear in a pair.
+    sh64 = _shingle_hash64_pandas_udf(k)
+    cids = (cand.select(F.col("id_a").alias("id"))
+            .union(cand.select(F.col("id_b").alias("id")))
+            .distinct())
+    doc_sh = base.join(cids, "id").select("id", sh64(F.col("txt")).alias("sh"))
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import DoubleType
 
     @pandas_udf(DoubleType())
-    def jac_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-        return pd.Series([jac(x, y) for x, y in zip(a, b)])
+    def jac64_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        import numpy as np
+        out = np.empty(len(a), dtype=np.float64)
+        for i, (x, y) in enumerate(zip(a, b)):
+            inter = np.intersect1d(x, y, assume_unique=True).size
+            union = len(x) + len(y) - inter
+            out[i] = inter / union if union else 0.0
+        return pd.Series(out)
 
-    txt_df = base
     pairs = (
-        cand.join(txt_df.select(F.col("id").alias("id_a"),
-                                F.col("txt").alias("txt_a")), "id_a")
-        .join(txt_df.select(F.col("id").alias("id_b"),
-                            F.col("txt").alias("txt_b")), "id_b")
-        .withColumn("jaccard", jac_udf(F.col("txt_a"), F.col("txt_b")))
+        cand.join(doc_sh.select(F.col("id").alias("id_a"),
+                                F.col("sh").alias("sh_a")), "id_a")
+        .join(doc_sh.select(F.col("id").alias("id_b"),
+                            F.col("sh").alias("sh_b")), "id_b")
+        .withColumn("jaccard", jac64_udf(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
