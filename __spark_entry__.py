@@ -607,7 +607,11 @@ def q_line_dedup(spark, sf_dir):
         F.when(F.col("doc_id") % 100 == 0,
                F.lit("Subscribe to our newsletter today\n"))
         .otherwise(F.lit("")),
-        F.lit("body "), sid, F.lit(": "), F.col("text"),
+        # coalesce: a NULL text must not NULL the whole concat (Spark
+        # would then emit an empty-text row while DuckDB's NULL-eating
+        # string_split drops the doc — a false oracle mismatch).
+        F.lit("body "), sid, F.lit(": "),
+        F.coalesce(F.col("text"), F.lit("")),
         F.lit("\nCopyright example footer all rights reserved"))
     out = textstats.line_dedup(d.select("doc_id", txt.alias("text")))
     return out.select("doc_id", "text", "n_lines_removed")
@@ -623,7 +627,7 @@ WITH d AS (SELECT doc_id,
   || CASE WHEN doc_id % 100 = 0
           THEN 'Subscribe to our newsletter today' || chr(10)
           ELSE '' END
-  || 'body ' || cast(doc_id AS varchar) || ': ' || text || chr(10)
+  || 'body ' || cast(doc_id AS varchar) || ': ' || coalesce(text, '') || chr(10)
   || 'Copyright example footer all rights reserved' AS t
   FROM documents),
 l0 AS (SELECT doc_id, string_split(t, chr(10)) AS arr FROM d),
@@ -2666,7 +2670,7 @@ _LAYOUT_TOKENS_SQL = r"""
 list_transform(
   list_filter(
     (regexp_split_to_array(trim(regexp_replace(lower(trim(text)),
-                                               '\s+', ' ', 'g')), ' '))[1:24],
+                                               '[\s\v]+', ' ', 'g')), ' '))[1:24],
     t -> t <> ''),
   t -> substr(t, 1, 12))"""
 

@@ -220,20 +220,38 @@ def main(argv=None, spark=None) -> dict:
         # Corpus-level boilerplate line removal (CCNet-style): cleaned
         # text + per-doc removal counts persist; the one-row report
         # rides the summary (never-silent contract).
+        from pyspark.sql import functions as F
+
         from ocr_spark.operators import textstats
         committed = table.read(spark)
         if committed is not None:
-            cleaned, rep = textstats.line_dedup(
+            cleaned = textstats.line_dedup(
                 committed.select("url", "extracted_text"),
-                text_col="extracted_text", id_col="url",
-                return_report=True)
-            cleaned.write.mode("overwrite").parquet(
+                text_col="extracted_text", id_col="url")
+            # line_dedup's groupBy output carries only (url, cleaned
+            # text, n_lines_removed); re-joining the committed row keeps
+            # every metadata column, so {dir}/cleaned has the SAME
+            # schema contract as --quality-filter's {dir}/filtered and
+            # downstream curation stages can chain over it.
+            full = committed.drop("extracted_text").join(cleaned, "url")
+            full.write.mode("overwrite").parquet(
                 f"{args.line_dedup}/cleaned")
-            r = rep.first()
+            # Counters aggregate from the PERSISTED parquet (the
+            # sibling stages' pattern) instead of re-running the whole
+            # explode/join/reassembly lineage a second time; only the
+            # hot-line count re-derives its reassembly-free aggregation.
+            back = spark.read.parquet(f"{args.line_dedup}/cleaned")
+            r = back.agg(
+                F.sum("n_lines_removed").alias("lines_removed"),
+                F.count_if(F.col("n_lines_removed") > 0)
+                .alias("docs_touched")).first()
+            n_hot = textstats.hot_line_keys(
+                committed.select("url", "extracted_text"),
+                text_col="extracted_text", id_col="url").count()
             summary["line_dedup"] = {
                 "lines_removed": int(r["lines_removed"] or 0),
                 "docs_touched": int(r["docs_touched"] or 0),
-                "n_hot_lines": int(r["n_hot_lines"] or 0)}
+                "n_hot_lines": int(n_hot)}
 
     print(json.dumps(summary))
     return summary

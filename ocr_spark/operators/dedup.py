@@ -469,6 +469,16 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
     return pairs
 
 
+def _norm_series(texts):
+    """The ngram family's shared text normalization (NULL -> '', trim,
+    lower, whitespace runs -> one space), the pandas twin of
+    `normalize_text`. Blocking signatures and the verify hasher MUST
+    normalize identically or candidate semantics silently diverge from
+    verify semantics — one definition keeps that invariant structural."""
+    return (texts.fillna("").str.strip().str.lower()
+            .str.replace(r"\s+", " ", regex=True))
+
+
 def _ngram_anchor_pandas_udf(k: int, anchor_perms: int, anchor_rows: int,
                              length_band: int):
     """Vectorized (band, anchors) signatures: numpy rolling polynomial
@@ -488,8 +498,7 @@ def _ngram_anchor_pandas_udf(k: int, anchor_perms: int, anchor_rows: int,
     @pandas_udf(out_type)
     def sig(texts: pd.Series) -> pd.DataFrame:
         import numpy as np
-        norm = (texts.fillna("").str.strip().str.lower()
-                .str.replace(r"\s+", " ", regex=True))
+        norm = _norm_series(texts)
         A = np.array([a for a, _ in consts], dtype=np.uint64)
         B = np.array([b for _, b in consts], dtype=np.uint64)
         M31 = np.uint64(_MERSENNE31)
@@ -538,8 +547,7 @@ def _shingle_hash64_pandas_udf(k: int):
     @pandas_udf(ArrayType(LongType()))
     def sh64(texts: pd.Series) -> pd.Series:
         import numpy as np
-        norm = (texts.fillna("").str.strip().str.lower()
-                .str.replace(r"\s+", " ", regex=True))
+        norm = _norm_series(texts)
         powers = (np.uint64(1_000_003) **
                   np.arange(k - 1, -1, -1, dtype=np.uint64))
         out = []
@@ -718,6 +726,12 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         buckets.select(F.posexplode("ids").alias("i", "x"), "ids")
         .select("x", F.explode(F.slice(F.col("ids"), F.col("i") + 2,
                                        F.size("ids"))).alias("y"))
+        # x != y: a duplicated input id lands twice in one bucket and
+        # the i<j combination emits (x, x) — least/greatest would keep
+        # it, breaking the id_a < id_b contract downstream (dedup_resolve
+        # would see a self-loop). The strict filter restores the old
+        # self-join's l.id < r.id exclusion.
+        .filter(F.col("x") != F.col("y"))
         .select(F.least("x", "y").alias("id_a"),
                 F.greatest("x", "y").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])

@@ -54,7 +54,15 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
     candidates only. prune_margin absorbs BLAS-vs-expression summation
     divergence (~1e-13 relative) at the k boundary — same documented
     epsilon trade-off as the LSH signature fast path; set prune=False
-    for the pure-expression plan."""
+    for the pure-expression plan.
+
+    Construction-time cost note (prune=True): materializing the query
+    matrix runs ONE Spark job over the (small, contract-bounded) query
+    side at plan-construction time — callers that only .explain() the
+    returned plan still pay that small job. The query-matrix broadcast
+    is released by Spark's ContextCleaner once the returned plan is
+    unreachable; pass prune=False for a fully lazy, broadcast-free
+    plan."""
     q = queries.select(F.col(query_id).alias("query_id"),
                        F.col(vec_col).cast("array<double>").alias("qv"))
     c = corpus.select(F.col(corpus_id).alias("corpus_id"),
@@ -102,10 +110,21 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
                 sims = cmat @ mat_q.T  # (n_c, n_q)
                 n_take = min(take, len(cids))
                 # Deterministic per-query order: (-cos, corpus_id) —
-                # identical to the final window's tie-break.
+                # identical to the final window's tie-break. argpartition
+                # narrows to the top-n_take first (O(n) vs a full-batch
+                # lexsort per query); cosine ties AT the partition
+                # boundary are re-included before the survivors-only
+                # lexsort so boundary duplicates can't be dropped by
+                # partition order.
                 qs, cs = [], []
                 for j in range(len(ids_q)):
-                    order = _np.lexsort((cids, -sims[:, j]))[:n_take]
+                    col = sims[:, j]
+                    if n_take < len(cids):
+                        part = _np.argpartition(-col, n_take - 1)[:n_take]
+                        sel = _np.flatnonzero(col >= col[part].min())
+                    else:
+                        sel = _np.arange(len(cids))
+                    order = sel[_np.lexsort((cids[sel], -col[sel]))][:n_take]
                     qs.append(_np.full(len(order), ids_q[j]))
                     cs.append(cids[order])
                 yield _pd.DataFrame({
@@ -668,12 +687,17 @@ def ivf_search_index(spark, path: str, queries: DataFrame, centroids,
     tail of ivf_cosine_topk."""
     q = queries.select(F.col(query_id).alias("query_id"),
                        F.col(vec_col).cast("array<double>").alias("qv"))
-    q_cells = _ivf_cells(q, centroids, "query_id", "qv",
-                         nprobe=nprobe, mode=assign_mode)
-    cids = sorted({r["ivf_cid"]
-                   for r in q_cells.select("ivf_cid").distinct().collect()})
+    # One query-assignment job: the collected (query_id, ivf_cid) rows
+    # drive BOTH the partition-prune filter and the probe join (as a
+    # driver-local DataFrame) — the earlier form recomputed the
+    # un-cached q_cells lineage a second time as the join side.
+    qc_rows = [(int(r["query_id"]), int(r["ivf_cid"]))
+               for r in _ivf_cells(q, centroids, "query_id", "qv",
+                                   nprobe=nprobe, mode=assign_mode).collect()]
+    q_cells = spark.createDataFrame(qc_rows, "query_id long, ivf_cid int")
+    cids = sorted({c for _, c in qc_rows})
     idx = (spark.read.parquet(path)
-           .filter(F.col("ivf_cid").isin([int(x) for x in cids])))
+           .filter(F.col("ivf_cid").isin(cids)))
     scored = (idx.join(F.broadcast(q_cells), "ivf_cid")
               .filter(F.col("query_id") != F.col("corpus_id"))
               .join(F.broadcast(q), "query_id")

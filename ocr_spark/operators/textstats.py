@@ -269,6 +269,33 @@ LINE_DEDUP_MAX_DOC_FREQ = 5
 LINE_DEDUP_MIN_CHARS = 15
 
 
+def _line_key(line_col, min_chars: int):
+    """The line-identity key line_dedup and hot_line_keys share: md5 of
+    the trimmed line, NULL (= never hot) under the min-chars floor."""
+    t = F.trim(line_col)
+    return F.when(F.length(t) >= min_chars, F.md5(t.cast("binary")))
+
+
+def hot_line_keys(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  max_doc_freq: int = LINE_DEDUP_MAX_DOC_FREQ,
+                  min_chars: int = LINE_DEDUP_MIN_CHARS) -> DataFrame:
+    """One-column (_key) frame of corpus-hot line hashes — the lines
+    line_dedup removes. Exposed so consumers (job --line-dedup) can
+    count or inspect the hot set WITHOUT re-running the per-document
+    reassembly aggregation."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    lines = df.select(F.col(id_col),
+                      F.explode(F.split(c, "\n")).alias("line"))
+    keyed = lines.select(F.col(id_col),
+                         _line_key(F.col("line"), min_chars).alias("_key"))
+    return (keyed.filter(F.col("_key").isNotNull())
+            .distinct()
+            .groupBy("_key").agg(F.count("*").alias("_docs"))
+            .filter(F.col("_docs") > max_doc_freq)
+            .select("_key"))
+
+
 def line_dedup(df: DataFrame, text_col: str = "text",
                id_col: str = "doc_id",
                max_doc_freq: int = LINE_DEDUP_MAX_DOC_FREQ,
@@ -294,15 +321,9 @@ def line_dedup(df: DataFrame, text_col: str = "text",
     lines = df.select(
         F.col(id_col),
         F.posexplode(F.split(c, "\n")).alias("pos", "line"))
-    lines = lines.withColumn("_t", F.trim(F.col("line")))
-    lines = lines.withColumn(
-        "_key", F.when(F.length("_t") >= min_chars,
-                       F.md5(F.col("_t").cast("binary"))))
-    hot = (lines.filter(F.col("_key").isNotNull())
-           .select(F.col(id_col), "_key").distinct()
-           .groupBy("_key").agg(F.count("*").alias("_docs"))
-           .filter(F.col("_docs") > max_doc_freq)
-           .select("_key"))
+    lines = lines.withColumn("_key", _line_key(F.col("line"), min_chars))
+    hot = hot_line_keys(df, text_col=text_col, id_col=id_col,
+                        max_doc_freq=max_doc_freq, min_chars=min_chars)
     marked = lines.join(hot.withColumn("_hot", F.lit(True)),
                         on="_key", how="left")
     out = (marked.groupBy(id_col).agg(

@@ -220,6 +220,11 @@ def test_job_line_dedup_cleans_corpus(spark, tmp_path):
     assert cleaned.filter(
         cleaned.extracted_text.contains("cookies")).count() == 0
     assert all(row["n_lines_removed"] == 1 for row in cleaned.collect())
+    # The cleaned corpus keeps the committed row's FULL schema (same
+    # contract as --quality-filter's filtered output) so further
+    # curation stages can chain over {dir}/cleaned.
+    assert {"url", "extracted_text", "n_lines_removed"} <= set(cleaned.columns)
+    assert len(cleaned.columns) > 3, cleaned.columns
 
 
 def test_job_via_spark_submit(tmp_path):

@@ -68,6 +68,19 @@ class TestDedup:
         assert len(pairs) == 1
         assert pairs[0]["jaccard"] == 1.0
 
+    def test_ngram_duplicate_ids_emit_no_self_pairs(self, spark):
+        """A duplicated input id (non-unique id_col) lands twice in one
+        bucket; the generator's i<j combination would pair the copies
+        with themselves — the output contract stays id_a < id_b, never
+        id_a == id_b (a self-loop would corrupt dedup_resolve)."""
+        t = "the quick brown fox jumps over the lazy dog " * 4
+        df = spark.createDataFrame(
+            [(0, t), (0, t), (1, t), (2, "something else entirely here")],
+            ["doc_id", "text"])
+        pairs = dedup.ngram_jaccard_pairs(df, threshold=0.5).collect()
+        assert all(r["id_a"] < r["id_b"] for r in pairs)
+        assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 1)}
+
     def test_ngram_default_recall_floor(self, spark):
         """The DEFAULT configuration must recover >= 0.9 of planted
         pairs sitting AT its own advertised threshold (r4 ask: the r3
