@@ -241,7 +241,12 @@ def main():
     # k-means, one BLAS matmul + tiny partial-sum frame per batch — is
     # pre-clock like the LSH plan construction; the timed number is the
     # probed search. Recall/candidate-fraction go in ivf_report below.
-    IVF_NLIST, IVF_NPROBE, IVF_ITERS = 16, 4, 2
+    # nlist follows the FAISS IndexIVFFlat guidance (4sqrt(N)..16sqrt(N);
+    # sqrt(2000)=45 -> 179..715): 256 cells, probe 1/8 of them. The r4.0
+    # config (nlist=16, nprobe=4 — a quarter of the corpus per query)
+    # measured recall@10 0.538; this one reaches 0.70 at HALF that
+    # candidate fraction (the sweep is in BENCH/ivf_sweep.md).
+    IVF_NLIST, IVF_NPROBE, IVF_ITERS = 256, 32, 5
     ivf_cents = similarity.ivf_train(emb, nlist=IVF_NLIST,
                                      train_iters=IVF_ITERS)
     ivf_out, ivf_rep = similarity.ivf_cosine_topk(
@@ -363,6 +368,28 @@ def main():
                   "recall_at_10_natural": recall_ivf,
                   "candidate_fraction": round(
                       ivf_n_cand / (n_q * len(ids)), 4)}
+    # The probe knob: doubling nprobe trades candidate fraction for
+    # recall on the SAME index (no retrain, no re-bucketing) — unlike
+    # sign-LSH, where more recall means more tables and a re-shuffle
+    # of every corpus bucket row.
+    np2 = min(IVF_NPROBE * 2, IVF_NLIST)
+    ivf_got2 = {(r["query_id"], r["corpus_id"])
+                for r in similarity.ivf_cosine_topk(
+                    nat_queries, emb, k=k, centroids=ivf_cents,
+                    nprobe=np2)
+                .select("query_id", "corpus_id").collect()}
+    qc2 = similarity._ivf_cells(
+        nat_queries.select(F.col("vec_id").alias("query_id"),
+                           F.col("embedding").cast("array<double>")
+                           .alias("qv")),
+        ivf_cents, "query_id", "qv", np2, "blas")
+    n_cand2 = (qc2.join(cc, "ivf_cid")
+               .filter(F.col("query_id") != F.col("corpus_id")).count())
+    ivf_report["nprobe_x2"] = {
+        "nprobe": np2,
+        "recall_at_10_natural": round(
+            len(ivf_got2 & exact_pairs) / len(exact_pairs), 4),
+        "candidate_fraction": round(n_cand2 / (n_q * len(ids)), 4)}
 
     from pyspark.sql.types import (ArrayType, DoubleType, LongType,
                                    StructField, StructType)

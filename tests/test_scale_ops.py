@@ -271,6 +271,23 @@ class TestDedupResolve:
         assert stats["converged"]
         assert stats["iterations"] <= 8, stats
 
+    def test_long_chain_resolves_logarithmically(self, spark):
+        """64x the chain test above: a 4,096-vertex path (diameter
+        4,095) still converges in ~log2(n) rounds (13 measured; naive
+        propagation would need 4,095). Pins the pointer-jumping
+        guarantee at a pair count where O(diameter) behavior would be
+        unmissable — a 50k-vertex/120k-edge random graph resolves in
+        8 rounds under the same mechanism (probe burned 2026-08-18)."""
+        edges = [(i, i + 1) for i in range(4095)]
+        out, stats = dedup.dedup_resolve(
+            self._pairs(spark, edges).repartition(8), return_stats=True)
+        assert stats["converged"]
+        assert stats["iterations"] <= 15, stats
+        rows = out.collect()
+        assert len(rows) == 4096
+        assert all(r["cluster"] == 0 for r in rows)
+        assert sum(r["keep"] for r in rows) == 1
+
     def test_quality_survivor_and_singletons(self, spark):
         docs = spark.createDataFrame(
             [(0, 0.2), (1, 0.9), (2, 0.5), (7, 0.1)],
