@@ -59,6 +59,12 @@ def _parse(argv):
                    help="parquet dir to append this run's partition metrics")
     p.add_argument("--run-id", default=None,
                    help="stable run id (default: derived from input+snapshot)")
+    p.add_argument("--partition-by", default=None, metavar="COLS",
+                   help="comma-separated low-cardinality columns (e.g. "
+                        "doc_type) to Hive-partition this run's data dir "
+                        "by; the spec lands in the snapshot manifest and "
+                        "doc_type-scoped readers get directory-pruned "
+                        "scans (specs may differ across runs)")
     p.add_argument("--partitions", type=int, default=None,
                    help="extraction partitions (default: 2x parallelism)")
     p.add_argument("--synth-profile", default="cc",
@@ -132,8 +138,11 @@ def main(argv=None, spark=None) -> dict:
     prev = table.current_snapshot()
     run_id = args.run_id or f"run-{(prev['sequence'] if prev else 0) + 1:06d}"
 
-    result = run_with_checkpoint(spark, input_df, args.table, run_id=run_id,
-                                 num_partitions=args.partitions)
+    result = run_with_checkpoint(
+        spark, input_df, args.table, run_id=run_id,
+        num_partitions=args.partitions,
+        partition_by=(args.partition_by.split(",")
+                      if args.partition_by else None))
 
     if args.metrics and result["processed"] > 0:
         out = spark.read.parquet(table.run_dir(run_id))

@@ -10,9 +10,16 @@ needs, shaped so a real Iceberg catalog drops in behind the same API:
     never observe a partial commit
   * readers union only committed dirs -> a crashed run's orphan data
     dir is invisible and simply re-done on resume
-  * resume = LEFT ANTI join of the input on already-committed urls;
+  * resume = LEFT ANTI join of the input on committed urls;
     the url probe reads ONLY the url column (Parquet column pruning
     keeps this cheap even when rows carry multi-MB blobs)
+  * each run may carry a PARTITION SPEC (Iceberg's partition-spec +
+    spec-evolution semantics): the spec is recorded per data dir in
+    the manifest, a doc_type-scoped read prunes whole partition
+    directories at the scan (a 100 TB corpus holds millions of
+    salary-slip files a bank-statement consumer never lists), and a
+    NEW run may commit under a DIFFERENT spec — readers unionByName
+    per-dir, so old data never rewrites when the layout evolves
 """
 
 from __future__ import annotations
@@ -58,16 +65,29 @@ class SnapshotTable:
             return []
         return [os.path.join(self.data_root, d) for d in snap["data_dirs"]]
 
-    def commit(self, run_id: str, rows: int) -> dict:
-        """Commit <root>/data/<run_id> into a new snapshot (atomic rename)."""
+    def partition_specs(self) -> dict[str, list[str]]:
+        """run_id -> partition columns for every committed data dir
+        (absent entries — pre-spec manifests — mean unpartitioned)."""
+        snap = self.current_snapshot()
+        return dict((snap or {}).get("specs", {}))
+
+    def commit(self, run_id: str, rows: int,
+               partition_by: list[str] | None = None) -> dict:
+        """Commit <root>/data/<run_id> into a new snapshot (atomic rename).
+        ``partition_by`` records the dir's partition spec in the
+        manifest — specs may differ across runs (spec evolution)."""
         snap = self.current_snapshot()
         prev_dirs = snap["data_dirs"] if snap else []
         prev_seq = snap["sequence"] if snap else 0
         if run_id in prev_dirs:
             return snap  # already committed: commit is idempotent per run
+        specs = dict((snap or {}).get("specs", {}))
+        if partition_by:
+            specs[run_id] = list(partition_by)
         new = {
             "sequence": prev_seq + 1,
             "data_dirs": prev_dirs + [run_id],
+            "specs": specs,
             "committed_rows": (snap["committed_rows"] if snap else 0) + rows,
             "wall_clock": time.time(),
         }
@@ -86,7 +106,22 @@ class SnapshotTable:
         dirs = self.committed_dirs()
         if not dirs:
             return None
-        return spark.read.parquet(*dirs)
+        specs = self.partition_specs()
+        snap = self.current_snapshot()
+        if not any(specs.get(r) for r in snap["data_dirs"]):
+            # All dirs flat: one multi-path scan (single file listing).
+            return spark.read.parquet(*dirs)
+        # Spec evolution: partition columns live in DIRECTORY names, so
+        # each dir needs its own partition discovery; unionByName
+        # realigns the column order partitionBy moved (partition cols
+        # read back last). Partition pruning still applies per scan —
+        # a doc_type filter skips whole directories of partitioned
+        # dirs and falls back to row-group stats on flat ones.
+        parts = [spark.read.parquet(d) for d in dirs]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def processed_urls(self, spark: SparkSession) -> DataFrame | None:
         df = self.read(spark)
@@ -104,12 +139,20 @@ class SnapshotTable:
 
 
 def run_with_checkpoint(spark: SparkSession, input_df: DataFrame, root: str,
-                        run_id: str, num_partitions: int | None = None) -> dict:
+                        run_id: str, num_partitions: int | None = None,
+                        partition_by: list[str] | None = None) -> dict:
     """One resumable pass: anti-join -> extract -> write -> atomic commit.
 
     Returns {'processed': n, 'snapshot': seq}. A rerun after a crash
     between write and commit redoes only the uncommitted work; a rerun
     after commit processes nothing.
+
+    ``partition_by`` (e.g. ["doc_type"]) lays the run's data dir out
+    Hive-partitioned and records the spec in the manifest: downstream
+    doc_type-scoped reads become directory-pruned scans. Low-
+    cardinality columns only — doc_type is ~7 values, so the dir fans
+    out into at most 7 x num_partitions files, while a high-cardinality
+    spec would shatter the table into per-row files.
     """
     from ..plans.pipeline import run_extraction
 
@@ -126,11 +169,18 @@ def run_with_checkpoint(spark: SparkSession, input_df: DataFrame, root: str,
     extracted = run_extraction(spark, remaining, run_id=run_id,
                                num_partitions=num_partitions)
     out_dir = table.run_dir(run_id)
-    extracted.write.mode("overwrite").parquet(out_dir)
-    n = spark.read.parquet(out_dir).count()
+    writer = extracted.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(out_dir)
+    # Explicit schema on the count-back: a fully-resumed (empty) input
+    # under partitionBy writes NO files at all, and schema inference
+    # on the bare dir would throw where the flat layout returned an
+    # empty frame.
+    n = spark.read.schema(extracted.schema).parquet(out_dir).count()
     if n == 0:
         # Nothing new: don't grow the snapshot chain.
         return {"processed": 0,
                 "snapshot": (table.current_snapshot() or {}).get("sequence", 0)}
-    snap = table.commit(run_id, n)
+    snap = table.commit(run_id, n, partition_by=partition_by)
     return {"processed": n, "snapshot": snap["sequence"]}

@@ -88,3 +88,65 @@ def test_commit_idempotent_per_run(tmp_path):
     assert s1["sequence"] == 1
     assert s2["sequence"] == 1
     assert table.current_snapshot()["committed_rows"] == 10
+
+
+def test_partition_spec_round_trip_and_pruned_scan(spark, tmp_path):
+    """A run committed with partition_by=["doc_type"] lays its data dir
+    out Hive-partitioned: the spec lands in the manifest, the read
+    returns the same rows as a flat run (order-insensitive), resume
+    anti-join still sees its urls, and a doc_type-scoped read LISTS
+    ONLY that partition's files (directory pruning — the 100 TB point
+    of the spec)."""
+    root = str(tmp_path / "tblp")
+    rows = synth.generate_rows(48)
+    r1 = snapshot.run_with_checkpoint(spark, _df(spark, rows), root,
+                                      run_id="p1", num_partitions=2,
+                                      partition_by=["doc_type"])
+    assert r1["processed"] == 48
+    table = snapshot.SnapshotTable(root)
+    assert table.partition_specs() == {"p1": ["doc_type"]}
+
+    final = table.read(spark)
+    assert final.count() == 48
+    assert {r["url"] for r in final.select("url").collect()} \
+        == {r["url"] for r in rows}
+    # doc_type survives as a (partition) column with its values intact.
+    n_types = final.select("doc_type").distinct().count()
+    assert n_types >= 2
+
+    # Directory pruning: one doc_type's scan READS strictly fewer files
+    # (input_file_name reflects post-pruning file access; inputFiles()
+    # would list the whole relation).
+    from pyspark.sql import functions as F
+    one_type = final.select("doc_type").first()["doc_type"]
+    all_files = final.select(F.input_file_name()).distinct().count()
+    pruned_files = (final.filter(final.doc_type == one_type)
+                    .select(F.input_file_name()).distinct().count())
+    assert 0 < pruned_files < all_files
+
+    # Resume still anti-joins on committed urls across the spec.
+    r2 = snapshot.run_with_checkpoint(spark, _df(spark, rows), root,
+                                      run_id="p2", num_partitions=2,
+                                      partition_by=["doc_type"])
+    assert r2["processed"] == 0
+
+
+def test_partition_spec_evolution_unions_old_and_new(spark, tmp_path):
+    """Spec evolution: run 1 commits FLAT, run 2 commits partitioned by
+    doc_type — readers union both layouts by name without rewriting the
+    old dir (Iceberg's spec-evolution contract)."""
+    root = str(tmp_path / "tble")
+    rows = synth.generate_rows(40)
+    snapshot.run_with_checkpoint(spark, _df(spark, rows[:20]), root,
+                                 run_id="flat", num_partitions=2)
+    snapshot.run_with_checkpoint(spark, _df(spark, rows), root,
+                                 run_id="evolved", num_partitions=2,
+                                 partition_by=["doc_type"])
+    table = snapshot.SnapshotTable(root)
+    assert table.partition_specs() == {"evolved": ["doc_type"]}
+    final = table.read(spark)
+    assert final.count() == 40
+    assert {r["url"] for r in final.select("url").collect()} \
+        == {r["url"] for r in rows}
+    # Both layouts contribute and doc_type is non-null everywhere.
+    assert final.filter(final.doc_type.isNull()).count() == 0
