@@ -8,7 +8,7 @@ import sys
 import zipfile
 
 from ocr_spark import job, schemas
-from ocr_spark.sources import synth
+from ocr_spark.sources import snapshot, synth
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -146,7 +146,9 @@ def test_job_quality_filter_reports_counts(spark, tmp_path):
 def test_job_full_curation_chain(spark, tmp_path):
     """The whole curation chain in one run: extraction -> near-dup
     pairs -> resolve/apply -> Gopher quality filter, every stage's
-    counters in the one summary."""
+    counters in the one summary. The snapshot commits PARTITIONED
+    (--partition-by doc_type), so every downstream stage reads through
+    the spec-aware union path."""
     import hashlib
 
     inp = str(tmp_path / "in.parquet")
@@ -181,11 +183,13 @@ def test_job_full_curation_chain(spark, tmp_path):
         .write.parquet(inp)
 
     r = job.main(["--input", inp, "--table", str(tmp_path / "t"),
-                  "--partitions", "2",
+                  "--partitions", "2", "--partition-by", "doc_type",
                   "--neardup", str(tmp_path / "nd"),
                   "--dedup-apply", str(tmp_path / "da"),
                   "--quality-filter", str(tmp_path / "qf")],
                  spark=spark)
+    assert snapshot.SnapshotTable(str(tmp_path / "t")).partition_specs() \
+        == {"run-000001": ["doc_type"]}
     assert r["processed"] == 10
     assert r["neardup"]["pairs"] == 3
     assert r["dedup_apply"] == {"docs": 10, "survivors": 7,
