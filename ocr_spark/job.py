@@ -141,7 +141,8 @@ def main(argv=None, spark=None) -> dict:
     result = run_with_checkpoint(
         spark, input_df, args.table, run_id=run_id,
         num_partitions=args.partitions,
-        partition_by=(args.partition_by.split(",")
+        partition_by=([c.strip() for c in args.partition_by.split(",")
+                       if c.strip()]
                       if args.partition_by else None))
 
     if args.metrics and result["processed"] > 0:
@@ -241,8 +242,13 @@ def main(argv=None, spark=None) -> dict:
             # text, n_lines_removed); re-joining the committed row keeps
             # every metadata column, so {dir}/cleaned has the SAME
             # schema contract as --quality-filter's {dir}/filtered and
-            # downstream curation stages can chain over it.
-            full = committed.drop("extracted_text").join(cleaned, "url")
+            # downstream curation stages can chain over it. The
+            # committed side deduplicates on url first: line_dedup
+            # emits ONE row per url, and a within-run duplicate url in
+            # the snapshot would otherwise fan the cleaned row back out
+            # (duplicate corpus rows + double-counted counters).
+            full = (committed.dropDuplicates(["url"])
+                    .drop("extracted_text").join(cleaned, "url"))
             full.write.mode("overwrite").parquet(
                 f"{args.line_dedup}/cleaned")
             # Counters aggregate from the PERSISTED parquet (the

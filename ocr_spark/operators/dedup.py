@@ -751,7 +751,13 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     cids = (cand.select(F.col("id_a").alias("id"))
             .union(cand.select(F.col("id_b").alias("id")))
             .distinct())
-    doc_sh = base.join(cids, "id").select("id", sh64(F.col("txt")).alias("sh"))
+    # dropDuplicates(id): a duplicated input id would put TWO rows in
+    # doc_sh and the verify joins would fan each of its pairs back out
+    # — the once-per-pair output contract holds even on non-unique
+    # id_col input (which text wins is arbitrary, as is the pair's
+    # membership itself under a duplicated id).
+    doc_sh = (base.join(cids, "id").dropDuplicates(["id"])
+              .select("id", sh64(F.col("txt")).alias("sh")))
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import DoubleType
 

@@ -690,11 +690,17 @@ def ivf_search_index(spark, path: str, queries: DataFrame, centroids,
     # One query-assignment job: the collected (query_id, ivf_cid) rows
     # drive BOTH the partition-prune filter and the probe join (as a
     # driver-local DataFrame) — the earlier form recomputed the
-    # un-cached q_cells lineage a second time as the join side.
-    qc_rows = [(int(r["query_id"]), int(r["ivf_cid"]))
+    # un-cached q_cells lineage a second time as the join side. The
+    # query-id type is carried over from the input (the expr assign
+    # path supports non-integer ids; coercing to long would crash it).
+    from pyspark.sql.types import IntegerType, StructField, StructType
+    qc_rows = [(r["query_id"], int(r["ivf_cid"]))
                for r in _ivf_cells(q, centroids, "query_id", "qv",
                                    nprobe=nprobe, mode=assign_mode).collect()]
-    q_cells = spark.createDataFrame(qc_rows, "query_id long, ivf_cid int")
+    q_cells = spark.createDataFrame(
+        qc_rows, StructType([
+            StructField("query_id", q.schema["query_id"].dataType),
+            StructField("ivf_cid", IntegerType())]))
     cids = sorted({c for _, c in qc_rows})
     idx = (spark.read.parquet(path)
            .filter(F.col("ivf_cid").isin(cids)))

@@ -72,10 +72,16 @@ class SnapshotTable:
         return dict((snap or {}).get("specs", {}))
 
     def commit(self, run_id: str, rows: int,
-               partition_by: list[str] | None = None) -> dict:
+               partition_by: list[str] | None = None,
+               schema_json: str | None = None) -> dict:
         """Commit <root>/data/<run_id> into a new snapshot (atomic rename).
         ``partition_by`` records the dir's partition spec in the
-        manifest — specs may differ across runs (spec evolution)."""
+        manifest — specs may differ across runs (spec evolution).
+        ``schema_json`` records the dir's DataFrame schema (Iceberg
+        manifests carry schemas for the same reason): readers of a
+        partitioned dir use it instead of Hive partition-column type
+        INFERENCE, which would silently turn a string partition value
+        like '0423' into int 423."""
         snap = self.current_snapshot()
         prev_dirs = snap["data_dirs"] if snap else []
         prev_seq = snap["sequence"] if snap else 0
@@ -84,10 +90,14 @@ class SnapshotTable:
         specs = dict((snap or {}).get("specs", {}))
         if partition_by:
             specs[run_id] = list(partition_by)
+        schemas = dict((snap or {}).get("schemas", {}))
+        if schema_json:
+            schemas[run_id] = schema_json
         new = {
             "sequence": prev_seq + 1,
             "data_dirs": prev_dirs + [run_id],
             "specs": specs,
+            "schemas": schemas,
             "committed_rows": (snap["committed_rows"] if snap else 0) + rows,
             "wall_clock": time.time(),
         }
@@ -103,12 +113,19 @@ class SnapshotTable:
     # ---- reads ----
 
     def read(self, spark: SparkSession) -> DataFrame | None:
-        dirs = self.committed_dirs()
-        if not dirs:
-            return None
-        specs = self.partition_specs()
+        # ONE manifest read: dirs/specs/schemas must come from the same
+        # snapshot, or a commit landing mid-call could hand us snapshot
+        # N's dir list with N+1's specs (a newly-partitioned dir would
+        # then scan through the flat branch, missing its partition
+        # column).
         snap = self.current_snapshot()
-        if not any(specs.get(r) for r in snap["data_dirs"]):
+        if snap is None:
+            return None
+        run_ids = snap["data_dirs"]
+        specs = snap.get("specs", {})
+        schemas = snap.get("schemas", {})
+        dirs = [os.path.join(self.data_root, d) for d in run_ids]
+        if not any(specs.get(r) for r in run_ids):
             # All dirs flat: one multi-path scan (single file listing).
             return spark.read.parquet(*dirs)
         # Spec evolution: partition columns live in DIRECTORY names, so
@@ -116,8 +133,17 @@ class SnapshotTable:
         # realigns the column order partitionBy moved (partition cols
         # read back last). Partition pruning still applies per scan —
         # a doc_type filter skips whole directories of partitioned
-        # dirs and falls back to row-group stats on flat ones.
-        parts = [spark.read.parquet(d) for d in dirs]
+        # dirs and falls back to row-group stats on flat ones. The
+        # manifest-recorded schema replaces Hive partition-column type
+        # inference (string '0423' must not come back as int 423).
+        from pyspark.sql.types import StructType
+        parts = []
+        for rid, d in zip(run_ids, dirs):
+            reader = spark.read
+            if rid in schemas:
+                reader = reader.schema(
+                    StructType.fromJson(json.loads(schemas[rid])))
+            parts.append(reader.parquet(d))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -182,5 +208,7 @@ def run_with_checkpoint(spark: SparkSession, input_df: DataFrame, root: str,
         # Nothing new: don't grow the snapshot chain.
         return {"processed": 0,
                 "snapshot": (table.current_snapshot() or {}).get("sequence", 0)}
-    snap = table.commit(run_id, n, partition_by=partition_by)
+    snap = table.commit(run_id, n, partition_by=partition_by,
+                        schema_json=extracted.schema.json()
+                        if partition_by else None)
     return {"processed": n, "snapshot": snap["sequence"]}

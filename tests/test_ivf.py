@@ -139,3 +139,30 @@ class TestIVF:
         q = df.filter(F.col("vec_id") < 0)
         assert similarity.ivf_cosine_topk(q, df, k=3, centroids=cents,
                                           nprobe=2).count() == 0
+
+
+class TestStringIds:
+    def test_disk_index_string_ids_expr_mode(self, spark, tmp_path):
+        """Non-integer ids ride the expr assignment path end to end:
+        index write, probe, and search must preserve the id type (a
+        long coercion would crash at plan construction)."""
+        base = _clustered(spark, n=80, seed=31)
+        df = base.select(F.concat(F.lit("doc-"),
+                                  F.col("vec_id").cast("string"))
+                         .alias("vec_id"), "embedding")
+        cents = similarity.ivf_train(df, nlist=4, train_iters=1)
+        path = str(tmp_path / "ivf_sidx")
+        similarity.ivf_write_index(df, path, cents, assign_mode="expr")
+        q = df.filter(F.col("vec_id").isin(["doc-0", "doc-4"]))
+        got = similarity.ivf_search_index(
+            spark, path, q, cents, k=3, nprobe=2,
+            assign_mode="expr").collect()
+        assert len(got) == 6
+        assert all(isinstance(r["query_id"], str)
+                   and isinstance(r["corpus_id"], str) for r in got)
+        mem = {(r["query_id"], r["rank"], r["corpus_id"])
+               for r in similarity.ivf_cosine_topk(
+                   q, df, k=3, centroids=cents, nprobe=2,
+                   assign_mode="expr").collect()}
+        assert {(r["query_id"], r["rank"], r["corpus_id"])
+                for r in got} == mem

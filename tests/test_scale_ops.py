@@ -79,7 +79,9 @@ class TestDedup:
             ["doc_id", "text"])
         pairs = dedup.ngram_jaccard_pairs(df, threshold=0.5).collect()
         assert all(r["id_a"] < r["id_b"] for r in pairs)
-        assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 1)}
+        # Exactly ONE output row — not just the right set: a duplicated
+        # id must not fan the pair out through the verify joins either.
+        assert [(r["id_a"], r["id_b"]) for r in pairs] == [(0, 1)]
 
     def test_ngram_default_recall_floor(self, spark):
         """The DEFAULT configuration must recover >= 0.9 of planted
