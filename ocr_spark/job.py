@@ -74,6 +74,13 @@ def _parse(argv):
                         "snapshot's extracted_text and write pairs + the "
                         "hot-bucket drop report under this dir")
     p.add_argument("--neardup-max-bucket", type=int, default=1000)
+    p.add_argument("--neardup-method", default="minhash",
+                   choices=["minhash", "simhash", "ngram"],
+                   help="pair generator for --neardup: MinHash-LSH "
+                        "(set-Jaccard, default), SimHash (64-bit "
+                        "fingerprint hamming), or exact n-gram Jaccard "
+                        "with anchor blocking — all emit (id_a, id_b) "
+                        "pairs the same --dedup-apply resolves")
     p.add_argument("--dedup-apply", default=None, metavar="DIR",
                    help="resolve the --neardup pairs to clusters "
                         "(connected components), persist per-url "
@@ -163,16 +170,32 @@ def main(argv=None, spark=None) -> dict:
         from ocr_spark.operators import dedup
         committed = table.read(spark)
         if committed is not None:
-            pairs, report = dedup.minhash_lsh_pairs(
-                committed.select("url", "extracted_text"),
-                text_col="extracted_text", id_col="url",
-                hash_mode="poly", max_bucket=args.neardup_max_bucket,
-                return_report=True)
+            # Any of the three text-side pair generators feeds the same
+            # pairs/resolve/apply tail — they share the (id_a, id_b)
+            # contract and the one-row bucket_report shape.
+            generators = {
+                "minhash": lambda d: dedup.minhash_lsh_pairs(
+                    d, text_col="extracted_text", id_col="url",
+                    hash_mode="poly",
+                    max_bucket=args.neardup_max_bucket,
+                    return_report=True),
+                "simhash": lambda d: dedup.simhash_pairs(
+                    d, text_col="extracted_text", id_col="url",
+                    max_bucket=args.neardup_max_bucket,
+                    return_report=True),
+                "ngram": lambda d: dedup.ngram_jaccard_pairs(
+                    d, text_col="extracted_text", id_col="url",
+                    max_bucket=args.neardup_max_bucket,
+                    return_report=True),
+            }
+            pairs, report = generators[args.neardup_method](
+                committed.select("url", "extracted_text"))
             pairs.write.mode("overwrite").parquet(f"{args.neardup}/pairs")
             report.write.mode("overwrite").parquet(
                 f"{args.neardup}/bucket_report")
             rep = spark.read.parquet(f"{args.neardup}/bucket_report").first()
             summary["neardup"] = {
+                "method": args.neardup_method,
                 "pairs": spark.read.parquet(f"{args.neardup}/pairs").count(),
                 **{k: int(rep[k]) for k in
                    ("n_buckets", "max_bucket_size", "n_hot_buckets",

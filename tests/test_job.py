@@ -263,3 +263,32 @@ def test_job_via_spark_submit(tmp_path):
     summary = json.loads(lines[-1])
     assert summary["processed"] == 64
     assert os.path.isdir(os.path.join(table, "snapshots"))
+
+
+def test_job_neardup_method_switch(spark, tmp_path):
+    """--neardup-method routes the same pairs/resolve/apply tail
+    through SimHash or n-gram Jaccard instead of MinHash: an exact
+    duplicate pair surfaces under every generator."""
+    import hashlib
+
+    body = " ".join(hashlib.md5(f"nm:{j}".encode()).hexdigest()
+                    for j in range(6))
+    other = " ".join(hashlib.md5(f"xx:{j}".encode()).hexdigest()
+                     for j in range(6))
+    rows = [(f"https://cc.synth.local/app{i}/salary_slip/{i}.png", None,
+             None, t, "en", None)
+            for i, t in enumerate([body, body, other])]
+    for method in ("simhash", "ngram"):
+        inp = str(tmp_path / f"in_{method}.parquet")
+        spark.createDataFrame(rows, schema=schemas.INPUT_SCHEMA)\
+            .write.parquet(inp)
+        r = job.main(["--input", inp,
+                      "--table", str(tmp_path / f"t_{method}"),
+                      "--partitions", "2",
+                      "--neardup", str(tmp_path / f"nd_{method}"),
+                      "--neardup-method", method,
+                      "--dedup-apply", str(tmp_path / f"da_{method}")],
+                     spark=spark)
+        assert r["neardup"]["method"] == method
+        assert r["neardup"]["pairs"] == 1, (method, r["neardup"])
+        assert r["dedup_apply"]["survivors"] == 2, (method, r)
