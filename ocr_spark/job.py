@@ -27,6 +27,9 @@ actually SHRINKS the corpus.
 --quality-filter <dir> applies the Gopher repetition thresholds
 (duplicate-line fraction, top-bigram character mass) to the committed
 snapshot, persisting the per-url signals and the filtered corpus.
+--lang-filter <dir> keeps only documents whose detected language
+(script vote, then Latin stopword vote) is in --lang-keep, persisting
+the per-url signals and the filtered corpus.
 --line-dedup <dir> removes corpus-level boilerplate lines (a trimmed
 line shared by more than 5 distinct documents) from every document,
 persisting the cleaned corpus with per-document removal counts.
@@ -92,6 +95,15 @@ def _parse(argv):
                         "committed snapshot's extracted_text; persist "
                         "the per-url signals + the filtered corpus "
                         "under DIR and report kept/dropped counts")
+    p.add_argument("--lang-filter", default=None, metavar="DIR",
+                   help="keep only documents whose detected language "
+                        "(textstats.lang_id over the extracted text: "
+                        "unicode-script vote, then Latin stopword vote) "
+                        "is in --lang-keep; persists per-url signals "
+                        "and the filtered corpus under DIR")
+    p.add_argument("--lang-keep", default="en",
+                   help="comma-separated language codes --lang-filter "
+                        "keeps (default: en)")
     p.add_argument("--line-dedup", default=None, metavar="DIR",
                    help="remove corpus-level boilerplate lines "
                         "(textstats.line_dedup, CCNet-style) from the "
@@ -247,6 +259,38 @@ def main(argv=None, spark=None) -> dict:
                 f"{args.quality_filter}/filtered").count()
             summary["quality_filter"] = {
                 "docs": n_docs, "kept": n_kept,
+                "dropped": n_docs - n_kept}
+
+    if args.lang_filter:
+        # Language gate (the standard first curation stage of a webtext
+        # pipeline — CCNet/Gopher both lead with it): per-url signals
+        # persist next to the filtered corpus so a dropped page is
+        # always explainable, same contract as --quality-filter.
+        from pyspark.sql import functions as F
+
+        from ocr_spark.operators import textstats
+        committed = table.read(spark)
+        if committed is not None:
+            keep_langs = [c.strip() for c in args.lang_keep.split(",")
+                          if c.strip()]
+            signals = committed.select(
+                "url",
+                textstats.lang_id(F.coalesce(F.col("extracted_text"),
+                                             F.lit("")))
+                .alias("lang_guess"))
+            signals.write.mode("overwrite").parquet(
+                f"{args.lang_filter}/signals")
+            signals = spark.read.parquet(f"{args.lang_filter}/signals")
+            kept = committed.join(
+                signals.filter(F.col("lang_guess").isin(keep_langs))
+                .select("url"), on="url", how="left_semi")
+            kept.write.mode("overwrite").parquet(
+                f"{args.lang_filter}/filtered")
+            n_docs = committed.count()
+            n_kept = spark.read.parquet(
+                f"{args.lang_filter}/filtered").count()
+            summary["lang_filter"] = {
+                "keep": keep_langs, "docs": n_docs, "kept": n_kept,
                 "dropped": n_docs - n_kept}
 
     if args.line_dedup:

@@ -292,3 +292,35 @@ def test_job_neardup_method_switch(spark, tmp_path):
         assert r["neardup"]["method"] == method
         assert r["neardup"]["pairs"] == 1, (method, r["neardup"])
         assert r["dedup_apply"]["survivors"] == 2, (method, r)
+
+
+def test_job_lang_filter_keeps_target_languages(spark, tmp_path):
+    """--lang-filter drops the French and Cyrillic pages, keeps the
+    English ones, and persists per-url signals next to the filtered
+    corpus."""
+    en = ("the quick brown fox jumps over the lazy dog and the calm "
+          "river flows to the sea with all of the morning light")
+    fr = ("le chat noir et la souris grise sont dans le jardin de la "
+          "maison avec les fleurs et les arbres du printemps")
+    ru = "северный ветер дует над широкой рекой и тихим лесом каждое утро"
+    rows = [(f"https://cc.synth.local/app{i}/salary_slip/{i}.png", None,
+             None, t, "en", None)
+            for i, t in enumerate([en, en, fr, ru])]
+    inp = str(tmp_path / "in.parquet")
+    spark.createDataFrame(rows, schema=schemas.INPUT_SCHEMA)\
+        .write.parquet(inp)
+    lf = str(tmp_path / "lf")
+    r = job.main(["--input", inp, "--table", str(tmp_path / "t"),
+                  "--partitions", "2", "--lang-filter", lf], spark=spark)
+    assert r["lang_filter"] == {"keep": ["en"], "docs": 4, "kept": 2,
+                                "dropped": 2}
+    assert spark.read.parquet(f"{lf}/filtered").count() == 2
+    sig = {row["lang_guess"]
+           for row in spark.read.parquet(f"{lf}/signals").collect()}
+    assert "en" in sig and "ru" in sig
+    # Multi-language keep widens the gate.
+    lf2 = str(tmp_path / "lf2")
+    r2 = job.main(["--input", inp, "--table", str(tmp_path / "t2"),
+                   "--partitions", "2", "--lang-filter", lf2,
+                   "--lang-keep", "en, fr"], spark=spark)
+    assert r2["lang_filter"]["kept"] == 3
