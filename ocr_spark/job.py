@@ -78,12 +78,17 @@ def _parse(argv):
                         "hot-bucket drop report under this dir")
     p.add_argument("--neardup-max-bucket", type=int, default=1000)
     p.add_argument("--neardup-method", default="minhash",
-                   choices=["minhash", "simhash", "ngram"],
+                   choices=["minhash", "simhash", "ngram", "embedding"],
                    help="pair generator for --neardup: MinHash-LSH "
                         "(set-Jaccard, default), SimHash (64-bit "
-                        "fingerprint hamming), or exact n-gram Jaccard "
-                        "with anchor blocking — all emit (id_a, id_b) "
+                        "fingerprint hamming), exact n-gram Jaccard "
+                        "with anchor blocking, or embedding-cosine LSH "
+                        "(needs --embeddings) — all emit (id_a, id_b) "
                         "pairs the same --dedup-apply resolves")
+    p.add_argument("--embeddings", default=None, metavar="PATH",
+                   help="parquet of (url, embedding) rows for "
+                        "--neardup-method embedding; rows are "
+                        "semi-joined to the committed snapshot's urls")
     p.add_argument("--dedup-apply", default=None, metavar="DIR",
                    help="resolve the --neardup pairs to clusters "
                         "(connected components), persist per-url "
@@ -114,6 +119,9 @@ def _parse(argv):
     if args.dedup_apply and not args.neardup:
         p.error("--dedup-apply requires --neardup (it resolves the "
                 "pairs that stage persists)")
+    if args.neardup_method == "embedding" and not args.embeddings:
+        p.error("--neardup-method embedding requires --embeddings "
+                "(the snapshot carries no vectors)")
     return args
 
 
@@ -185,6 +193,18 @@ def main(argv=None, spark=None) -> dict:
             # Any of the three text-side pair generators feeds the same
             # pairs/resolve/apply tail — they share the (id_a, id_b)
             # contract and the one-row bucket_report shape.
+            def _embedding_pairs(d):
+                # The committed snapshot carries no vectors; an
+                # embeddings sidecar table joins in by url (semi-join so
+                # uncommitted or stale vectors never create pairs).
+                from ocr_spark.operators import similarity
+                emb = (spark.read.parquet(args.embeddings)
+                       .join(d.select("url"), "url", "left_semi"))
+                return similarity.embedding_near_dup_pairs(
+                    emb, id_col="url", vec_col="embedding",
+                    max_bucket=args.neardup_max_bucket,
+                    return_report=True)
+
             generators = {
                 "minhash": lambda d: dedup.minhash_lsh_pairs(
                     d, text_col="extracted_text", id_col="url",
@@ -199,6 +219,7 @@ def main(argv=None, spark=None) -> dict:
                     d, text_col="extracted_text", id_col="url",
                     max_bucket=args.neardup_max_bucket,
                     return_report=True),
+                "embedding": _embedding_pairs,
             }
             pairs, report = generators[args.neardup_method](
                 committed.select("url", "extracted_text"))

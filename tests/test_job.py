@@ -324,3 +324,43 @@ def test_job_lang_filter_keeps_target_languages(spark, tmp_path):
                    "--partitions", "2", "--lang-filter", lf2,
                    "--lang-keep", "en, fr"], spark=spark)
     assert r2["lang_filter"]["kept"] == 3
+
+
+def test_job_neardup_embedding_method(spark, tmp_path):
+    """--neardup-method embedding joins a (url, embedding) sidecar
+    table to the committed urls and feeds cosine near-dup pairs into
+    the same resolve/apply tail; omitting --embeddings is a usage
+    error."""
+    import pytest
+
+    urls = [f"https://cc.synth.local/app{i}/salary_slip/{i}.png"
+            for i in range(3)]
+    rows = [(u, None, None, f"doc body {i}", "en", None)
+            for i, u in enumerate(urls)]
+    inp = str(tmp_path / "in.parquet")
+    spark.createDataFrame(rows, schema=schemas.INPUT_SCHEMA)\
+        .write.parquet(inp)
+    # urls 0 and 1 nearly parallel (cos > 0.95); url 2 orthogonal.
+    emb = str(tmp_path / "emb.parquet")
+    spark.createDataFrame(
+        [(urls[0], [1.0, 0.0, 0.01]), (urls[1], [1.0, 0.02, 0.0]),
+         (urls[2], [0.0, 1.0, 0.0]),
+         ("https://not-committed.example/x", [1.0, 0.0, 0.0])],
+        ["url", "embedding"]).write.parquet(emb)
+
+    nd, da = str(tmp_path / "nd"), str(tmp_path / "da")
+    r = job.main(["--input", inp, "--table", str(tmp_path / "t"),
+                  "--partitions", "2",
+                  "--neardup", nd, "--neardup-method", "embedding",
+                  "--embeddings", emb, "--dedup-apply", da], spark=spark)
+    assert r["neardup"]["method"] == "embedding"
+    assert r["neardup"]["pairs"] == 1
+    got = spark.read.parquet(f"{nd}/pairs").first()
+    assert {got["id_a"], got["id_b"]} == {urls[0], urls[1]}
+    # The uncommitted url never pairs (semi-join gate).
+    assert r["dedup_apply"] == {"docs": 3, "survivors": 2,
+                                "dropped": 1, "clusters": 2}
+
+    with pytest.raises(SystemExit):
+        job._parse(["--synth", "4", "--table", str(tmp_path / "t2"),
+                    "--neardup", nd, "--neardup-method", "embedding"])
