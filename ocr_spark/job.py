@@ -119,9 +119,28 @@ def _parse(argv):
     if args.dedup_apply and not args.neardup:
         p.error("--dedup-apply requires --neardup (it resolves the "
                 "pairs that stage persists)")
-    if args.neardup_method == "embedding" and not args.embeddings:
+    if not args.neardup:
+        # A method/sidecar without the stage would be silently ignored
+        # — same dependency rule as --dedup-apply above.
+        if args.neardup_method != "minhash":
+            p.error("--neardup-method requires --neardup")
+        if args.embeddings:
+            p.error("--embeddings requires --neardup with "
+                    "--neardup-method embedding")
+    elif args.neardup_method == "embedding" and not args.embeddings:
         p.error("--neardup-method embedding requires --embeddings "
                 "(the snapshot carries no vectors)")
+    if args.lang_filter:
+        from ocr_spark.operators import textstats
+        known = (set(textstats.LANG_STOPWORDS)
+                 | set(textstats.SCRIPT_RANGES) | {"und"})
+        keep = [c.strip() for c in args.lang_keep.split(",") if c.strip()]
+        bad = [c for c in keep if c not in known]
+        if not keep or bad:
+            p.error(f"--lang-keep must name lang_id codes "
+                    f"({', '.join(sorted(known))}); got "
+                    f"{bad or '(empty)'} — an unmatched gate would "
+                    f"silently delete the whole corpus")
     return args
 
 
@@ -193,13 +212,23 @@ def main(argv=None, spark=None) -> dict:
             # Any of the three text-side pair generators feeds the same
             # pairs/resolve/apply tail — they share the (id_a, id_b)
             # contract and the one-row bucket_report shape.
+            coverage = {}
+
             def _embedding_pairs(d):
                 # The committed snapshot carries no vectors; an
                 # embeddings sidecar table joins in by url (semi-join so
-                # uncommitted or stale vectors never create pairs).
+                # uncommitted or stale vectors never create pairs; one
+                # row per url so an append-built sidecar can't fan
+                # pairs out). Coverage is counted: docs the sidecar
+                # MISSES can never pair, and a silent gap would violate
+                # this stage's never-silent contract.
                 from ocr_spark.operators import similarity
                 emb = (spark.read.parquet(args.embeddings)
+                       .dropDuplicates(["url"])
                        .join(d.select("url"), "url", "left_semi"))
+                coverage["docs_with_embeddings"] = emb.count()
+                coverage["docs_missing_embeddings"] = (
+                    d.count() - coverage["docs_with_embeddings"])
                 return similarity.embedding_near_dup_pairs(
                     emb, id_col="url", vec_col="embedding",
                     max_bucket=args.neardup_max_bucket,
@@ -230,6 +259,7 @@ def main(argv=None, spark=None) -> dict:
             summary["neardup"] = {
                 "method": args.neardup_method,
                 "pairs": spark.read.parquet(f"{args.neardup}/pairs").count(),
+                **coverage,
                 **{k: int(rep[k]) for k in
                    ("n_buckets", "max_bucket_size", "n_hot_buckets",
                     "rows_dropped", "max_bucket")}}

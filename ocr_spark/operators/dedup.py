@@ -49,11 +49,17 @@ def bucket_report(df: DataFrame, keys: list[str],
     log this next to the pair output — silent truncation is an
     anti-pattern (a capped run must say what it capped)."""
     per = df.groupBy(*keys).agg(F.count("*").alias("n"))
+    # coalesce(0): over an EMPTY bucket frame (e.g. a near-dup pass on
+    # zero matched rows) max/sum aggregate to NULL and consumers that
+    # int() the counters would crash after the pair output was already
+    # persisted — an empty run reports zeros, not nulls.
     return per.agg(
         F.count("*").alias("n_buckets"),
-        F.max("n").alias("max_bucket_size"),
-        F.sum(F.when(F.col("n") > max_bucket, 1).otherwise(0)).alias("n_hot_buckets"),
-        F.sum(F.when(F.col("n") > max_bucket, F.col("n")).otherwise(0)).alias("rows_dropped"),
+        F.coalesce(F.max("n"), F.lit(0)).alias("max_bucket_size"),
+        F.coalesce(F.sum(F.when(F.col("n") > max_bucket, 1).otherwise(0)),
+                   F.lit(0)).alias("n_hot_buckets"),
+        F.coalesce(F.sum(F.when(F.col("n") > max_bucket, F.col("n"))
+                         .otherwise(0)), F.lit(0)).alias("rows_dropped"),
         F.lit(max_bucket).alias("max_bucket"))
 
 

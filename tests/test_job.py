@@ -355,6 +355,9 @@ def test_job_neardup_embedding_method(spark, tmp_path):
                   "--embeddings", emb, "--dedup-apply", da], spark=spark)
     assert r["neardup"]["method"] == "embedding"
     assert r["neardup"]["pairs"] == 1
+    # Coverage is never silent: all 3 committed docs had vectors.
+    assert r["neardup"]["docs_with_embeddings"] == 3
+    assert r["neardup"]["docs_missing_embeddings"] == 0
     got = spark.read.parquet(f"{nd}/pairs").first()
     assert {got["id_a"], got["id_b"]} == {urls[0], urls[1]}
     # The uncommitted url never pairs (semi-join gate).
@@ -364,3 +367,29 @@ def test_job_neardup_embedding_method(spark, tmp_path):
     with pytest.raises(SystemExit):
         job._parse(["--synth", "4", "--table", str(tmp_path / "t2"),
                     "--neardup", nd, "--neardup-method", "embedding"])
+
+
+def test_job_flag_dependency_and_lang_keep_validation(tmp_path):
+    """Orphaned stage flags and unknown --lang-keep codes are usage
+    errors at parse time, not silent no-ops or corpus deletions."""
+    import pytest
+
+    t = str(tmp_path / "t")
+    with pytest.raises(SystemExit):  # method without the stage
+        job._parse(["--synth", "4", "--table", t,
+                    "--neardup-method", "simhash"])
+    with pytest.raises(SystemExit):  # sidecar without the stage
+        job._parse(["--synth", "4", "--table", t,
+                    "--embeddings", str(tmp_path / "e.parquet")])
+    with pytest.raises(SystemExit):  # unknown language code
+        job._parse(["--synth", "4", "--table", t,
+                    "--lang-filter", str(tmp_path / "lf"),
+                    "--lang-keep", "english"])
+    with pytest.raises(SystemExit):  # empty gate would drop everything
+        job._parse(["--synth", "4", "--table", t,
+                    "--lang-filter", str(tmp_path / "lf"),
+                    "--lang-keep", " , "])
+    args = job._parse(["--synth", "4", "--table", t,
+                       "--lang-filter", str(tmp_path / "lf"),
+                       "--lang-keep", "en,ru"])
+    assert args.lang_keep == "en,ru"
