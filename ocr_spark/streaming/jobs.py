@@ -13,6 +13,7 @@ files idempotent.
 from __future__ import annotations
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from .. import schemas
 from ..sources.snapshot import SnapshotTable, run_with_checkpoint
@@ -45,4 +46,59 @@ def stream_extract(spark: SparkSession, input_dir: str, table_root: str,
         q = writer.trigger(availableNow=True).start()
         q.awaitTermination()
         return SnapshotTable(table_root)
+    return writer.start()
+
+
+def stream_exact_dedup(spark: SparkSession, input_dir: str, out_dir: str,
+                       checkpoint_dir: str, available_now: bool = True,
+                       watermark_delay: str | None = None):
+    """Dedup-on-ingest: exact near-line dedup ACROSS micro-batches via
+    Spark's built-in stateful streaming dropDuplicates — the first
+    occurrence of each normalized-text hash flows through, every later
+    redelivery (same batch or any later one) is dropped by the state
+    store.
+
+    Spark-first shape: no custom state handling — ``dropDuplicates`` on
+    a streaming DataFrame keeps one state-store entry per distinct key
+    (here a 128-bit content hash, so state is ~16 bytes x distinct docs
+    regardless of document size; at corpus scale back the store with
+    RocksDB via spark.sql.streaming.stateStore.providerClass). With
+    ``watermark_delay`` set (e.g. "24 hours") the key space is bounded:
+    rows carry their ``warc_ts`` event time and
+    ``dropDuplicatesWithinWatermark`` evicts state older than the
+    delay — the standard trade (bounded state, duplicates further
+    apart than the horizon pass through). Without it, state grows with
+    distinct docs — right for bounded backfills, documented cost for
+    unbounded streams.
+
+    The hash is the SAME expression as the batch ``exact_dedup``
+    (md5 over whitespace-normalized lowercased text), so a streaming
+    ingest dedups identically to a batch pass over the same files.
+    """
+    from ..operators.dedup import normalize_text
+
+    stream = (
+        spark.readStream.schema(schemas.INPUT_SCHEMA)
+        .option("maxFilesPerTrigger", 2)  # forces multi-batch state use
+        .parquet(input_dir)
+        .withColumn("content_hash",
+                    F.md5(normalize_text(F.coalesce(F.col("text"),
+                                                    F.lit("")))
+                          .cast("binary")))
+    )
+    if watermark_delay is not None:
+        deduped = (stream.withWatermark("warc_ts", watermark_delay)
+                   .dropDuplicatesWithinWatermark(["content_hash"]))
+    else:
+        deduped = stream.dropDuplicates(["content_hash"])
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return spark.read.parquet(out_dir)
     return writer.start()

@@ -834,3 +834,57 @@ class TestStreaming:
         table2 = stream_extract(spark, in_dir, str(tmp_path / "wtbl"),
                                 str(tmp_path / "wckpt"))
         assert table2.read(spark).count() == 18
+
+    def test_stream_exact_dedup_across_microbatches(self, spark, tmp_path):
+        """Stateful streaming dedup: duplicates landing in DIFFERENT
+        micro-batches (maxFilesPerTrigger=2 over 4 files) are dropped
+        by the state store, first occurrence wins, batch-identical
+        hash semantics."""
+        import datetime as dt
+
+        from ocr_spark import schemas
+        from ocr_spark.streaming.jobs import stream_exact_dedup
+
+        in_dir = str(tmp_path / "sd_in")
+        ts = dt.datetime(2026, 3, 1)
+        texts = ["alpha doc body", "beta doc body",
+                 "ALPHA   doc body",  # normalizes equal to file 1's
+                 "gamma doc body"]
+        for i, t in enumerate(texts):
+            spark.createDataFrame(
+                [(f"https://s.local/{i}", ts, None, t, "en", None)],
+                schema=schemas.INPUT_SCHEMA
+            ).coalesce(1).write.mode("append").parquet(in_dir)
+
+        out = stream_exact_dedup(spark, in_dir, str(tmp_path / "sd_out"),
+                                 str(tmp_path / "sd_ck"))
+        rows = out.collect()
+        assert len(rows) == 3  # the normalized duplicate is dropped
+        hashes = [r["content_hash"] for r in rows]
+        assert len(set(hashes)) == 3
+        # Batch parity: the same hash expression as exact_dedup.
+        from ocr_spark.operators.dedup import exact_dedup
+        batch = exact_dedup(
+            spark.read.schema(schemas.INPUT_SCHEMA).parquet(in_dir)
+            .select("url", "text"), text_col="text", id_col="url")
+        assert {r["content_hash"] for r in batch.collect()} == set(hashes)
+
+    def test_stream_exact_dedup_watermark_bounded(self, spark, tmp_path):
+        """The watermark variant still dedups duplicates within the
+        horizon (state stays bounded by eviction)."""
+        import datetime as dt
+
+        from ocr_spark import schemas
+        from ocr_spark.streaming.jobs import stream_exact_dedup
+
+        in_dir = str(tmp_path / "sw_in")
+        ts = dt.datetime(2026, 3, 1)
+        for i, t in enumerate(["same body", "same body", "other body"]):
+            spark.createDataFrame(
+                [(f"https://w.local/{i}", ts, None, t, "en", None)],
+                schema=schemas.INPUT_SCHEMA
+            ).coalesce(1).write.mode("append").parquet(in_dir)
+        out = stream_exact_dedup(spark, in_dir, str(tmp_path / "sw_out"),
+                                 str(tmp_path / "sw_ck"),
+                                 watermark_delay="1 hour")
+        assert out.count() == 2
