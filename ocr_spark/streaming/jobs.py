@@ -51,12 +51,15 @@ def stream_extract(spark: SparkSession, input_dir: str, table_root: str,
 
 def stream_exact_dedup(spark: SparkSession, input_dir: str, out_dir: str,
                        checkpoint_dir: str, available_now: bool = True,
-                       watermark_delay: str | None = None):
-    """Dedup-on-ingest: exact near-line dedup ACROSS micro-batches via
-    Spark's built-in stateful streaming dropDuplicates — the first
-    occurrence of each normalized-text hash flows through, every later
-    redelivery (same batch or any later one) is dropped by the state
-    store.
+                       watermark_delay: str | None = None,
+                       max_files_per_trigger: int | None = None):
+    """Dedup-on-ingest: exact dedup ACROSS micro-batches via Spark's
+    built-in stateful streaming dropDuplicates — one occurrence of each
+    content hash flows through, every redelivery in a LATER micro-batch
+    is dropped by the state store. (Within one micro-batch the surviving
+    row is whichever Spark sees first — content-level dedup matches the
+    batch operator exactly, row-level survivor choice does not carry
+    batch ``exact_dedup``'s deterministic min-id rule.)
 
     Spark-first shape: no custom state handling — ``dropDuplicates`` on
     a streaming DataFrame keeps one state-store entry per distinct key
@@ -67,28 +70,33 @@ def stream_exact_dedup(spark: SparkSession, input_dir: str, out_dir: str,
     rows carry their ``warc_ts`` event time and
     ``dropDuplicatesWithinWatermark`` evicts state older than the
     delay — the standard trade (bounded state, duplicates further
-    apart than the horizon pass through). Without it, state grows with
-    distinct docs — right for bounded backfills, documented cost for
-    unbounded streams.
+    apart than the horizon pass through). Rows with NULL ``warc_ts``
+    are assigned the processing time as their event time (a NULL would
+    otherwise be silently DELETED by the watermark comparison, not
+    passed through). Without a watermark, state grows with distinct
+    docs — right for bounded backfills, documented cost for unbounded
+    streams.
 
-    The hash is the SAME expression as the batch ``exact_dedup``
-    (md5 over whitespace-normalized lowercased text), so a streaming
-    ingest dedups identically to a batch pass over the same files.
+    The hash is ``textstats.fingerprint`` — the SAME expression batch
+    ``exact_dedup`` groups on (md5 over whitespace-normalized lowercased
+    text; NULL text hashes NULL, and NULL keys group together in both
+    engines' semantics) — so a streaming ingest keeps exactly the
+    content set a batch pass over the same files would.
     """
-    from ..operators.dedup import normalize_text
+    from ..operators.textstats import fingerprint
 
-    stream = (
-        spark.readStream.schema(schemas.INPUT_SCHEMA)
-        .option("maxFilesPerTrigger", 2)  # forces multi-batch state use
-        .parquet(input_dir)
-        .withColumn("content_hash",
-                    F.md5(normalize_text(F.coalesce(F.col("text"),
-                                                    F.lit("")))
-                          .cast("binary")))
-    )
+    reader = spark.readStream.schema(schemas.INPUT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = (reader.parquet(input_dir)
+              .withColumn("content_hash", fingerprint(F.col("text"))))
     if watermark_delay is not None:
-        deduped = (stream.withWatermark("warc_ts", watermark_delay)
-                   .dropDuplicatesWithinWatermark(["content_hash"]))
+        deduped = (stream
+                   .withColumn("_evt", F.coalesce(F.col("warc_ts"),
+                                                  F.current_timestamp()))
+                   .withWatermark("_evt", watermark_delay)
+                   .dropDuplicatesWithinWatermark(["content_hash"])
+                   .drop("_evt"))
     else:
         deduped = stream.dropDuplicates(["content_hash"])
     writer = (
@@ -100,5 +108,12 @@ def stream_exact_dedup(spark: SparkSession, input_dir: str, out_dir: str,
     if available_now:
         q = writer.trigger(availableNow=True).start()
         q.awaitTermination()
-        return spark.read.parquet(out_dir)
+        # Explicit schema: a no-op drain (nothing new under the
+        # checkpoint) writes no files, and inference on the bare/absent
+        # sink would throw where an empty frame is the right answer.
+        out_schema = deduped.schema
+        import os as _os
+        if not _os.path.isdir(out_dir):
+            return spark.createDataFrame([], out_schema)
+        return spark.read.schema(out_schema).parquet(out_dir)
     return writer.start()

@@ -857,7 +857,8 @@ class TestStreaming:
             ).coalesce(1).write.mode("append").parquet(in_dir)
 
         out = stream_exact_dedup(spark, in_dir, str(tmp_path / "sd_out"),
-                                 str(tmp_path / "sd_ck"))
+                                 str(tmp_path / "sd_ck"),
+                                 max_files_per_trigger=2)
         rows = out.collect()
         assert len(rows) == 3  # the normalized duplicate is dropped
         hashes = [r["content_hash"] for r in rows]
@@ -869,6 +870,37 @@ class TestStreaming:
             .select("url", "text"), text_col="text", id_col="url")
         assert {r["content_hash"] for r in batch.collect()} == set(hashes)
 
+        # A no-op drain (checkpoint already covers every file) returns
+        # an empty frame rather than crashing on the unread sink.
+        again = stream_exact_dedup(spark, in_dir,
+                                   str(tmp_path / "sd_out2"),
+                                   str(tmp_path / "sd_ck"),  # same ckpt
+                                   max_files_per_trigger=2)
+        assert again.count() == 0
+
+    def test_stream_exact_dedup_null_text_parity(self, spark, tmp_path):
+        """NULL text and empty text are DIFFERENT dedup groups, exactly
+        as in batch exact_dedup (NULL hashes NULL; NULL keys group
+        together): one NULL-text survivor + one ''-text survivor."""
+        import datetime as dt
+
+        from ocr_spark import schemas
+        from ocr_spark.streaming.jobs import stream_exact_dedup
+
+        in_dir = str(tmp_path / "sn_in")
+        ts = dt.datetime(2026, 3, 1)
+        spark.createDataFrame(
+            [("https://n.local/0", ts, None, None, "en", None),
+             ("https://n.local/1", ts, None, None, "en", None),
+             ("https://n.local/2", ts, None, "", "en", None)],
+            schema=schemas.INPUT_SCHEMA
+        ).coalesce(1).write.parquet(in_dir)
+        out = stream_exact_dedup(spark, in_dir, str(tmp_path / "sn_out"),
+                                 str(tmp_path / "sn_ck"))
+        rows = out.collect()
+        assert len(rows) == 2
+        assert {r["text"] for r in rows} == {None, ""}
+
     def test_stream_exact_dedup_watermark_bounded(self, spark, tmp_path):
         """The watermark variant still dedups duplicates within the
         horizon (state stays bounded by eviction)."""
@@ -879,12 +911,21 @@ class TestStreaming:
 
         in_dir = str(tmp_path / "sw_in")
         ts = dt.datetime(2026, 3, 1)
-        for i, t in enumerate(["same body", "same body", "other body"]):
-            spark.createDataFrame(
-                [(f"https://w.local/{i}", ts, None, t, "en", None)],
-                schema=schemas.INPUT_SCHEMA
-            ).coalesce(1).write.mode("append").parquet(in_dir)
+        # The fourth row has NULL warc_ts: it must still flow through
+        # (assigned processing time), never be watermark-deleted.
+        rows = [("https://w.local/0", ts, None, "same body", "en", None),
+                ("https://w.local/1", ts, None, "same body", "en", None),
+                ("https://w.local/2", ts, None, "other body", "en", None),
+                ("https://w.local/3", None, None, "null ts body", "en",
+                 None)]
+        for r in rows:
+            spark.createDataFrame([r], schema=schemas.INPUT_SCHEMA)\
+                .coalesce(1).write.mode("append").parquet(in_dir)
         out = stream_exact_dedup(spark, in_dir, str(tmp_path / "sw_out"),
                                  str(tmp_path / "sw_ck"),
                                  watermark_delay="1 hour")
-        assert out.count() == 2
+        got = out.collect()
+        assert len(got) == 3
+        assert "_evt" not in out.columns
+        assert {r["text"] for r in got} == {"same body", "other body",
+                                            "null ts body"}
