@@ -34,6 +34,17 @@ the per-url signals and the filtered corpus.
 line shared by more than 5 distinct documents) from every document,
 persisting the cleaned corpus with per-document removal counts.
 
+Catalog maintenance (each may run alone — no input source needed — or
+after an ingest pass in the same invocation):
+--rollback <seq> moves the table head back to snapshot <seq> (a new
+replicating snapshot; the undone runs' urls become uncommitted and the
+next pass re-extracts them). Runs BEFORE the ingest pass.
+--compact rewrites the accrued per-run data dirs into one sized dir
+behind a replace-snapshot (same rows, fewer files — the long-lived
+ingest's file-listing fix). Runs AFTER ingest + curation.
+--expire-keep <n> drops all but the newest n manifests and reclaims
+data dirs referenced only by expired history. Runs last.
+
 Configuration (shuffle partitions, AQE, Arrow batch size, memory)
 comes from spark-submit --conf on a real cluster; launched standalone
 (python ocr_spark/job.py) it falls back to the local build_session
@@ -49,7 +60,7 @@ import sys
 
 def _parse(argv):
     p = argparse.ArgumentParser(description="ocr_spark batch extraction job")
-    src = p.add_mutually_exclusive_group(required=True)
+    src = p.add_mutually_exclusive_group(required=False)
     src.add_argument("--input", help="input parquet path (north-rule schema)")
     src.add_argument("--warc", help="WARC/WET segment dir or glob: parse "
                                     "Common-Crawl container records into "
@@ -115,7 +126,34 @@ def _parse(argv):
                         "committed snapshot's extracted_text; persist "
                         "the cleaned corpus under DIR and report the "
                         "removal counters")
+    p.add_argument("--rollback", type=int, default=None, metavar="SEQ",
+                   help="before any ingest, move the table head back to "
+                        "snapshot SEQ (publishes a new replicating "
+                        "snapshot; the undone runs' urls become "
+                        "uncommitted and re-extract on the next pass)")
+    p.add_argument("--compact", action="store_true",
+                   help="after ingest + curation, rewrite the accrued "
+                        "per-run data dirs into one dir behind a "
+                        "replace-snapshot (same rows, fewer files)")
+    p.add_argument("--compact-partitions", type=int, default=None,
+                   help="file-count target for --compact (repartition "
+                        "before the rewrite; default: keep)")
+    p.add_argument("--expire-keep", type=int, default=None, metavar="N",
+                   help="drop all but the newest N manifests and reclaim "
+                        "data dirs referenced only by expired history "
+                        "(runs last)")
     args = p.parse_args(argv)
+    has_source = (args.input or args.warc or args.synth is not None)
+    has_maintenance = (args.rollback is not None or args.compact
+                       or args.expire_keep is not None)
+    if not has_source and not has_maintenance:
+        p.error("need an input source (--input/--warc/--synth) or a "
+                "maintenance op (--rollback/--compact/--expire-keep)")
+    if args.compact_partitions is not None and not args.compact:
+        p.error("--compact-partitions requires --compact")
+    if args.expire_keep is not None and args.expire_keep < 1:
+        p.error("--expire-keep must be >= 1 (the head snapshot must "
+                "always be retained)")
     if args.dedup_apply and not args.neardup:
         p.error("--dedup-apply requires --neardup (it resolves the "
                 "pairs that stage persists)")
@@ -159,6 +197,18 @@ def main(argv=None, spark=None) -> dict:
     from ocr_spark.plans.pipeline import partition_metrics
     from ocr_spark.sources.snapshot import SnapshotTable, run_with_checkpoint
 
+    table = SnapshotTable(args.table)
+    summary = {}
+
+    if args.rollback is not None:
+        # Before any ingest: a bad run is undone by one metadata write,
+        # and the pass below then re-extracts exactly its urls.
+        snap = table.rollback(args.rollback)
+        summary["rollback"] = {"to": args.rollback,
+                               "new_sequence": snap["sequence"],
+                               "committed_rows": snap["committed_rows"]}
+
+    input_df = None
     if args.input:
         input_df = spark.read.parquet(args.input)
     elif args.warc:
@@ -175,29 +225,30 @@ def main(argv=None, spark=None) -> dict:
                     .filter(F.col("url").isNotNull())
                     .drop("_warc_segment", "_warc_offset",
                           "_warc_skipped"))
-    else:
+    elif args.synth is not None:
         from ocr_spark.sources import synth
         input_df = synth.synth_input_df(spark, args.synth,
                                         profile=args.synth_profile)
 
-    table = SnapshotTable(args.table)
-    prev = table.current_snapshot()
-    run_id = args.run_id or f"run-{(prev['sequence'] if prev else 0) + 1:06d}"
+    if input_df is not None:
+        prev = table.current_snapshot()
+        run_id = (args.run_id
+                  or f"run-{(prev['sequence'] if prev else 0) + 1:06d}")
 
-    result = run_with_checkpoint(
-        spark, input_df, args.table, run_id=run_id,
-        num_partitions=args.partitions,
-        partition_by=([c.strip() for c in args.partition_by.split(",")
-                       if c.strip()]
-                      if args.partition_by else None))
+        result = run_with_checkpoint(
+            spark, input_df, args.table, run_id=run_id,
+            num_partitions=args.partitions,
+            partition_by=([c.strip() for c in args.partition_by.split(",")
+                           if c.strip()]
+                          if args.partition_by else None))
 
-    if args.metrics and result["processed"] > 0:
-        out = spark.read.parquet(table.run_dir(run_id))
-        partition_metrics(out).write.mode("append").parquet(args.metrics)
+        if args.metrics and result["processed"] > 0:
+            out = spark.read.parquet(table.run_dir(run_id))
+            partition_metrics(out).write.mode("append").parquet(args.metrics)
 
-    summary = {"run_id": run_id, **result,
-               "committed_rows": (table.current_snapshot() or {}).get(
-                   "committed_rows", 0)}
+        summary.update({"run_id": run_id, **result})
+    summary["committed_rows"] = (table.current_snapshot() or {}).get(
+        "committed_rows", 0)
     if args.warc:
         summary["warc_records_skipped"] = int(warc_skips.value)
 
@@ -385,6 +436,33 @@ def main(argv=None, spark=None) -> dict:
                 "lines_removed": int(r["lines_removed"] or 0),
                 "docs_touched": int(r["docs_touched"] or 0),
                 "n_hot_lines": int(n_hot)}
+
+    if args.compact:
+        # After ingest + curation: fold the accrued per-run dirs into
+        # one. On a no-op ingest the table may still be worth
+        # compacting (that's the point of a standalone maintenance
+        # invocation), but an EMPTY table has nothing to rewrite.
+        head = table.current_snapshot()
+        if head is None:
+            summary["compact"] = {"skipped": "empty table"}
+        elif len(head["data_dirs"]) == 1:
+            summary["compact"] = {"skipped": "already one data dir"}
+        else:
+            from pyspark.sql import functions as F
+            n_dirs = len(head["data_dirs"])
+            snap = table.compact(
+                spark, run_id=f"compact-{head['sequence'] + 1:06d}",
+                num_partitions=args.compact_partitions)
+            files = (table.read(spark).select(F.input_file_name())
+                     .distinct().count())
+            summary["compact"] = {"dirs_before": n_dirs,
+                                  "files_after": files,
+                                  "rows": snap["committed_rows"],
+                                  "sequence": snap["sequence"]}
+
+    if args.expire_keep is not None:
+        summary["expire"] = table.expire_snapshots(
+            keep_last=args.expire_keep)
 
     print(json.dumps(summary))
     return summary

@@ -393,3 +393,67 @@ def test_job_flag_dependency_and_lang_keep_validation(tmp_path):
                        "--lang-filter", str(tmp_path / "lf"),
                        "--lang-keep", "en,ru"])
     assert args.lang_keep == "en,ru"
+
+
+def test_job_maintenance_lifecycle(spark, tmp_path):
+    """--rollback / --compact / --expire-keep run the catalog
+    maintenance story end to end through the CLI: a bad run is undone
+    and re-extracted, the accrued micro-run dirs fold into one, and
+    expiry reclaims the dead history."""
+    inp_a = str(tmp_path / "a.parquet")
+    inp_b = str(tmp_path / "b.parquet")
+    rows = synth.generate_rows(32)
+    spark.createDataFrame(rows[:16], schema=schemas.INPUT_SCHEMA) \
+        .repartition(4).write.parquet(inp_a)
+    spark.createDataFrame(rows, schema=schemas.INPUT_SCHEMA) \
+        .repartition(4).write.parquet(inp_b)
+
+    table = str(tmp_path / "table")
+    r1 = job.main(["--input", inp_a, "--table", table,
+                   "--partitions", "4"], spark=spark)
+    assert r1["committed_rows"] == 16
+    r2 = job.main(["--input", inp_b, "--table", table,
+                   "--partitions", "4"], spark=spark)
+    assert r2["processed"] == 16  # only the second half
+
+    # Maintenance-only invocation: roll the "bad" second run back and
+    # re-ingest it in the same pass.
+    r3 = job.main(["--rollback", "1", "--input", inp_b, "--table", table,
+                   "--partitions", "4"], spark=spark)
+    assert r3["rollback"]["to"] == 1
+    assert r3["processed"] == 16  # the rolled-back urls re-extract
+    assert r3["committed_rows"] == 32
+
+    # Compact + expire, no input source at all.
+    r4 = job.main(["--table", table, "--compact", "--compact-partitions",
+                   "2", "--expire-keep", "1"], spark=spark)
+    assert "run_id" not in r4  # no ingest happened
+    assert r4["compact"]["dirs_before"] >= 2
+    assert r4["compact"]["rows"] == 32
+    assert r4["expire"]["removed_manifests"] >= 1
+    tbl = snapshot.SnapshotTable(table)
+    assert tbl.read(spark).count() == 32
+    assert len(tbl.current_snapshot()["data_dirs"]) == 1
+
+    # Resume across the whole lifecycle: everything stays committed.
+    r5 = job.main(["--input", inp_b, "--table", table,
+                   "--partitions", "4"], spark=spark)
+    assert r5["processed"] == 0
+
+    # Compacting the already-compacted table is a reported no-op.
+    r6 = job.main(["--table", table, "--compact"], spark=spark)
+    assert r6["compact"] == {"skipped": "already one data dir"}
+
+
+def test_job_maintenance_flag_validation(tmp_path):
+    import pytest
+
+    t = str(tmp_path / "t")
+    with pytest.raises(SystemExit):  # no source and no maintenance op
+        job._parse(["--table", t])
+    with pytest.raises(SystemExit):  # partitions without --compact
+        job._parse(["--table", t, "--compact-partitions", "2"])
+    with pytest.raises(SystemExit):  # would drop the head snapshot
+        job._parse(["--table", t, "--expire-keep", "0"])
+    args = job._parse(["--table", t, "--compact"])
+    assert args.compact and args.input is None
