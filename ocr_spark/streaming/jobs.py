@@ -35,8 +35,15 @@ def stream_extract(spark: SparkSession, input_dir: str, table_root: str,
     def process(batch_df, batch_id: int):
         if batch_df.isEmpty():
             return
-        run_with_checkpoint(spark, batch_df, table_root,
-                            run_id=f"stream-{batch_id:08d}")
+        run_id = f"stream-{batch_id:08d}"
+        snap = SnapshotTable(table_root).current_snapshot()
+        if snap and run_id in snap["data_dirs"]:
+            # Crash between snapshot commit and checkpoint write: Spark
+            # replays the batch. Its rows already landed — skipping is
+            # the exactly-once path (run_with_checkpoint would refuse
+            # the committed run_id and wedge the stream).
+            return
+        run_with_checkpoint(spark, batch_df, table_root, run_id=run_id)
 
     writer = (
         stream.writeStream.foreachBatch(process)
@@ -116,4 +123,108 @@ def stream_exact_dedup(spark: SparkSession, input_dir: str, out_dir: str,
         if not _os.path.isdir(out_dir):
             return spark.createDataFrame([], out_schema)
         return spark.read.schema(out_schema).parquet(out_dir)
+    return writer.start()
+
+
+def stream_curate(spark: SparkSession, input_dir: str, table_root: str,
+                  checkpoint_dir: str, keep_langs=("en",),
+                  available_now: bool = True,
+                  max_files_per_trigger: int = 8):
+    """Curation-on-ingest: each micro-batch of raw pages flows through
+    the SAME batch gates the job CLI applies post-hoc — the Gopher
+    repetition thresholds (textstats.gopher_quality_filter), the
+    script-vote language gate (textstats.lang_id in ``keep_langs``),
+    then exact content dedup — and only the survivors commit to the
+    snapshot table. At 100 TB this is the difference between filtering
+    the firehose as it lands and landing everything to filter later.
+
+    Cross-batch semantics (all against the snapshot table's committed
+    state, so they hold across restarts and redelivered files):
+
+      * url exactly-once — committed urls anti-join out of the batch
+        first (a redelivered file re-processes nothing); a replayed
+        micro-batch (crash between commit and checkpoint write) is
+        skipped by run_id.
+      * content dedup ACROSS batches — the committed table carries
+        every survivor's ``content_hash`` (textstats.fingerprint, the
+        batch exact_dedup key), and the batch anti-joins on it with a
+        null-safe equality so NULL-text rows dedup exactly like the
+        batch operator (NULL keys group together). Within a batch the
+        first-seen row survives — content-level parity with batch
+        exact_dedup; the survivor-identity rule (batch: min id) is the
+        one difference, inherent to not having seen the future.
+
+    Gate order is quality -> language -> dedup (cheapest-true-positive
+    ordering: repetition kills most spam before the dedup join runs),
+    and each gate's drop count lands in a per-batch metrics row under
+    ``<table_root>/metrics_curate`` — the job CLI's never-silent
+    counter contract, streamed.
+    """
+    from ..operators.textstats import (fingerprint, gopher_quality_filter,
+                                       lang_id)
+
+    langs = list(keep_langs)
+    table = SnapshotTable(table_root)
+
+    def process(batch_df, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        run_id = f"curate-{batch_id:08d}"
+        snap = table.current_snapshot()
+        if snap and run_id in snap["data_dirs"]:
+            return  # replay of a committed batch: already landed
+        n_input = batch_df.count()
+        batch = batch_df.dropDuplicates(["url"])
+        committed = table.read(spark)
+        fresh = (batch if committed is None
+                 else batch.join(committed.select("url"), "url", "left_anti"))
+        staged = (fresh
+                  .withColumn("lang_guess",
+                              lang_id(F.coalesce(F.col("text"), F.lit(""))))
+                  .withColumn("content_hash", fingerprint(F.col("text"))))
+        staged.persist()
+        try:
+            n_fresh = staged.count()
+            q_kept = gopher_quality_filter(staged, text_col="text",
+                                           id_col="url")
+            n_q = q_kept.count()
+            l_kept = q_kept.filter(F.col("lang_guess").isin(langs))
+            n_l = l_kept.count()
+            d_kept = l_kept.dropDuplicates(["content_hash"])
+            if committed is not None:
+                prev = committed.select(
+                    F.col("content_hash").alias("_prev_hash"))
+                d_kept = d_kept.join(
+                    prev,
+                    F.col("content_hash").eqNullSafe(F.col("_prev_hash")),
+                    "left_anti")
+            out_dir = table.run_dir(run_id)
+            d_kept.write.mode("overwrite").parquet(out_dir)
+            n = spark.read.schema(d_kept.schema).parquet(out_dir).count()
+            if n > 0:
+                table.commit(run_id, n)
+            metrics_row = [(batch_id, n_input, n_input - n_fresh,
+                            n_fresh - n_q, n_q - n_l, n_l - n, n)]
+            spark.createDataFrame(
+                metrics_row,
+                "batch_id long, input_rows long, redelivered long, "
+                "quality_dropped long, lang_dropped long, "
+                "dup_dropped long, committed long"
+            ).write.mode("append").parquet(f"{table_root}/metrics_curate")
+        finally:
+            staged.unpersist()
+
+    stream = (
+        spark.readStream.schema(schemas.INPUT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return table
     return writer.start()

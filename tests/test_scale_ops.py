@@ -929,3 +929,96 @@ class TestStreaming:
         assert "_evt" not in out.columns
         assert {r["text"] for r in got} == {"same body", "other body",
                                             "null ts body"}
+
+    def test_stream_curate_gates_and_cross_batch_dedup(self, spark,
+                                                       tmp_path):
+        """Curation-on-ingest: the Gopher gate, the language gate, and
+        exact content dedup all apply per micro-batch with committed-
+        state anti-joins, so two drains over a growing dir land exactly
+        the batch-curated survivor set, with per-gate counters."""
+        import datetime as dt
+
+        from ocr_spark import schemas
+        from ocr_spark.sources.snapshot import SnapshotTable
+        from ocr_spark.streaming.jobs import stream_curate
+
+        in_dir = str(tmp_path / "cu_in")
+        ckpt = str(tmp_path / "cu_ck")
+        root = str(tmp_path / "cu_tbl")
+        ts = dt.datetime(2026, 3, 1)
+        good = ("the quick brown fox jumps over the lazy dog and then "
+                "walks away into the quiet evening field with no fuss")
+        good2 = ("a second perfectly ordinary english document that is "
+                 "not a duplicate of the first one in any way at all")
+        spam = "\n".join(["buy cheap widgets now"] * 30)  # dup_line gate
+        # Non-repetitive (a *3 repeat would trip the Gopher top-bigram
+        # gate first and never reach the language gate).
+        russian = ("съешь же ещё этих мягких французских булок да выпей "
+                   "чаю пока утро тихое и никто не мешает думать о море "
+                   "и далёких городах где живут совсем другие люди")
+
+        def land(url, text):
+            spark.createDataFrame(
+                [(url, ts, None, text, "en", None)],
+                schema=schemas.INPUT_SCHEMA
+            ).coalesce(1).write.mode("append").parquet(in_dir)
+
+        # Wave 1: good, quality-fail, non-English, duplicate-of-good.
+        land("https://c.local/d0", good)
+        land("https://c.local/d1", spam)
+        land("https://c.local/d2", russian)
+        land("https://c.local/d3", good)  # same content, other url
+        table = stream_curate(spark, in_dir, root, ckpt,
+                              keep_langs=("en",), max_files_per_trigger=2)
+        wave1 = table.read(spark)
+        assert wave1.count() == 1  # only one copy of `good` survives
+        survivor = wave1.first()
+        assert survivor["url"] in ("https://c.local/d0",
+                                   "https://c.local/d3")
+        assert survivor["lang_guess"] == "en"
+
+        # Wave 2: a CROSS-batch duplicate (case-variant of `good` —
+        # fingerprint normalizes), a new good doc, and a redelivered
+        # url.
+        land("https://c.local/d4", good.upper())
+        land("https://c.local/d5", good2)
+        land(survivor["url"], good)  # redelivery
+        table = stream_curate(spark, in_dir, root, ckpt,
+                              keep_langs=("en",), max_files_per_trigger=2)
+        out = table.read(spark)
+        assert out.count() == 2
+        texts = {r["text"] for r in out.collect()}
+        assert good in texts and good2 in texts
+
+        # Batch parity: the same gates applied globally keep the same
+        # content set.
+        from ocr_spark.operators.dedup import exact_dedup
+        from ocr_spark.operators.textstats import (gopher_quality_filter,
+                                                   lang_id)
+        everything = spark.read.schema(schemas.INPUT_SCHEMA) \
+            .parquet(in_dir)
+        batch = gopher_quality_filter(everything, text_col="text",
+                                      id_col="url")
+        batch = batch.withColumn("lg", lang_id(F.col("text"))) \
+            .filter(F.col("lg") == "en")
+        batch = exact_dedup(batch.select("url", "text"),
+                            text_col="text", id_col="url")
+        assert ({r["content_hash"] for r in batch.collect()}
+                == {r["content_hash"] for r in out.collect()})
+
+        # Counters: never-silent, and they reconcile exactly.
+        m = spark.read.parquet(f"{root}/metrics_curate")
+        sums = m.groupBy().sum().first().asDict()
+        assert sums["sum(input_rows)"] == 7
+        assert sums["sum(committed)"] == 2
+        assert sums["sum(quality_dropped)"] == 1   # spam
+        assert sums["sum(lang_dropped)"] == 1      # russian
+        assert sums["sum(dup_dropped)"] == 2       # d3-or-d0, d4
+        assert sums["sum(redelivered)"] == 1
+
+        # A fresh checkpoint re-drains the whole dir: committed state
+        # alone keeps it a no-op (url + content anti-joins).
+        table = stream_curate(spark, in_dir, root,
+                              str(tmp_path / "cu_ck2"),
+                              keep_langs=("en",), max_files_per_trigger=2)
+        assert table.read(spark).count() == 2
