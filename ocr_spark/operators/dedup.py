@@ -243,6 +243,55 @@ def _spread(df: DataFrame, spread) -> DataFrame:
     return df.repartition(int(spread))
 
 
+def minhash_band_rows(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 8,
+                      num_perm: int = 32, bands: int = 8,
+                      hash_mode: str = "xxhash64") -> DataFrame:
+    """The LSH bucket keys alone: (id, band, band_hash) — one row per
+    (document, band). This is minhash_lsh_pairs' candidate-generation
+    half, exposed so incremental consumers (streaming dedup-on-ingest)
+    can persist a corpus's band keys as a sidecar and bucket-join NEW
+    documents against it without recomputing the committed side.
+
+    Band rows carry ONLY (id, band, band_hash): at 10^12 docs the
+    bands-x duplication of shingle arrays through the shuffle would
+    dominate the job; ids shuffle in bytes, shingles re-derive later
+    for the (small) candidate set."""
+    rows_per_band = num_perm // bands
+    if hash_mode == "poly":
+        sig_udf = _minhash_signatures_pandas_udf(k, num_perm)
+        sig = df.select(F.col(id_col).alias("id"),
+                        sig_udf(F.col(text_col)).alias("mh"))
+    else:
+        hash_shingles = (shingle_hashes if hash_mode == "xxhash64"
+                         else shingle_hashes_md5)
+        # hs materialized in its own projection so the 8-gram string
+        # hashes run once per doc; the num_perm permutations are
+        # multiply-adds over hs (CollapseProject won't inline an alias
+        # referenced num_perm times, so the scan stays single-pass).
+        sig = (
+            df.select(F.col(id_col).alias("id"),
+                      shingles(F.col(text_col), k).alias("sh"))
+            .withColumn("hs", hash_shingles(F.col("sh")))
+            .withColumn("mh",
+                        minhash_signature_from_hashes(F.col("hs"), num_perm))
+        )
+
+    def band_hash(b):
+        joined = F.concat_ws(
+            ",", F.slice(F.col("mh"), b * rows_per_band + 1, rows_per_band))
+        return (F.xxhash64(joined) if hash_mode == "xxhash64"
+                else F.conv(F.substring(F.md5(joined.cast("binary")), 1, 8),
+                            16, 10).cast("long"))
+
+    return sig.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"), band_hash(b).alias("band_hash"))
+            for b in range(bands)])).alias("bb"),
+    ).select("id", "bb.band", "bb.band_hash")
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", k: int = 8,
                       num_perm: int = 32, bands: int = 8,
@@ -268,43 +317,10 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
       'md5'      — DuckDB-expressible; the driver oracle replays the
                    identical algorithm in SQL against this mode
     """
-    rows_per_band = num_perm // bands
     df = _spread(df, spread)
-    if hash_mode == "poly":
-        sig_udf = _minhash_signatures_pandas_udf(k, num_perm)
-        sig = df.select(F.col(id_col).alias("id"),
-                        sig_udf(F.col(text_col)).alias("mh"))
-    else:
-        hash_shingles = (shingle_hashes if hash_mode == "xxhash64"
-                         else shingle_hashes_md5)
-        # hs materialized in its own projection so the 8-gram string
-        # hashes run once per doc; the num_perm permutations are
-        # multiply-adds over hs (CollapseProject won't inline an alias
-        # referenced num_perm times, so the scan stays single-pass).
-        sig = (
-            df.select(F.col(id_col).alias("id"),
-                      shingles(F.col(text_col), k).alias("sh"))
-            .withColumn("hs", hash_shingles(F.col("sh")))
-            .withColumn("mh",
-                        minhash_signature_from_hashes(F.col("hs"), num_perm))
-        )
-    # Band rows carry ONLY (id, band, band_hash): at 10^12 docs the
-    # bands-x duplication of shingle arrays through the shuffle would
-    # dominate the job; ids shuffle in bytes, shingles re-derive later
-    # for the (small) candidate set.
-    def band_hash(b):
-        joined = F.concat_ws(
-            ",", F.slice(F.col("mh"), b * rows_per_band + 1, rows_per_band))
-        return (F.xxhash64(joined) if hash_mode == "xxhash64"
-                else F.conv(F.substring(F.md5(joined.cast("binary")), 1, 8),
-                            16, 10).cast("long"))
-
-    banded = sig.select(
-        "id",
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"), band_hash(b).alias("band_hash"))
-            for b in range(bands)])).alias("bb"),
-    ).select("id", "bb.band", "bb.band_hash")
+    banded = minhash_band_rows(df, text_col=text_col, id_col=id_col, k=k,
+                               num_perm=num_perm, bands=bands,
+                               hash_mode=hash_mode)
     uncapped = banded
     banded = cap_buckets(banded, ["band", "band_hash"], max_bucket)
 

@@ -228,3 +228,155 @@ def stream_curate(spark: SparkSession, input_dir: str, table_root: str,
         q.awaitTermination()
         return table
     return writer.start()
+
+
+def stream_neardup(spark: SparkSession, input_dir: str, table_root: str,
+                   checkpoint_dir: str, k: int = 8, num_perm: int = 32,
+                   bands: int = 8, threshold: float = 0.7,
+                   max_bucket: int = 1000, available_now: bool = True,
+                   max_files_per_trigger: int = 8):
+    """MinHash/LSH near-dup dedup-on-ingest: each micro-batch is
+    near-dup-resolved WITHIN itself (the batch operators: lsh pairs ->
+    connected components -> keep-one) and then AGAINST everything
+    already committed — without ever recomputing the committed side.
+
+    The incremental trick is a band-key sidecar: every committed
+    survivor's (band, band_hash) LSH bucket keys persist under
+    ``<table_root>/bands/<run_id>/``. A new batch computes its own band
+    rows (minhash_band_rows — the same keys the batch operator buckets
+    on) and equi-joins them against the sidecar: ids-only, so the
+    cross-batch candidate step shuffles a few longs per doc no matter
+    how large the committed corpus text is. Only the candidate pairs'
+    texts are touched for the exact-Jaccard verify, and only the batch
+    side plus the handful of matched committed docs are re-shingled.
+    At 100 TB committed this is the difference between O(batch) and
+    O(corpus) per trigger.
+
+    Crash safety: survivors land in the run dir, then their band rows
+    land in the sidecar, then the snapshot commits — so a crash at any
+    point before commit replays into idempotent overwrites, and a
+    replay after commit (crash before the checkpoint write) is skipped
+    by run_id with the sidecar already consistent. Committed bands are
+    read ONLY for run_ids in the current snapshot, so an orphaned
+    sidecar dir from a failed run never contributes candidates.
+
+    Both bucket sides are capped at ``max_bucket`` rows per (band,
+    band_hash) — the batch operator's hot-bucket guard, applied to the
+    sidecar join too (a boilerplate bucket with a million committed
+    members must not fan a new doc into a million verify pairs).
+
+    NULL-text semantics are batch parity: a NULL text shingles to the
+    degenerate [NULL] array, so all NULL-text docs are mutual near-dups
+    (jaccard 1.0) — the first one committed wins, within a batch and
+    across batches, exactly as minhash_lsh_pairs pairs them in batch.
+
+    Metrics land per batch under ``<table_root>/metrics_neardup``:
+    input_rows, redelivered (url-committed or url-dup-in-batch),
+    within_dropped (batch-internal near-dups), cross_dropped (near-dup
+    of a committed doc), committed.
+    """
+    import os
+
+    from ..operators.dedup import (dedup_apply, dedup_resolve, jaccard,
+                                   minhash_band_rows, minhash_lsh_pairs,
+                                   cap_buckets, shingles)
+
+    table = SnapshotTable(table_root)
+    bands_root = os.path.join(table_root, "bands")
+
+    def band_rows(df):
+        return minhash_band_rows(df, text_col="text", id_col="url",
+                                 k=k, num_perm=num_perm, bands=bands)
+
+    def process(batch_df, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        run_id = f"neardup-{batch_id:08d}"
+        snap = table.current_snapshot()
+        if snap and run_id in snap["data_dirs"]:
+            return  # replay of a committed batch: already landed
+        n_input = batch_df.count()
+        batch = batch_df.dropDuplicates(["url"])
+        committed = table.read(spark)
+        fresh = (batch if committed is None
+                 else batch.join(committed.select("url"), "url", "left_anti"))
+        fresh.persist()
+        try:
+            n_fresh = fresh.count()
+            # Within-batch: the full batch pipeline, keep-one per cluster.
+            pairs = minhash_lsh_pairs(fresh, text_col="text", id_col="url",
+                                      k=k, num_perm=num_perm, bands=bands,
+                                      threshold=threshold,
+                                      max_bucket=max_bucket)
+            resolved = dedup_resolve(pairs, docs=fresh, id_col="url")
+            survivors = dedup_apply(fresh, resolved, id_col="url")
+            survivors.persist()
+            n_within = survivors.count()
+            # Cross-batch: bucket-join new band keys against the
+            # committed sidecar (ids only), verify candidates exactly.
+            committed_band_dirs = [
+                os.path.join(bands_root, r)
+                for r in (snap["data_dirs"] if snap else [])
+                if os.path.isdir(os.path.join(bands_root, r))]
+            if committed_band_dirs:
+                new_bands = cap_buckets(band_rows(survivors),
+                                        ["band", "band_hash"], max_bucket)
+                old_bands = cap_buckets(
+                    spark.read.parquet(*committed_band_dirs),
+                    ["band", "band_hash"], max_bucket)
+                cand = (new_bands.select("band", "band_hash",
+                                         F.col("id").alias("new_id"))
+                        .join(old_bands.select(
+                            "band", "band_hash", F.col("id").alias("old_id")),
+                            ["band", "band_hash"])
+                        .select("new_id", "old_id").dropDuplicates())
+                new_sh = survivors.select(
+                    F.col("url").alias("new_id"),
+                    shingles(F.col("text"), k).alias("sh_new"))
+                old_sh = committed.select(
+                    F.col("url").alias("old_id"),
+                    shingles(F.col("text"), k).alias("sh_old"))
+                cross_dups = (cand.join(new_sh, "new_id")
+                              .join(old_sh, "old_id")
+                              .withColumn("j", jaccard(F.col("sh_new"),
+                                                       F.col("sh_old")))
+                              .filter(F.col("j") >= threshold)
+                              .select(F.col("new_id").alias("url"))
+                              .dropDuplicates())
+                kept = survivors.join(cross_dups, "url", "left_anti")
+            else:
+                kept = survivors
+            out_dir = table.run_dir(run_id)
+            kept.write.mode("overwrite").parquet(out_dir)
+            final = spark.read.schema(kept.schema).parquet(out_dir)
+            n = final.count()
+            # Sidecar BEFORE commit: a crash between the two replays the
+            # batch (run_id not committed) and overwrites both.
+            band_rows(final).write.mode("overwrite").parquet(
+                os.path.join(bands_root, run_id))
+            if n > 0:
+                table.commit(run_id, n)
+            spark.createDataFrame(
+                [(batch_id, n_input, n_input - n_fresh, n_fresh - n_within,
+                  n_within - n, n)],
+                "batch_id long, input_rows long, redelivered long, "
+                "within_dropped long, cross_dropped long, committed long"
+            ).write.mode("append").parquet(f"{table_root}/metrics_neardup")
+            survivors.unpersist()
+        finally:
+            fresh.unpersist()
+
+    stream = (
+        spark.readStream.schema(schemas.INPUT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return table
+    return writer.start()

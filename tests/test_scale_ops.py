@@ -1022,3 +1022,98 @@ class TestStreaming:
                               str(tmp_path / "cu_ck2"),
                               keep_langs=("en",), max_files_per_trigger=2)
         assert table.read(spark).count() == 2
+
+    def test_stream_neardup_within_and_cross_batch(self, spark, tmp_path):
+        """Near-dup dedup-on-ingest: within-batch LSH resolve, then a
+        band-sidecar bucket join against committed state drops new docs
+        that near-dup anything already landed — across batches and
+        across restarts, without recomputing the committed side."""
+        import datetime as dt
+
+        from ocr_spark import schemas
+        from ocr_spark.streaming.jobs import stream_neardup
+
+        in_dir = str(tmp_path / "nd_in")
+        ckpt = str(tmp_path / "nd_ck")
+        root = str(tmp_path / "nd_tbl")
+        ts = dt.datetime(2026, 3, 1)
+        base = ("the distributed analytics engine rebuilds the web corpus "
+                "from raw crawl segments every night and reports totals "
+                "at dawn")
+        v1 = base.replace("night", "week")    # J(base,v1) ~ 0.81
+        v2 = base.replace("dawn", "dusk")     # J(base,v2) ~ 0.95
+        other = ("completely different content about cooking pasta with "
+                 "garlic and olive oil on a slow tuesday afternoon in the "
+                 "old kitchen")
+        third = ("a third unrelated page describing mountain hiking "
+                 "trails near the northern ridge with detailed elevation "
+                 "profiles and maps")
+
+        def land(rows):
+            spark.createDataFrame(
+                [(u, ts, None, t, "en", None) for u, t in rows],
+                schema=schemas.INPUT_SCHEMA
+            ).coalesce(1).write.mode("append").parquet(in_dir)
+
+        # Wave 1 (one batch): base + a within-batch near-dup + a
+        # distinct doc. Survivor of the {base, v2} cluster is the min
+        # url (d0).
+        land([("https://n.local/d0", base),
+              ("https://n.local/d1", v2),
+              ("https://n.local/d2", other)])
+        table = stream_neardup(spark, in_dir, root, ckpt,
+                               max_files_per_trigger=1)
+        w1 = {r["url"]: r["text"] for r in table.read(spark).collect()}
+        assert set(w1) == {"https://n.local/d0", "https://n.local/d2"}
+
+        # Wave 2 (next batch): a CROSS-batch near-dup of committed
+        # base, a genuinely new doc, a redelivered url, and a NULL-text
+        # row (first NULL seen: commits, and its degenerate [NULL]
+        # shingle signature claims the NULL-content cluster).
+        land([("https://n.local/d3", v1),
+              ("https://n.local/d4", third),
+              ("https://n.local/d0", base),
+              ("https://n.local/d5", None)])
+        table = stream_neardup(spark, in_dir, root, ckpt,
+                               max_files_per_trigger=1)
+        out = table.read(spark)
+        got = {r["url"]: r["text"] for r in out.collect()}
+        assert set(got) == {"https://n.local/d0", "https://n.local/d2",
+                            "https://n.local/d4", "https://n.local/d5"}
+        assert got["https://n.local/d5"] is None
+
+        # Counters reconcile exactly across both batches.
+        m = spark.read.parquet(f"{root}/metrics_neardup")
+        sums = m.groupBy().sum().first().asDict()
+        assert sums["sum(input_rows)"] == 7
+        assert sums["sum(redelivered)"] == 1     # d0 again
+        assert sums["sum(within_dropped)"] == 1  # v2 vs base, same batch
+        assert sums["sum(cross_dropped)"] == 1   # v1 vs committed base
+        assert sums["sum(committed)"] == 4
+
+        # The sidecar holds band keys for exactly the committed docs —
+        # including the NULL-text one, whose [NULL]-shingle signature
+        # is what lets a FUTURE NULL-text doc cross-batch-dedup (batch
+        # parity: minhash_lsh_pairs scores two NULL texts jaccard 1.0).
+        import os
+        band_dirs = [d for d in os.listdir(f"{root}/bands")]
+        bands_df = spark.read.parquet(
+            *[f"{root}/bands/{d}" for d in band_dirs])
+        assert (set(r["id"] for r in bands_df.select("id")
+                    .distinct().collect()) == set(got))
+
+        # Wave 3: a second NULL-text doc is a near-dup of the committed
+        # one and must NOT land.
+        land([("https://n.local/d6", None)])
+        table = stream_neardup(spark, in_dir, root, ckpt,
+                               max_files_per_trigger=1)
+        assert table.read(spark).count() == 4
+
+        # Fresh checkpoint re-drains everything: committed urls kill
+        # the replays, and the band sidecar kills the near-dup variants
+        # (v1/v2/d6 urls were never committed, so only the LSH state
+        # can stop them re-landing).
+        table = stream_neardup(spark, in_dir, root,
+                               str(tmp_path / "nd_ck2"),
+                               max_files_per_trigger=1)
+        assert table.read(spark).count() == 4
