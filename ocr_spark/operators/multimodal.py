@@ -1,11 +1,14 @@
 """Multimodal column plumbing: opaque binary media + typed metadata.
 
-Image/audio/video decode libraries are not available in this
-environment, so the decode kernels are STUBS behind an import-try /
-NotImplementedError gate — but everything Spark-side is real and
-tested: schemas, Arrow batch shape, mapInPandas signatures,
-partitioning, and a deterministic fallback featurizer (byte histogram)
-so downstream plumbing (similarity over media features) can run.
+The decode layer is REAL for the formats zlib + numpy can cover:
+PNG (all color types / bit depths / filters / Adam7), uncompressed
+BMP, and PPM decode from scratch in textlib/imagecodec.py — no
+PIL/cv2 needed. JPEG (entropy decode + DCT) stays behind an
+import-try / NotImplementedError gate: that is the PIL swap-in point
+on a production cluster. Two featurizers feed downstream similarity:
+``pixel_stats_v1`` (decoded-pixel stats + luma histogram) when the
+payload decodes, ``byte_histogram_v1`` as the opaque-bytes fallback —
+each feature row names which one produced it.
 """
 
 from __future__ import annotations
@@ -43,15 +46,31 @@ FEATURE_SCHEMA = StructType([
 
 
 def decode_image(payload: bytes):
-    """Real decode requires PIL/cv2 — absent here by design."""
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError:
-        raise NotImplementedError(
-            "image decode requires pillow/opencv; not available in this "
-            "environment — deterministic byte-histogram featurizer is the "
-            "supported fallback") from None
-    raise NotImplementedError("wire PIL decode here on a real cluster")
+    """Decode image bytes to a numpy pixel array (H, W[, C]).
+
+    PNG / BMP / PPM decode natively (textlib/imagecodec.py). JPEG
+    needs a real codec library — that branch is the documented PIL
+    swap-in point. Raises imagecodec.ImageFormatError on corrupt or
+    unrecognized bytes (callers fall back to the byte featurizer).
+    """
+    from ..textlib import imagecodec as ic
+
+    if payload.startswith(ic.PNG_SIGNATURE):
+        return ic.decode_png(payload)
+    if payload.startswith(b"BM"):
+        return ic.decode_bmp(payload)
+    if payload.startswith(b"P6"):
+        return ic.decode_ppm(payload)
+    if payload.startswith(b"\xff\xd8\xff"):
+        try:
+            import PIL.Image  # noqa: F401
+        except ImportError:
+            raise NotImplementedError(
+                "JPEG decode requires pillow/opencv (entropy decode + DCT "
+                "is out of scope for the zlib/numpy codec); wire PIL here "
+                "on a real cluster") from None
+        raise NotImplementedError("wire PIL JPEG decode here on a real cluster")
+    raise ic.ImageFormatError("unrecognized image magic")
 
 
 def byte_histogram(payload: bytes, bins: int = 32) -> list[float]:
@@ -89,6 +108,56 @@ def extract_features(media: DataFrame, num_partitions: int | None = None) -> Dat
     if num_partitions:
         media = media.repartition(num_partitions, F.xxhash64("media_id"))
     return media.mapInPandas(featurize_batches, schema=FEATURE_SCHEMA)
+
+
+PIXEL_FEATURE_SCHEMA = StructType([
+    StructField("media_id", StringType(), False),
+    StructField("kind", StringType(), False),
+    StructField("n_bytes", LongType(), False),
+    StructField("width", IntegerType(), True),      # null when undecodable
+    StructField("height", IntegerType(), True),
+    StructField("channels", IntegerType(), True),
+    StructField("features", ArrayType(DoubleType()), False),
+    StructField("featurizer", StringType(), False),
+    StructField("decode_error", StringType(), True),
+])
+
+
+def pixel_featurize_batches(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: decode pixels where the format allows, fall
+    back to the byte histogram where it doesn't — never raise (the
+    poison-row contract of the extraction pipeline applies here too)."""
+    from ..textlib import imagecodec as ic
+
+    cols = [f.name for f in PIXEL_FEATURE_SCHEMA.fields]
+    for pdf in iterator:
+        out = []
+        for media_id, kind, payload in zip(pdf["media_id"], pdf["kind"],
+                                           pdf["payload"]):
+            raw = bytes(payload) if payload is not None else b""
+            try:
+                arr = decode_image(raw)
+                h, w = int(arr.shape[0]), int(arr.shape[1])
+                c = int(arr.shape[2]) if arr.ndim == 3 else 1
+                out.append((media_id, kind, len(raw), w, h, c,
+                            ic.pixel_features(arr), "pixel_stats_v1", None))
+            except (ic.ImageFormatError, NotImplementedError) as e:
+                out.append((media_id, kind, len(raw), None, None, None,
+                            byte_histogram(raw), "byte_histogram_v1",
+                            f"{type(e).__name__}: {e}"))
+        yield pd.DataFrame(out, columns=cols)
+
+
+def extract_pixel_features(media: DataFrame,
+                           num_partitions: int | None = None) -> DataFrame:
+    """Decoded-pixel feature rows for every media row: real PNG/BMP/PPM
+    decode (textlib/imagecodec.py), byte-histogram fallback with the
+    decode error recorded per row. Same partitioning contract as
+    extract_features."""
+    if num_partitions:
+        media = media.repartition(num_partitions, F.xxhash64("media_id"))
+    return media.mapInPandas(pixel_featurize_batches,
+                             schema=PIXEL_FEATURE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

@@ -778,9 +778,51 @@ class TestMultimodal:
         assert out["m2"]["features"][-1] == 1.0  # all 0xff bytes -> last bin
         assert out["m1"]["featurizer"] == "byte_histogram_v1"
 
-    def test_decode_stub_gated(self):
+    def test_pixel_features_real_decode(self, spark):
+        import numpy as np
+        from ocr_spark.textlib import imagecodec as ic
+        rng = np.random.RandomState(5)
+        png = rng.randint(0, 256, size=(8, 6, 3), dtype=np.uint8)
+        gray = rng.randint(0, 256, size=(4, 4), dtype=np.uint8)
+        rows = [
+            ("png", "image", ic.encode_png(png, filter_type=-1), None),
+            ("interlaced", "image", ic.encode_png(gray, interlace=True), None),
+            ("ppm", "image", b"P6\n2 2\n255\n" + bytes(12), None),
+            ("corrupt", "image", b"\x00\x01\x02" * 50, None),
+            ("jpeg", "image", b"\xff\xd8\xff\xe0 entropy-coded", None),
+        ]
+        df = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+        out = {r["media_id"]: r for r in
+               multimodal.extract_pixel_features(df, num_partitions=2).collect()}
+        # Decoded rows carry real dimensions and the pixel featurizer...
+        assert (out["png"]["width"], out["png"]["height"],
+                out["png"]["channels"]) == (6, 8, 3)
+        assert out["png"]["featurizer"] == "pixel_stats_v1"
+        assert out["png"]["decode_error"] is None
+        # ...with feature values identical to a local decode.
+        assert out["png"]["features"] == pytest.approx(ic.pixel_features(png))
+        assert out["interlaced"]["features"] == pytest.approx(
+            ic.pixel_features(gray))
+        assert out["ppm"]["features"][:3] == [2.0, 2.0, 3.0]
+        # Undecodable rows fall back per row, never poison the batch.
+        assert out["corrupt"]["featurizer"] == "byte_histogram_v1"
+        assert out["corrupt"]["width"] is None
+        assert "ImageFormatError" in out["corrupt"]["decode_error"]
+        assert "NotImplementedError" in out["jpeg"]["decode_error"]
+
+    def test_decode_dispatch_gates(self):
+        from ocr_spark.textlib import imagecodec as ic
+        # JPEG stays the PIL swap-in stub; unknown magic is a format error.
         with pytest.raises(NotImplementedError):
+            multimodal.decode_image(b"\xff\xd8\xff\xe0 not a real jpeg")
+        with pytest.raises(ic.ImageFormatError):
             multimodal.decode_image(b"px")
+        # The synth fake-PNG payload has a real PNG signature but no
+        # valid chunks — it must fail decode (and thus fall back), not
+        # be misread as pixels.
+        from ocr_spark.sources import payload as pl
+        with pytest.raises(ic.ImageFormatError):
+            multimodal.decode_image(pl.make_image_payload(pl.make_image(["x"])))
 
 
 class TestStreaming:
