@@ -68,7 +68,14 @@ def _parse(argv):
     src.add_argument("--synth", type=int, metavar="N",
                      help="synthesize a deterministic N-doc input instead")
     p.add_argument("--table", required=True,
-                   help="snapshot-table root for the extraction output")
+                   help="snapshot-table root for the extraction output; "
+                        "with --catalog, a table NAME (namespace.table) "
+                        "resolved through the metastore instead of a path")
+    p.add_argument("--catalog", default=None, metavar="ROOT",
+                   help="metastore root (sources/catalog.py): --table "
+                        "becomes a catalog table name, created on first "
+                        "use — production jobs address tables by name, "
+                        "not path literals")
     p.add_argument("--metrics", default=None,
                    help="parquet dir to append this run's partition metrics")
     p.add_argument("--run-id", default=None,
@@ -197,7 +204,12 @@ def main(argv=None, spark=None) -> dict:
     from ocr_spark.plans.pipeline import partition_metrics
     from ocr_spark.sources.snapshot import SnapshotTable, run_with_checkpoint
 
-    table = SnapshotTable(args.table)
+    if args.catalog:
+        from ocr_spark.sources.catalog import Catalog
+        table_root = Catalog(args.catalog).create_if_absent(args.table).root
+    else:
+        table_root = args.table
+    table = SnapshotTable(table_root)
     summary = {}
 
     if args.rollback is not None:
@@ -236,7 +248,7 @@ def main(argv=None, spark=None) -> dict:
                   or f"run-{(prev['sequence'] if prev else 0) + 1:06d}")
 
         result = run_with_checkpoint(
-            spark, input_df, args.table, run_id=run_id,
+            spark, input_df, table_root, run_id=run_id,
             num_partitions=args.partitions,
             partition_by=([c.strip() for c in args.partition_by.split(",")
                            if c.strip()]

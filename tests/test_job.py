@@ -39,6 +39,29 @@ def test_job_main_resumable(spark, tmp_path):
                ["extractor_version"]) == {"0.1.0"}
 
 
+def test_job_catalog_table_by_name(spark, tmp_path):
+    """--catalog resolves --table as a metastore NAME: created on first
+    use, resumed by name on the second pass, queryable via the catalog."""
+    from ocr_spark.sources.catalog import Catalog
+
+    inp = str(tmp_path / "in.parquet")
+    rows = synth.generate_rows(24)
+    spark.createDataFrame(rows, schema=schemas.INPUT_SCHEMA) \
+        .repartition(2).write.parquet(inp)
+    ms = str(tmp_path / "metastore")
+
+    r1 = job.main(["--input", inp, "--catalog", ms, "--table", "web.docs",
+                   "--partitions", "2"], spark=spark)
+    assert r1["processed"] == 24
+    r2 = job.main(["--input", inp, "--catalog", ms, "--table", "web.docs",
+                   "--partitions", "2"], spark=spark)
+    assert r2["processed"] == 0  # resumed BY NAME, not path
+
+    c = Catalog(ms)
+    assert [e["table"] for e in c.list_tables("web")] == ["docs"]
+    assert c.load_table("web.docs").read(spark).count() == 24
+
+
 def test_job_neardup_reports_hot_bucket_drops(spark, tmp_path):
     """A planted degenerate corpus (identical docs) run through the job
     --neardup stage must persist + surface nonzero drop counters —
