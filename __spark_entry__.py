@@ -1140,6 +1140,63 @@ def q_media_features(spark, sf_dir):
         "featurizer")
 
 
+def q_pixel_decode(spark, sf_dir):
+    """REAL image decode at the driver gate: expression-derived Netpbm
+    P6 payloads (header + 48 md5-derived bytes = 4x4 RGB) pushed through
+    the actual decode path (multimodal.decode_image -> imagecodec
+    .decode_ppm -> pixel_features) in the mapInPandas kernel.
+
+    Checked values are EXACT integers: per-channel byte sums
+    (mean * 255 * npixels recovers the sum a double represents
+    exactly), plus the decoded width/height/channels — so a header
+    mis-parse, channel swap, or stride bug all hash-mismatch."""
+    from ocr_spark.operators import multimodal
+    t = F.coalesce(F.col("text"), F.lit(""))
+    payload = F.concat(
+        F.lit(b"P6\n4 4\n255\n"),
+        F.unhex(F.md5(t.cast("binary"))),
+        F.unhex(F.md5(F.concat(t, F.lit("a")).cast("binary"))),
+        F.unhex(F.md5(F.concat(t, F.lit("b")).cast("binary"))))
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("kind"),
+        payload.alias("payload"))
+    out = multimodal.extract_pixel_features(media, num_partitions=8)
+    px = F.lit(16 * 255)  # pixels per channel * max value
+    return out.select(
+        "media_id", "width", "height", "channels",
+        F.round(F.element_at("features", 4) * px).cast("long").alias("sum_r"),
+        F.round(F.element_at("features", 5) * px).cast("long").alias("sum_g"),
+        F.round(F.element_at("features", 6) * px).cast("long").alias("sum_b"),
+        "featurizer")
+
+
+def _sql_pixel_decode() -> str:
+    # DuckDB replays the decode arithmetic from the hex md5 concat:
+    # byte j of the 48-byte body occupies hex chars 2j-1..2j; R pixels
+    # are bytes 1,4,7,...(chars 6i+1..2), G bytes 2,5,8,.. B bytes
+    # 3,6,9,.. The sums are exact integers — no float compare.
+    def chan(off_a, off_b, name):
+        return (f"  list_sum([ (strpos('0123456789abcdef', "
+                f"substr(h, 6*i+{off_a}, 1))-1)*16\n"
+                f"           + (strpos('0123456789abcdef', "
+                f"substr(h, 6*i+{off_b}, 1))-1)\n"
+                f"            for i in range(16)])::bigint AS {name}")
+    return f"""
+WITH d AS (
+  SELECT cast(doc_id AS varchar) AS media_id,
+         md5(coalesce(text,'')) || md5(coalesce(text,'') || 'a')
+           || md5(coalesce(text,'') || 'b') AS h
+  FROM documents)
+SELECT media_id, 4 AS width, 4 AS height, 3 AS channels,
+{chan(1, 2, "sum_r")},
+{chan(3, 4, "sum_g")},
+{chan(5, 6, "sum_b")},
+  'pixel_stats_v1' AS featurizer
+FROM d ORDER BY media_id
+"""
+
+
 def _sql_media_features() -> str:
     # DuckDB replays the byte-histogram bin from the hex expansion of
     # the UTF-8 payload: bytes 96..103 are exactly the hex pairs '6' +
@@ -2827,6 +2884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
         "media_features": q_media_features,
+        "pixel_decode": q_pixel_decode,
         "extract_pipeline_sql": q_extract_pipeline_sql,
         "extract_bank_sql": q_extract_bank_sql,
         "extract_itr_sql": q_extract_itr_sql,
@@ -2907,6 +2965,7 @@ def oracle_sql() -> dict[str, str]:
         # r3: the byte-histogram fallback IS SQL-expressible via
         # hex(encode(text)) — media_features joins the oracle gate.
         "media_features": _sql_media_features(),
+        "pixel_decode": _sql_pixel_decode(),
         # extract_pipeline / crosscheck_pipeline: non-SQL cascade +
         # pandas-UDF semantics -> rows-only (byte-identical correctness
         # is enforced by the pytest goldens instead).

@@ -159,6 +159,38 @@ def main():
         multimodal.pdf_layout_boxes(layout_df,
                                     num_partitions=cpus * 2).count()
 
+    # Real image decode throughput (textlib/imagecodec.py): 32x32 RGB
+    # PNGs cycling through all five row filters, generated + encoded
+    # executor-side PRE-clock; the timed pass is decode (zlib inflate,
+    # CRC verify, unfilter) + pixel featurization via mapInPandas.
+    n_img = max(1000, n_docs // 8)
+    png_path = f"/dev/shm/ocr_spark_bench_png_{os.getpid()}"
+
+    def _gen_pngs(batches):
+        import numpy as np
+        import pandas as pd
+        from ocr_spark.textlib import imagecodec as ic
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                rng = np.random.RandomState(int(mid) % (2 ** 31))
+                arr = rng.randint(0, 256, size=(32, 32, 3), dtype=np.uint8)
+                payloads.append(ic.encode_png(arr, filter_type=-1))
+            yield pd.DataFrame({"media_id": pdf["media_id"].astype(str),
+                                "kind": "image", "payload": payloads})
+
+    (spark.range(n_img).withColumnRenamed("id", "media_id")
+     .repartition(cpus * 2)
+     .mapInPandas(_gen_pngs,
+                  schema="media_id string, kind string, payload binary")
+     .write.mode("overwrite").parquet(png_path))
+    png_df = spark.read.parquet(png_path)
+
+    @timed("pixel_decode")
+    def _px():
+        multimodal.extract_pixel_features(
+            png_df, num_partitions=cpus * 2).count()
+
     @timed("crosscheck")
     def _cc():
         crosscheck.cross_check(extracted).count()
@@ -421,6 +453,7 @@ def main():
     shutil.rmtree(html_input_path, ignore_errors=True)
     shutil.rmtree(html_out_path, ignore_errors=True)
     shutil.rmtree(layout_path, ignore_errors=True)
+    shutil.rmtree(png_path, ignore_errors=True)
 
     print(json.dumps({
         "metric": "headline_queries_total_wall",
@@ -449,6 +482,8 @@ def main():
         "docs_extracted": n_docs - n_failed,
         "docs_failed_by_design": n_failed,
         "html_docs_per_sec": round(n_docs / timings["html_extract"], 1),
+        "png_images_decoded": n_img,
+        "png_decode_per_sec": round(n_img / timings["pixel_decode"], 1),
     }))
     spark.stop()
 
