@@ -1197,6 +1197,71 @@ FROM d ORDER BY media_id
 """
 
 
+def q_audio_decode(spark, sf_dir):
+    """REAL audio decode at the driver gate: expression-derived RIFF
+    WAV payloads (fixed PCM header + 48 md5-derived bytes = 24 mono
+    16-bit samples at 8 kHz) through the actual decode path
+    (multimodal.decode_audio -> avcodec.decode_wav -> audio_features).
+
+    Checked values are exact integers: decoded frame/channel/rate/
+    duration fields plus peak |sample| (features carry peak/32768 —
+    the multiply recovers the integer exactly) and the zero-crossing
+    COUNT (rate * 23 boundaries) — so a header mis-parse, endianness
+    flip, or sign error all hash-mismatch."""
+    import struct as _struct
+
+    from ocr_spark.operators import multimodal
+    header = (b"RIFF" + _struct.pack("<I", 36 + 48) + b"WAVE"
+              + b"fmt " + _struct.pack("<I", 16)
+              + _struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+              + b"data" + _struct.pack("<I", 48))
+    t = F.coalesce(F.col("text"), F.lit(""))
+    payload = F.concat(
+        F.lit(header),
+        F.unhex(F.md5(t.cast("binary"))),
+        F.unhex(F.md5(F.concat(t, F.lit("a")).cast("binary"))),
+        F.unhex(F.md5(F.concat(t, F.lit("b")).cast("binary"))))
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        payload.alias("payload"))
+    out = multimodal.extract_audio_features(media, num_partitions=8)
+    return out.select(
+        "media_id", "n_frames", "channels", "sample_rate", "duration_ms",
+        F.round(F.element_at("features", 6) * F.lit(32768))
+        .cast("long").alias("peak_abs"),
+        F.round(F.element_at("features", 7) * F.lit(23))
+        .cast("long").alias("zc_count"))
+
+
+def _sql_audio_decode() -> str:
+    # DuckDB replays the PCM arithmetic from the hex md5 concat:
+    # sample i is little-endian int16 from bytes 2i+1,2i+2 (hex chars
+    # 4i+1..4i+4), sign-folded at 32768. Exact integers — no float
+    # compare.
+    hexv = "(strpos('0123456789abcdef', substr(h, {k}, 1))-1)"
+    pair = lambda k: f"({hexv.format(k=k)}*16 + {hexv.format(k=f'{k}+1')})"
+    return f"""
+WITH d AS (
+  SELECT cast(doc_id AS varchar) AS media_id,
+         md5(coalesce(text,'')) || md5(coalesce(text,'') || 'a')
+           || md5(coalesce(text,'') || 'b') AS h
+  FROM documents),
+s AS (
+  SELECT media_id,
+         list_transform([ {pair('4*i+1')} + 256 * {pair('4*i+3')}
+                          for i in range(24)],
+                        x -> CASE WHEN x >= 32768 THEN x - 65536 ELSE x END) AS sv
+  FROM d)
+SELECT media_id, 24::bigint AS n_frames, 1 AS channels,
+       8000 AS sample_rate, 3::bigint AS duration_ms,
+       list_max(list_transform(sv, x -> abs(x)))::bigint AS peak_abs,
+       len(list_filter(range(23),
+           i -> (sv[i+1] < 0) != (sv[i+2] < 0)))::bigint AS zc_count
+FROM s ORDER BY media_id
+"""
+
+
 def _sql_media_features() -> str:
     # DuckDB replays the byte-histogram bin from the hex expansion of
     # the UTF-8 payload: bytes 96..103 are exactly the hex pairs '6' +
@@ -2885,6 +2950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann": q_ivf_ann,
         "media_features": q_media_features,
         "pixel_decode": q_pixel_decode,
+        "audio_decode": q_audio_decode,
         "extract_pipeline_sql": q_extract_pipeline_sql,
         "extract_bank_sql": q_extract_bank_sql,
         "extract_itr_sql": q_extract_itr_sql,
@@ -2966,6 +3032,7 @@ def oracle_sql() -> dict[str, str]:
         # hex(encode(text)) — media_features joins the oracle gate.
         "media_features": _sql_media_features(),
         "pixel_decode": _sql_pixel_decode(),
+        "audio_decode": _sql_audio_decode(),
         # extract_pipeline / crosscheck_pipeline: non-SQL cascade +
         # pandas-UDF semantics -> rows-only (byte-identical correctness
         # is enforced by the pytest goldens instead).

@@ -73,6 +73,45 @@ def decode_image(payload: bytes):
     raise ic.ImageFormatError("unrecognized image magic")
 
 
+def decode_audio(payload: bytes):
+    """Decode audio bytes to ((n_frames, channels) samples, rate).
+
+    WAV/RIFF PCM decodes natively (textlib/avcodec.py). MP3/AAC/OGG
+    need an entropy decoder — gated like JPEG, naming the swap-in."""
+    from ..textlib import avcodec as av
+
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return av.decode_wav(payload)
+    if payload[:3] == b"ID3" or payload[:2] in (b"\xff\xfb", b"\xff\xf3",
+                                                b"\xff\xf2"):
+        raise NotImplementedError(
+            "MP3 decode requires an audio codec library; wire "
+            "soundfile/librosa here on a real cluster")
+    if payload[:4] == b"OggS":
+        raise NotImplementedError(
+            "OGG decode requires an audio codec library; wire "
+            "soundfile here on a real cluster")
+    raise av.MediaFormatError("unrecognized audio magic")
+
+
+def decode_video_frames(payload: bytes, every_n: int = 1,
+                        max_frames: int | None = None):
+    """Iterate (frame_index, RGB frame) with every_n-th sampling.
+
+    YUV4MPEG2 decodes natively (textlib/avcodec.py). MP4/WebM/MKV need
+    an H.264/VP9 decoder — gated, naming the swap-in."""
+    from ..textlib import avcodec as av
+
+    if payload.startswith(b"YUV4MPEG2"):
+        return av.decode_y4m_frames(payload, every_n=every_n,
+                                    max_frames=max_frames)
+    if payload[4:8] == b"ftyp" or payload[:4] == b"\x1a\x45\xdf\xa3":
+        raise NotImplementedError(
+            "MP4/WebM decode requires a video codec library; wire "
+            "PyAV/ffmpeg here on a real cluster")
+    raise av.MediaFormatError("unrecognized video magic")
+
+
 def byte_histogram(payload: bytes, bins: int = 32) -> list[float]:
     """Deterministic fallback featurizer: normalized byte histogram."""
     if not payload:
@@ -158,6 +197,100 @@ def extract_pixel_features(media: DataFrame,
         media = media.repartition(num_partitions, F.xxhash64("media_id"))
     return media.mapInPandas(pixel_featurize_batches,
                              schema=PIXEL_FEATURE_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = StructType([
+    StructField("media_id", StringType(), False),
+    StructField("n_bytes", LongType(), False),
+    StructField("n_frames", LongType(), True),     # null when undecodable
+    StructField("channels", IntegerType(), True),
+    StructField("sample_rate", IntegerType(), True),
+    StructField("duration_ms", LongType(), True),
+    StructField("features", ArrayType(DoubleType()), False),
+    StructField("featurizer", StringType(), False),
+    StructField("decode_error", StringType(), True),
+])
+
+
+def audio_featurize_batches(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ..textlib import avcodec as av
+
+    cols = [f.name for f in AUDIO_FEATURE_SCHEMA.fields]
+    for pdf in iterator:
+        out = []
+        for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+            raw = bytes(payload) if payload is not None else b""
+            try:
+                samples, rate = decode_audio(raw)
+                out.append((media_id, len(raw), samples.shape[0],
+                            int(samples.shape[1]), rate,
+                            int(samples.shape[0] * 1000 / rate) if rate else 0,
+                            av.audio_features(samples, rate),
+                            "audio_stats_v1", None))
+            except (av.MediaFormatError, NotImplementedError) as e:
+                out.append((media_id, len(raw), None, None, None, None,
+                            byte_histogram(raw), "byte_histogram_v1",
+                            f"{type(e).__name__}: {e}"))
+        yield pd.DataFrame(out, columns=cols)
+
+
+def extract_audio_features(media: DataFrame,
+                           num_partitions: int | None = None) -> DataFrame:
+    """Decoded-audio feature rows (RMS, peak, zero-cross rate, rfft
+    spectrum bins) with per-row byte-histogram fallback — same contract
+    as extract_pixel_features."""
+    if num_partitions:
+        media = media.repartition(num_partitions, F.xxhash64("media_id"))
+    return media.mapInPandas(audio_featurize_batches,
+                             schema=AUDIO_FEATURE_SCHEMA)
+
+
+VIDEO_FRAME_SCHEMA = StructType([
+    StructField("media_id", StringType(), False),
+    StructField("frame_idx", IntegerType(), False),  # index in the stream
+    StructField("width", IntegerType(), False),
+    StructField("height", IntegerType(), False),
+    StructField("features", ArrayType(DoubleType()), False),
+    StructField("featurizer", StringType(), False),
+])
+
+
+def _video_frame_batches(every_n: int, max_frames: int | None):
+    from ..textlib import imagecodec as ic
+    from ..textlib import avcodec as av
+
+    cols = [f.name for f in VIDEO_FRAME_SCHEMA.fields]
+
+    def kernel(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in iterator:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    for idx, rgb in decode_video_frames(
+                            raw, every_n=every_n, max_frames=max_frames):
+                        rows.append((media_id, idx, rgb.shape[1],
+                                     rgb.shape[0], ic.pixel_features(rgb),
+                                     "pixel_stats_v1"))
+                except (av.MediaFormatError, NotImplementedError):
+                    continue  # undecodable stream contributes no frames
+            yield pd.DataFrame(rows, columns=cols)
+
+    return kernel
+
+
+def sample_video_frames(media: DataFrame, every_n: int = 1,
+                        max_frames: int | None = None,
+                        num_partitions: int | None = None) -> DataFrame:
+    """One feature row per SAMPLED frame of every decodable video
+    payload (Y4M natively; compressed containers contribute no rows
+    until a codec library is wired in). Sampling happens at the parse
+    — skipped frames are pointer bumps, not conversions — so
+    every_n=30 over a long stream is cheap."""
+    if num_partitions:
+        media = media.repartition(num_partitions, F.xxhash64("media_id"))
+    return media.mapInPandas(_video_frame_batches(every_n, max_frames),
+                             schema=VIDEO_FRAME_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

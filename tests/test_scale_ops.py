@@ -810,6 +810,50 @@ class TestMultimodal:
         assert "ImageFormatError" in out["corrupt"]["decode_error"]
         assert "NotImplementedError" in out["jpeg"]["decode_error"]
 
+    def test_audio_features_real_decode(self, spark):
+        import numpy as np
+        from ocr_spark.textlib import avcodec as av
+        rng = np.random.RandomState(3)
+        samples = rng.randint(-32768, 32768, size=(800, 2))
+        rows = [
+            ("wav", "audio", av.encode_wav(samples, 8000), None),
+            ("mp3", "audio", b"ID3\x04rest-of-an-mp3", None),
+            ("junk", "audio", b"\x01\x02" * 40, None),
+        ]
+        df = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+        out = {r["media_id"]: r for r in
+               multimodal.extract_audio_features(df, num_partitions=2).collect()}
+        wav = out["wav"]
+        assert (wav["n_frames"], wav["channels"], wav["sample_rate"],
+                wav["duration_ms"]) == (800, 2, 8000, 100)
+        assert wav["featurizer"] == "audio_stats_v1"
+        assert wav["features"] == pytest.approx(
+            av.audio_features(samples.astype(np.int32), 8000))
+        assert "NotImplementedError" in out["mp3"]["decode_error"]
+        assert "MediaFormatError" in out["junk"]["decode_error"]
+        assert out["junk"]["featurizer"] == "byte_histogram_v1"
+
+    def test_video_frame_sampling(self, spark):
+        import numpy as np
+        from ocr_spark.textlib import avcodec as av
+        # 9-frame 4x4 video with per-frame luma ramp
+        planes = [(np.full((4, 4), 16 + 20 * i, np.uint8),
+                   np.full((2, 2), 128, np.uint8),
+                   np.full((2, 2), 128, np.uint8)) for i in range(9)]
+        y4m = av.encode_y4m(planes, 4, 4)
+        rows = [("vid", "video", y4m, None),
+                ("mp4", "video", b"\x00\x00\x00\x18ftypmp42....", None)]
+        df = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+        out = multimodal.sample_video_frames(df, every_n=4,
+                                             num_partitions=2).collect()
+        # mp4 contributes no rows (codec gated); y4m samples frames 0,4,8
+        assert sorted((r["media_id"], r["frame_idx"]) for r in out) == [
+            ("vid", 0), ("vid", 4), ("vid", 8)]
+        frame0 = [r for r in out if r["frame_idx"] == 0][0]
+        assert (frame0["width"], frame0["height"]) == (4, 4)
+        # limited-range black frame -> zero means
+        assert frame0["features"][3:6] == [0.0, 0.0, 0.0]
+
     def test_decode_dispatch_gates(self):
         from ocr_spark.textlib import imagecodec as ic
         # JPEG stays the PIL swap-in stub; unknown magic is a format error.
