@@ -108,17 +108,39 @@ def _unfilter(raw: bytes, height: int, rowbytes: int, bpp: int) -> np.ndarray:
             rec = (np.cumsum(lanes, axis=0) & 0xFF).astype(np.uint8).reshape(-1)
         elif ftype == 2:  # Up
             rec = row + prev  # uint8 wraps mod 256
-        elif ftype == 3:  # Average
-            rec = np.zeros(rowbytes, dtype=np.uint8)
-            for x in range(rowbytes):
-                left = int(rec[x - bpp]) if x >= bpp else 0
-                rec[x] = (int(row[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            rec = np.zeros(rowbytes, dtype=np.uint8)
-            for x in range(rowbytes):
-                left = int(rec[x - bpp]) if x >= bpp else 0
-                ul = int(prev[x - bpp]) if x >= bpp else 0
-                rec[x] = (int(row[x]) + _paeth(left, int(prev[x]), ul)) & 0xFF
+        elif ftype == 3:  # Average — left-dependent: bytearray int loop
+            # (Python ints over bytes are ~5-10x faster than per-item
+            # numpy scalar access for these inherently sequential rows)
+            rb = row.tobytes()
+            pb = prev.tobytes()
+            acc = bytearray(rowbytes)
+            for x in range(bpp):
+                acc[x] = (rb[x] + (pb[x] >> 1)) & 0xFF
+            for x in range(bpp, rowbytes):
+                acc[x] = (rb[x] + ((acc[x - bpp] + pb[x]) >> 1)) & 0xFF
+            rec = np.frombuffer(bytes(acc), dtype=np.uint8)
+        elif ftype == 4:  # Paeth — same sequential shape
+            rb = row.tobytes()
+            pb = prev.tobytes()
+            acc = bytearray(rowbytes)
+            for x in range(bpp):
+                acc[x] = (rb[x] + pb[x]) & 0xFF  # a=c=0 -> predictor is b
+            for x in range(bpp, rowbytes):
+                a = acc[x - bpp]
+                b = pb[x]
+                c = pb[x - bpp]
+                p = a + b - c
+                pa = p - a if p >= a else a - p
+                pb_ = p - b if p >= b else b - p
+                pc = p - c if p >= c else c - p
+                if pa <= pb_ and pa <= pc:
+                    pred = a
+                elif pb_ <= pc:
+                    pred = b
+                else:
+                    pred = c
+                acc[x] = (rb[x] + pred) & 0xFF
+            rec = np.frombuffer(bytes(acc), dtype=np.uint8)
         else:
             raise ImageFormatError(f"unknown PNG filter type {ftype}")
         out[y] = rec
