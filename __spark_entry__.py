@@ -1197,6 +1197,69 @@ FROM d ORDER BY media_id
 """
 
 
+def _domain_url_expr():
+    """Derived urls with host-extraction branch variety by doc_id
+    arithmetic: uppercase host + default port, userinfo, double-@,
+    subdomain + nonstandard port (identical CASE in the oracle SQL)."""
+    i = F.col("doc_id")
+    s = F.col("source")
+    sid = i.cast("string")
+    return (
+        F.when(i % 7 == 1,
+               F.concat(F.lit("HTTPS://WWW."), F.upper(s),
+                        F.lit(".EXAMPLE.ORG:443/p/"), sid))
+        .when(i % 7 == 3,
+              F.concat(F.lit("https://user:Secret@"), s,
+                       F.lit(".example.org/p/"), sid))
+        .when(i % 7 == 5,
+              F.concat(F.lit("http://cdn."), s,
+                       F.lit(".example.org:8080/p/"), sid))
+        .otherwise(F.concat(F.lit("https://"), s,
+                            F.lit(".example.org/p/"), sid, F.lit(".html"))))
+
+
+def q_domain_stats(spark, sf_dir):
+    """Per-domain curation profile (RefinedWeb/C4-style) through the
+    REAL operators: the pure-expression url_host key (lowercase,
+    userinfo split on the last '@', port strip — every branch planted)
+    feeding one hash aggregation. Exact integer outputs."""
+    from ocr_spark.operators import domains
+    docs = _docs(spark, sf_dir).select(
+        _domain_url_expr().alias("url"), "text")
+    return domains.domain_stats(docs).orderBy("host")
+
+
+def _sql_domain_stats() -> str:
+    return r"""
+WITH d AS (
+  SELECT CASE
+           WHEN doc_id % 7 = 1 THEN 'HTTPS://WWW.' || upper(source)
+                || '.EXAMPLE.ORG:443/p/' || doc_id::varchar
+           WHEN doc_id % 7 = 3 THEN 'https://user:Secret@' || source
+                || '.example.org/p/' || doc_id::varchar
+           WHEN doc_id % 7 = 5 THEN 'http://cdn.' || source
+                || '.example.org:8080/p/' || doc_id::varchar
+           ELSE 'https://' || source || '.example.org/p/'
+                || doc_id::varchar || '.html'
+         END AS url,
+         coalesce(text, '') AS t
+  FROM documents),
+h AS (
+  SELECT lower(regexp_replace(
+           regexp_extract(
+             regexp_extract(url,
+               '^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]+)', 1),
+             '([^@]*)$', 1),
+           ':[0-9]+$', '')) AS host,
+         t
+  FROM d)
+SELECT host, count(*)::bigint AS n_docs,
+       count(DISTINCT md5(t))::bigint AS n_unique_texts,
+       sum(length(t))::bigint AS sum_chars
+FROM h GROUP BY host ORDER BY host
+"""
+
+
 def q_audio_decode(spark, sf_dir):
     """REAL audio decode at the driver gate: expression-derived RIFF
     WAV payloads (fixed PCM header + 48 md5-derived bytes = 24 mono
@@ -2951,6 +3014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "pixel_decode": q_pixel_decode,
         "audio_decode": q_audio_decode,
+        "domain_stats": q_domain_stats,
         "extract_pipeline_sql": q_extract_pipeline_sql,
         "extract_bank_sql": q_extract_bank_sql,
         "extract_itr_sql": q_extract_itr_sql,
@@ -3033,6 +3097,7 @@ def oracle_sql() -> dict[str, str]:
         "media_features": _sql_media_features(),
         "pixel_decode": _sql_pixel_decode(),
         "audio_decode": _sql_audio_decode(),
+        "domain_stats": _sql_domain_stats(),
         # extract_pipeline / crosscheck_pipeline: non-SQL cascade +
         # pandas-UDF semantics -> rows-only (byte-identical correctness
         # is enforced by the pytest goldens instead).

@@ -111,6 +111,17 @@ def token_count(c: Column) -> Column:
 TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid|msclkid|mc_eid)(=.*)?$"
 
 
+def url_host(c: Column) -> Column:
+    """Lowercased registered host of a URL — no userinfo, no port — as
+    a pure codegen expression (the per-domain grouping key at 10^12
+    urls must come out of the scan stage, like url_normalize). The
+    DuckDB driver-oracle replays the same three steps: authority
+    capture, after-last-'@' split, ':port' strip + lowercase."""
+    auth = F.regexp_extract(c, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]+)", 1)
+    host = F.regexp_extract(auth, r"([^@]*)$", 1)
+    return F.lower(F.regexp_replace(host, r":\d+$", ""))
+
+
 def url_normalize(c: Column) -> Column:
     """Canonical URL key for web-scale dedup/grouping (RFC 3986
     syntax-based normalization + the de-facto web rules), as a pure

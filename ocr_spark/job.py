@@ -33,6 +33,10 @@ the per-url signals and the filtered corpus.
 --line-dedup <dir> removes corpus-level boilerplate lines (a trimmed
 line shared by more than 5 distinct documents) from every document,
 persisting the cleaned corpus with per-document removal counts.
+--domain-filter <dir> profiles the corpus per host (url_host key) and
+gates it with --domain-block (exact-or-subdomain blocklist) and/or
+--domain-cap (max docs per host, deterministic survivors), persisting
+the per-host stats and the gated corpus.
 
 Catalog maintenance (each may run alone — no input source needed — or
 after an ingest pass in the same invocation):
@@ -127,6 +131,21 @@ def _parse(argv):
     p.add_argument("--lang-keep", default="en",
                    help="comma-separated language codes --lang-filter "
                         "keeps (default: en)")
+    p.add_argument("--domain-filter", default=None, metavar="DIR",
+                   help="per-domain curation over the committed "
+                        "snapshot (operators/domains.py): persist the "
+                        "per-host profile (doc/unique/char counts) "
+                        "under DIR/stats and the gated corpus under "
+                        "DIR/filtered; gate with --domain-block and/or "
+                        "--domain-cap")
+    p.add_argument("--domain-block", default=None, metavar="HOSTS",
+                   help="comma-separated blocked hosts for "
+                        "--domain-filter; a host matches exactly or as "
+                        "a subdomain (ads.example.com matches blocked "
+                        "example.com)")
+    p.add_argument("--domain-cap", type=int, default=None, metavar="N",
+                   help="keep at most N docs per host (deterministic "
+                        "survivor selection) for --domain-filter")
     p.add_argument("--line-dedup", default=None, metavar="DIR",
                    help="remove corpus-level boilerplate lines "
                         "(textstats.line_dedup, CCNet-style) from the "
@@ -175,6 +194,22 @@ def _parse(argv):
     elif args.neardup_method == "embedding" and not args.embeddings:
         p.error("--neardup-method embedding requires --embeddings "
                 "(the snapshot carries no vectors)")
+    if args.domain_filter:
+        if not args.domain_block and args.domain_cap is None:
+            p.error("--domain-filter needs --domain-block and/or "
+                    "--domain-cap (a gate with no rule would copy the "
+                    "corpus and report nothing)")
+        if args.domain_cap is not None and args.domain_cap < 1:
+            p.error("--domain-cap must be >= 1")
+        if args.domain_block:
+            entries = [b.strip().lower().lstrip(".")
+                       for b in args.domain_block.split(",")]
+            bad = [b for b in entries if not b or "/" in b or ":" in b]
+            if bad:
+                p.error(f"--domain-block entries must be bare hosts "
+                        f"(no scheme/port/path): {bad}")
+    elif args.domain_block or args.domain_cap is not None:
+        p.error("--domain-block/--domain-cap require --domain-filter")
     if args.lang_filter:
         from ocr_spark.operators import textstats
         known = (set(textstats.LANG_STOPWORDS)
@@ -405,6 +440,37 @@ def main(argv=None, spark=None) -> dict:
                 f"{args.lang_filter}/filtered").count()
             summary["lang_filter"] = {
                 "keep": keep_langs, "docs": n_docs, "kept": n_kept,
+                "dropped": n_docs - n_kept}
+
+    if args.domain_filter:
+        # Per-domain curation (RefinedWeb-style cap + C4-style
+        # blocklist): the per-host profile persists next to the gated
+        # corpus so a dropped domain is always explainable — same
+        # never-silent contract as the other stages.
+        from ocr_spark.operators import domains
+        committed = table.read(spark)
+        if committed is not None:
+            blocked = ([b.strip() for b in args.domain_block.split(",")
+                        if b.strip()] if args.domain_block else [])
+            stats = domains.domain_stats(committed, url_col="url",
+                                         text_col="extracted_text")
+            stats.write.mode("overwrite").parquet(
+                f"{args.domain_filter}/stats")
+            gated = committed
+            if blocked:
+                gated = domains.domain_filter(gated, blocked)
+            if args.domain_cap is not None:
+                gated = domains.domain_cap(gated, args.domain_cap)
+            gated.write.mode("overwrite").parquet(
+                f"{args.domain_filter}/filtered")
+            n_docs = committed.count()
+            n_kept = spark.read.parquet(
+                f"{args.domain_filter}/filtered").count()
+            n_hosts = spark.read.parquet(
+                f"{args.domain_filter}/stats").count()
+            summary["domain_filter"] = {
+                "hosts": n_hosts, "blocked": blocked,
+                "cap": args.domain_cap, "docs": n_docs, "kept": n_kept,
                 "dropped": n_docs - n_kept}
 
     if args.line_dedup:

@@ -7,6 +7,8 @@ import subprocess
 import sys
 import zipfile
 
+import pytest
+
 from ocr_spark import job, schemas
 from ocr_spark.sources import snapshot, synth
 
@@ -60,6 +62,44 @@ def test_job_catalog_table_by_name(spark, tmp_path):
     c = Catalog(ms)
     assert [e["table"] for e in c.list_tables("web")] == ["docs"]
     assert c.load_table("web.docs").read(spark).count() == 24
+
+
+def test_job_domain_filter_caps_and_blocks(spark, tmp_path):
+    """--domain-filter persists the per-host profile + the gated corpus;
+    the cap bounds each host and the blocklist drops subdomains too."""
+    inp = str(tmp_path / "in.parquet")
+    rows = synth.generate_rows(60)
+    spark.createDataFrame(rows, schema=schemas.INPUT_SCHEMA) \
+        .repartition(2).write.parquet(inp)
+    table = str(tmp_path / "table")
+    out = str(tmp_path / "domains")
+
+    r = job.main(["--input", inp, "--table", table, "--partitions", "2",
+                  "--domain-filter", out,
+                  "--domain-block", "blocked.example",
+                  "--domain-cap", "25"], spark=spark)
+    df = r["domain_filter"]
+    # synth urls all live on docs.synth.local -> one host, capped at 25
+    assert df["hosts"] == 1
+    assert df["docs"] == 60 and df["kept"] == 25 and df["dropped"] == 35
+    stats = spark.read.parquet(f"{out}/stats").collect()
+    assert [(s["host"], s["n_docs"]) for s in stats] == [
+        ("docs.synth.local", 60)]
+    kept = spark.read.parquet(f"{out}/filtered")
+    assert kept.count() == 25
+    assert set(kept.columns) == set(
+        spark.read.parquet(f"{table}/data/run-000001").columns)
+
+    # orphaned flags and empty gates are usage errors
+    with pytest.raises(SystemExit):
+        job.main(["--synth", "4", "--table", table,
+                  "--domain-cap", "5"], spark=spark)
+    with pytest.raises(SystemExit):
+        job.main(["--synth", "4", "--table", table,
+                  "--domain-filter", out], spark=spark)
+    with pytest.raises(SystemExit):
+        job.main(["--synth", "4", "--table", table, "--domain-filter",
+                  out, "--domain-block", "http://x.com"], spark=spark)
 
 
 def test_job_neardup_reports_hot_bucket_drops(spark, tmp_path):
