@@ -380,3 +380,71 @@ def stream_neardup(spark: SparkSession, input_dir: str, table_root: str,
         q.awaitTermination()
         return table
     return writer.start()
+
+
+def stream_domain_cap(spark: SparkSession, input_dir: str, out_dir: str,
+                      checkpoint_dir: str, max_per_domain: int,
+                      available_now: bool = True,
+                      max_files_per_trigger: int | None = None):
+    """Per-domain contribution cap ON INGEST — the streaming form of
+    ``domains.domain_cap``, as a CUSTOM STATEFUL operator
+    (``applyInPandasWithState``): the state per host is one counter of
+    documents already admitted, so a host that exhausts its budget in
+    micro-batch 3 stays closed in micro-batch 300.
+
+    Where batch ``domain_cap`` selects a deterministic hash-ordered
+    survivor set (it sees the whole corpus), the streaming form
+    necessarily admits in ARRIVAL order — first ``max_per_domain``
+    docs per host win, exactly like the streaming dedup's documented
+    within-batch caveat. State is 8 bytes per distinct host (RocksDB-
+    backable), and the shuffle key is the pure-expression
+    ``url_host``, so hot hosts hash-spread the same way the batch
+    operator's window partitions do.
+    """
+    if max_per_domain < 1:
+        raise ValueError("max_per_domain must be >= 1")
+
+    from ..functions.expressions import url_host
+
+    out_cols = [f.name for f in schemas.INPUT_SCHEMA.fields]
+    state_schema = "n_admitted LONG"
+
+    def cap_host(key, pdfs, state):
+        admitted = state.get[0] if state.exists else 0
+        budget = max_per_domain - admitted
+        for pdf in pdfs:
+            if budget <= 0:
+                break
+            take = pdf.iloc[:budget]
+            budget -= len(take)
+            if len(take):
+                yield take[out_cols]
+        state.update((max_per_domain - budget,))
+
+    reader = spark.readStream.schema(schemas.INPUT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    capped = (
+        reader.parquet(input_dir)
+        .withColumn("_host", url_host(F.col("url")))
+        .groupBy("_host")
+        .applyInPandasWithState(cap_host,
+                                outputStructType=schemas.INPUT_SCHEMA,
+                                stateStructType=state_schema,
+                                outputMode="append",
+                                timeoutConf="NoTimeout")
+    )
+    writer = (
+        capped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        import os as _os
+        if not _os.path.isdir(out_dir):
+            return spark.createDataFrame([], schemas.INPUT_SCHEMA)
+        return spark.read.schema(schemas.INPUT_SCHEMA).parquet(out_dir)
+    return writer.start()

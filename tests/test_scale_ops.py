@@ -921,6 +921,58 @@ class TestStreaming:
                                 str(tmp_path / "wckpt"))
         assert table2.read(spark).count() == 18
 
+    def test_stream_domain_cap_state_across_microbatches(self, spark,
+                                                         tmp_path):
+        """Custom stateful operator (applyInPandasWithState): the
+        per-host admission counter persists across micro-batches AND
+        across drains — a host that used its budget stays closed."""
+        import datetime as dt
+
+        from ocr_spark import schemas
+        from ocr_spark.streaming.jobs import stream_domain_cap
+
+        in_dir = str(tmp_path / "dc_in")
+        ts = dt.datetime(2026, 3, 1)
+        # 4 files -> 4 micro-batches: big.com sends 2 docs per file,
+        # small.org sends 1 in files 0 and 3.
+        for i in range(4):
+            rows = [(f"https://big.com/{i}/a", ts, None, f"ba{i}", "en", None),
+                    (f"https://big.com/{i}/b", ts, None, f"bb{i}", "en", None)]
+            if i in (0, 3):
+                rows.append((f"https://small.org/{i}", ts, None,
+                             f"s{i}", "en", None))
+            spark.createDataFrame(rows, schema=schemas.INPUT_SCHEMA) \
+                .coalesce(1).write.mode("append").parquet(in_dir)
+
+        out = stream_domain_cap(spark, in_dir, str(tmp_path / "dc_out"),
+                                str(tmp_path / "dc_ck"), max_per_domain=3,
+                                max_files_per_trigger=1)
+        urls = sorted(r["url"] for r in out.collect())
+        big = [u for u in urls if "big.com" in u]
+        small = [u for u in urls if "small.org" in u]
+        # big.com admitted exactly 3 (first-arrival order: both file-0
+        # docs + one of file 1); small.org under cap passes fully.
+        assert len(big) == 3
+        assert big[:2] == ["https://big.com/0/a", "https://big.com/0/b"]
+        assert small == ["https://small.org/0", "https://small.org/3"]
+
+        # A LATER drain with new files: state survives the restart —
+        # big.com stays closed, a fresh host gets its own budget.
+        rows = [("https://big.com/9/z", ts, None, "late", "en", None),
+                ("https://new.net/1", ts, None, "n", "en", None)]
+        spark.createDataFrame(rows, schema=schemas.INPUT_SCHEMA) \
+            .coalesce(1).write.mode("append").parquet(in_dir)
+        out2 = stream_domain_cap(spark, in_dir, str(tmp_path / "dc_out"),
+                                 str(tmp_path / "dc_ck"), max_per_domain=3,
+                                 max_files_per_trigger=1)
+        urls2 = sorted(r["url"] for r in out2.collect())
+        assert "https://big.com/9/z" not in urls2
+        assert "https://new.net/1" in urls2
+        assert len([u for u in urls2 if "big.com" in u]) == 3  # unchanged
+
+        with pytest.raises(ValueError, match=">= 1"):
+            stream_domain_cap(spark, in_dir, "x", "y", max_per_domain=0)
+
     def test_stream_exact_dedup_across_microbatches(self, spark, tmp_path):
         """Stateful streaming dedup: duplicates landing in DIFFERENT
         micro-batches (maxFilesPerTrigger=2 over 4 files) are dropped

@@ -195,6 +195,28 @@ def main() -> None:
           and "MapInPandas" not in p and "BroadcastHashJoin" in p,
           f"BroadcastHashJoin={'BroadcastHashJoin' in p}")
 
+    # 9e. r4.2: the media decode legs build their payloads with pure
+    #     expressions (md5/unhex/concat at the scan — no Python before
+    #     the single featurize exchange) and decode via Arrow-batched
+    #     MapInPandas, never a row UDF.
+    for name in ("pixel_decode", "audio_decode"):
+        p = plans[name]
+        check(name,
+              "expression-built payloads + Arrow decode (MapInPandas only)",
+              "MapInPandas" in p and "BatchEvalPython" not in p
+              and "ArrowEvalPython" not in p,
+              f"MapInPandas={'MapInPandas' in p}")
+
+    # 9f. r4.2: per-domain stats are one hash aggregation over the
+    #     pure-expression url_host key — partial (map-side) combine,
+    #     no Python anywhere in the plan.
+    p = plans["domain_stats"]
+    check("domain_stats",
+          "expression host key -> hash aggregation, no Python in plan",
+          "HashAggregate" in p and "BatchEvalPython" not in p
+          and "ArrowEvalPython" not in p and "MapInPandas" not in p,
+          f"HashAggregate={'HashAggregate' in p}")
+
     # 9. No CartesianProduct anywhere: every join is keyed or broadcast
     #    (the brute-force oracle baselines use broadcast nested loop,
     #    which bounds the big side to one scan).
