@@ -2982,6 +2982,239 @@ FROM b ORDER BY url, box_idx
 """
 
 
+# ---------------------------------------------------------------------------
+# PII scrubbing, unicode normalization, C4 heuristic cleanup (r4
+# continuation): planted fixtures derived from documents.text by
+# expressions; the Spark side runs the REAL operators
+# (operators/scrub.py, textstats.c4_stats), the oracle replays the
+# same regex chains in DuckDB (RE2 — patterns chosen for Java/RE2
+# parity; scrub.PHONE_RE_RE2 carries the \v divergence fix).
+# ---------------------------------------------------------------------------
+
+def _pii_docs(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    sid = F.col("doc_id").cast("string")
+    txt = F.col("text")
+    txt = (F.when(F.col("doc_id") % 4 == 0,
+                  F.concat(txt, F.lit(" contact user"), sid,
+                           F.lit("@example-mail.org or "
+                                 "admin@corp.example.co.uk soon")))
+           .when(F.col("doc_id") % 4 == 1,
+                 F.concat(txt, F.lit(" call (555) 123-4567 or "
+                                     "555.867.5309 today")))
+           .when(F.col("doc_id") % 4 == 2,
+                 F.concat(txt, F.lit(" from 10.0."),
+                          (F.col("doc_id") % 200).cast("string"),
+                          F.lit(".7 and 8.8.8.8 gateway")))
+           .otherwise(txt))
+    return d.select("doc_id", txt.alias("text"))
+
+
+_PII_DERIVE_SQL = """
+SELECT doc_id, CASE
+  WHEN doc_id % 4 = 0 THEN text || ' contact user' || doc_id ||
+    '@example-mail.org or admin@corp.example.co.uk soon'
+  WHEN doc_id % 4 = 1 THEN text || ' call (555) 123-4567 or 555.867.5309 today'
+  WHEN doc_id % 4 = 2 THEN text || ' from 10.0.' || (doc_id % 200) ||
+    '.7 and 8.8.8.8 gateway'
+  ELSE text END AS text
+FROM documents
+"""
+
+
+def q_pii_stats(spark, sf_dir):
+    """Dolma-style PII detection + redaction (emails -> IPs -> phones,
+    stage-wise counts = redactions performed) over expression-planted
+    fixtures, through the REAL scrub.pii_stats codegen projection."""
+    from ocr_spark.operators import scrub
+    out = scrub.pii_stats(_pii_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "n_emails", "n_ips", "n_phones", "has_pii",
+        F.md5(F.col("redacted_text").cast("binary")).alias("redacted_fp"),
+        F.length("redacted_text").alias("redacted_len"))
+
+
+def _sql_pii_stats():
+    from ocr_spark.operators import scrub
+    e, i, p = scrub.EMAIL_RE, scrub.IPV4_RE, scrub.PHONE_RE_RE2
+    et, it, pt = scrub.EMAIL_TOKEN, scrub.IP_TOKEN, scrub.PHONE_TOKEN
+    return f"""
+WITH d AS ({_PII_DERIVE_SQL}),
+s AS (SELECT doc_id, text AS raw,
+        regexp_replace(text, '{e}', '{et}', 'g') AS after_email
+      FROM d),
+s2 AS (SELECT *, regexp_replace(after_email, '{i}', '{it}', 'g') AS after_ip
+       FROM s)
+SELECT doc_id,
+  len(regexp_extract_all(raw, '{e}')) AS n_emails,
+  len(regexp_extract_all(after_email, '{i}')) AS n_ips,
+  len(regexp_extract_all(after_ip, '{p}')) AS n_phones,
+  len(regexp_extract_all(raw, '{e}')) + len(regexp_extract_all(after_email, '{i}'))
+    + len(regexp_extract_all(after_ip, '{p}')) > 0 AS has_pii,
+  md5(regexp_replace(after_ip, '{p}', '{pt}', 'g')) AS redacted_fp,
+  length(regexp_replace(after_ip, '{p}', '{pt}', 'g')) AS redacted_len
+FROM s2 ORDER BY doc_id
+"""
+
+
+def _clean_docs(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    txt = F.col("text")
+    txt = (F.when(F.col("doc_id") % 4 == 0,
+                  F.concat(F.lit("  Cafe\u0301 menu\x01item\x07 \r\n"), txt))
+           .when(F.col("doc_id") % 4 == 1,
+                 F.concat(F.lit("line one.\r\nline two.\r"), txt,
+                          F.lit("\n\n\n\n\ntail  \t here ")))
+           .when(F.col("doc_id") % 4 == 2,
+                 F.concat(F.lit(" x\x0by\x0cz\x7f "), txt))
+           .otherwise(txt))
+    return d.select("doc_id", txt.alias("text"))
+
+
+# chr() codepoints keep the control bytes out of the SQL literal.
+_CLEAN_DERIVE_SQL = """
+SELECT doc_id, CASE
+  WHEN doc_id % 4 = 0 THEN '  Cafe' || chr(769) || ' menu' || chr(1) ||
+    'item' || chr(7) || ' ' || chr(13) || chr(10) || text
+  WHEN doc_id % 4 = 1 THEN 'line one.' || chr(13) || chr(10) ||
+    'line two.' || chr(13) || text || repeat(chr(10), 5) ||
+    'tail  ' || chr(9) || ' here '
+  WHEN doc_id % 4 = 2 THEN ' x' || chr(11) || 'y' || chr(12) || 'z' ||
+    chr(127) || ' ' || text
+  ELSE text END AS text
+FROM documents
+"""
+
+
+def q_clean_text(spark, sf_dir):
+    """Unicode normalization (CRLF fold, control strip, NFC via a
+    vectorized Arrow pandas UDF, whitespace collapse) over planted
+    dirty fixtures, through the REAL scrub.clean_text. The oracle runs
+    DuckDB's independent nfc_normalize — a cross-implementation NFC
+    check. (chr(1) stands in for NUL on the planted row: DuckDB
+    literals cannot carry chr(0), and both engines strip the whole C0
+    range either way.)"""
+    from ocr_spark.operators import scrub
+    out = scrub.clean_text(_clean_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("clean_fp"),
+        F.length("text").alias("clean_len"),
+        "n_chars_removed")
+
+
+def _sql_clean_text():
+    from ocr_spark.operators import scrub
+    ctrl = scrub.CONTROL_RE
+    return f"""
+WITH d AS ({_CLEAN_DERIVE_SQL}),
+c AS (SELECT doc_id, length(text) AS orig_len,
+  regexp_replace(
+  regexp_replace(
+  regexp_replace(
+  regexp_replace(
+    nfc_normalize(
+      regexp_replace(
+        regexp_replace(text, '\\r\\n|\\r', chr(10), 'g'),
+        '{ctrl}', '', 'g')),
+    '[ \\t]+', ' ', 'g'),
+    ' ?\\n ?', chr(10), 'g'),
+    '\\n{{3,}}', chr(10) || chr(10), 'g'),
+    '^[ \\n]+|[ \\n]+$', '', 'g') AS cleaned
+  FROM d)
+SELECT doc_id, md5(cleaned) AS clean_fp, length(cleaned) AS clean_len,
+       orig_len - length(cleaned) AS n_chars_removed
+FROM c ORDER BY doc_id
+"""
+
+
+_C4_BAD_WORDS = ("xbadwordx",)
+
+
+def _c4_docs(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    sid = F.col("doc_id").cast("string")
+    good = F.concat_ws("\n", *[
+        F.concat(F.lit(f"This is sentence number {i} of document "),
+                 sid, F.lit(".")) for i in range(6)])
+    # Two lines the line filter must drop even on a kept page.
+    good = F.concat(good, F.lit("\nno terminal punctuation here\nToo short."))
+    txt = (F.when(F.col("doc_id") % 5 == 0, good)
+           .when(F.col("doc_id") % 5 == 1,
+                 F.concat(F.lit("Only two sentences live here. And the "
+                                "second one ends now."),
+                          F.lit("\nEnable javascript to continue browsing.")))
+           .when(F.col("doc_id") % 5 == 2,
+                 F.concat(good, F.lit("\nSome lorem ipsum filler text here.")))
+           .when(F.col("doc_id") % 5 == 3,
+                 F.concat(good, F.lit("\nvar f = function() { return 1; };")))
+           .otherwise(F.concat(good, F.lit("\nThis page says xbadwordx sadly."))))
+    return d.select("doc_id", txt.alias("text"))
+
+
+def _c4_derive_sql():
+    good = " || chr(10) || ".join(
+        f"'This is sentence number {i} of document ' || doc_id || '.'"
+        for i in range(6))
+    good = (f"({good} || chr(10) || 'no terminal punctuation here'"
+            f" || chr(10) || 'Too short.')")
+    return f"""
+SELECT doc_id, CASE
+  WHEN doc_id % 5 = 0 THEN {good}
+  WHEN doc_id % 5 = 1 THEN 'Only two sentences live here. And the second one ends now.'
+    || chr(10) || 'Enable javascript to continue browsing.'
+  WHEN doc_id % 5 = 2 THEN {good} || chr(10) || 'Some lorem ipsum filler text here.'
+  WHEN doc_id % 5 = 3 THEN {good} || chr(10) || 'var f = function() {{ return 1; }};'
+  ELSE {good} || chr(10) || 'This page says xbadwordx sadly.'
+  END AS text
+FROM documents
+"""
+
+
+def q_c4_stats(spark, sf_dir):
+    """C4 heuristic cleanup (Raffel et al. 2020 §2.2): line retention
+    by terminal punctuation / >=3 words / "javascript", page gates
+    (>=5 sentences, lorem ipsum, curly brace, bad-word list) — planted
+    page classes on doc_id%5 through the REAL textstats.c4_stats."""
+    out = textstats.c4_stats(_c4_docs(spark, sf_dir),
+                             bad_words=_C4_BAD_WORDS)
+    return out.select(
+        "doc_id", "n_lines", "n_kept_lines", "n_sentences", "has_lorem",
+        "has_brace", "has_bad_word", "keep",
+        F.md5(F.col("kept_text").cast("binary")).alias("kept_fp"))
+
+
+def _sql_c4_stats():
+    bw = ", ".join(f"'{w}'" for w in _C4_BAD_WORDS)
+    return f"""
+WITH d AS ({_c4_derive_sql()}),
+k AS (SELECT doc_id, text,
+  len(str_split(text, chr(10))) AS n_lines,
+  array_to_string(
+    list_filter(list_transform(str_split(text, chr(10)), l -> trim(l)),
+      l -> regexp_matches(l, '[.!?"]$')
+        AND len(regexp_split_to_array(l, '[\\s\\v]+')) >= 3
+        AND NOT contains(lower(l), 'javascript')),
+    chr(10)) AS kept_text
+  FROM d),
+s AS (SELECT doc_id, n_lines, kept_text,
+  CASE WHEN kept_text = '' THEN 0
+       ELSE len(str_split(kept_text, chr(10))) END AS n_kept_lines,
+  length(regexp_replace(kept_text, '[^.!?]', '', 'g')) AS n_sentences,
+  contains(lower(text), 'lorem ipsum') AS has_lorem,
+  contains(text, '{{') AS has_brace,
+  list_has_any(regexp_extract_all(lower(text), '[a-z]+'), [{bw}])
+    AS has_bad_word
+  FROM k)
+SELECT doc_id, n_lines, n_kept_lines, n_sentences, has_lorem, has_brace,
+       has_bad_word,
+       n_sentences >= 5 AND NOT has_lorem AND NOT has_brace
+         AND NOT has_bad_word AS keep,
+       md5(kept_text) AS kept_fp
+FROM s ORDER BY doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "salary_amount": q_salary_amount,
@@ -3001,6 +3234,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "repetition_stats": q_repetition_stats,
         "line_dedup": q_line_dedup,
+        "pii_stats": q_pii_stats,
+        "clean_text": q_clean_text,
+        "c4_stats": q_c4_stats,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_bruteforce": q_ann_bruteforce,
         "embedding_neardup": q_embedding_neardup,
@@ -3053,6 +3289,9 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _sql_lang_id(),
         "repetition_stats": _sql_repetition_stats(),
         "line_dedup": _sql_line_dedup(),
+        "pii_stats": _sql_pii_stats(),
+        "clean_text": _sql_clean_text(),
+        "c4_stats": _sql_c4_stats(),
         "ngram_jaccard": _sql_ngram_jaccard(),
         "ann_bruteforce": _sql_ann_bruteforce(),
         "embedding_neardup": _sql_embedding_neardup(),

@@ -295,6 +295,20 @@ def main():
     def _ts():
         textstats.document_stats(docs).count()
 
+    @timed("scrub")
+    def _scrub():
+        # PII redaction + unicode normalization chained over the
+        # extracted corpus (the realistic placement: scrub after
+        # extraction, before dedup). The aggregate reads the rewritten
+        # text so column pruning can't skip the regex/NFC work.
+        from ocr_spark.operators import scrub
+        out = scrub.clean_text(
+            scrub.pii_scrub(extracted, text_col="extracted_text"),
+            text_col="extracted_text")
+        out.agg(F.sum(F.length("extracted_text")),
+                F.sum("n_pii_redacted"),
+                F.sum("n_chars_removed")).collect()
+
     @timed("pricing_summary")
     def _q1():
         (lineitem.filter(F.col("l_shipdate") <= F.lit("2000-09-02"))

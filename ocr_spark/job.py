@@ -33,6 +33,16 @@ the per-url signals and the filtered corpus.
 --line-dedup <dir> removes corpus-level boilerplate lines (a trimmed
 line shared by more than 5 distinct documents) from every document,
 persisting the cleaned corpus with per-document removal counts.
+--pii-scrub <dir> redacts emails, then IPs, then phone numbers
+(Dolma-style tokens, operators/scrub.py) from every document,
+persisting the scrubbed corpus with per-document redaction counts.
+--clean-text <dir> normalizes every document (CRLF fold, control
+strip, unicode NFC, whitespace collapse), persisting the cleaned
+corpus with per-document character deltas.
+--c4-filter <dir> applies the C4 heuristic cleanup (Raffel et al.
+2020: terminal-punctuation line retention, sentence floor, lorem
+ipsum / brace / bad-word page gates), persisting the per-url signals
+and the filtered corpus (retained lines only).
 --domain-filter <dir> profiles the corpus per host (url_host key) and
 gates it with --domain-block (exact-or-subdomain blocklist) and/or
 --domain-cap (max docs per host, deterministic survivors), persisting
@@ -146,6 +156,25 @@ def _parse(argv):
     p.add_argument("--domain-cap", type=int, default=None, metavar="N",
                    help="keep at most N docs per host (deterministic "
                         "survivor selection) for --domain-filter")
+    p.add_argument("--pii-scrub", default=None, metavar="DIR",
+                   help="redact emails/IPs/phone numbers (Dolma-style "
+                        "tokens, operators/scrub.py) from the committed "
+                        "snapshot's extracted_text; persist the scrubbed "
+                        "corpus under DIR with per-url redaction counts")
+    p.add_argument("--clean-text", default=None, metavar="DIR",
+                   help="normalize the committed snapshot's "
+                        "extracted_text (CRLF fold, control strip, "
+                        "unicode NFC, whitespace collapse); persist the "
+                        "cleaned corpus under DIR")
+    p.add_argument("--c4-filter", default=None, metavar="DIR",
+                   help="apply the C4 heuristic cleanup (Raffel et al. "
+                        "2020) to the committed snapshot; persist the "
+                        "per-url signals and the filtered corpus "
+                        "(retained lines only) under DIR")
+    p.add_argument("--c4-bad-words", default=None, metavar="WORDS",
+                   help="comma-separated bad-word list for --c4-filter's "
+                        "page gate (the paper's LDNOOBW list is external "
+                        "— supply it here; default: gate vacuous)")
     p.add_argument("--line-dedup", default=None, metavar="DIR",
                    help="remove corpus-level boilerplate lines "
                         "(textstats.line_dedup, CCNet-style) from the "
@@ -210,6 +239,8 @@ def _parse(argv):
                         f"(no scheme/port/path): {bad}")
     elif args.domain_block or args.domain_cap is not None:
         p.error("--domain-block/--domain-cap require --domain-filter")
+    if args.c4_bad_words is not None and not args.c4_filter:
+        p.error("--c4-bad-words requires --c4-filter")
     if args.lang_filter:
         from ocr_spark.operators import textstats
         known = (set(textstats.LANG_STOPWORDS)
@@ -514,6 +545,85 @@ def main(argv=None, spark=None) -> dict:
                 "lines_removed": int(r["lines_removed"] or 0),
                 "docs_touched": int(r["docs_touched"] or 0),
                 "n_hot_lines": int(n_hot)}
+
+    if args.pii_scrub:
+        # Dolma-style PII redaction (operators/scrub.py): the scrubbed
+        # corpus keeps the committed schema plus the per-url counter,
+        # so curation stages chain over it; totals ride the summary
+        # (never-silent contract).
+        from pyspark.sql import functions as F
+
+        from ocr_spark.operators import scrub
+        committed = table.read(spark)
+        if committed is not None:
+            scrubbed = scrub.pii_scrub(committed,
+                                       text_col="extracted_text")
+            scrubbed.write.mode("overwrite").parquet(
+                f"{args.pii_scrub}/scrubbed")
+            back = spark.read.parquet(f"{args.pii_scrub}/scrubbed")
+            r = back.agg(
+                F.sum("n_pii_redacted").alias("redacted"),
+                F.count_if(F.col("n_pii_redacted") > 0)
+                .alias("docs_touched"),
+                F.count("*").alias("docs")).first()
+            summary["pii_scrub"] = {
+                "pii_redacted": int(r["redacted"] or 0),
+                "docs_touched": int(r["docs_touched"] or 0),
+                "docs": int(r["docs"])}
+
+    if args.clean_text:
+        # Unicode normalization (CRLF fold, control strip, NFC,
+        # whitespace collapse): same chainable-schema + summary
+        # contract as --pii-scrub.
+        from pyspark.sql import functions as F
+
+        from ocr_spark.operators import scrub
+        committed = table.read(spark)
+        if committed is not None:
+            cleaned = scrub.clean_text(committed,
+                                       text_col="extracted_text")
+            cleaned.write.mode("overwrite").parquet(
+                f"{args.clean_text}/cleaned")
+            back = spark.read.parquet(f"{args.clean_text}/cleaned")
+            r = back.agg(
+                F.sum("n_chars_removed").alias("chars_removed"),
+                F.count_if(F.col("n_chars_removed") != 0)
+                .alias("docs_touched"),
+                F.count("*").alias("docs")).first()
+            summary["clean_text"] = {
+                "chars_removed": int(r["chars_removed"] or 0),
+                "docs_touched": int(r["docs_touched"] or 0),
+                "docs": int(r["docs"])}
+
+    if args.c4_filter:
+        # C4 heuristic cleanup (Raffel et al. 2020): per-url signals
+        # persist next to the filtered corpus so a dropped page is
+        # always explainable — same contract as --quality-filter. The
+        # filtered corpus carries the RETAINED lines (C4 rewrites
+        # pages, not just gates them).
+        from ocr_spark.operators import textstats
+        committed = table.read(spark)
+        if committed is not None:
+            bad = tuple(w.strip().lower()
+                        for w in (args.c4_bad_words or "").split(",")
+                        if w.strip())
+            stats = textstats.c4_stats(
+                committed.select("url", "extracted_text"),
+                text_col="extracted_text", id_col="url", bad_words=bad)
+            stats.drop("kept_text").write.mode("overwrite").parquet(
+                f"{args.c4_filter}/signals")
+            filtered = textstats.c4_filter(
+                committed, text_col="extracted_text", id_col="url",
+                bad_words=bad)
+            filtered.write.mode("overwrite").parquet(
+                f"{args.c4_filter}/filtered")
+            n_docs = committed.count()
+            n_kept = spark.read.parquet(
+                f"{args.c4_filter}/filtered").count()
+            summary["c4_filter"] = {
+                "docs": n_docs, "kept": n_kept,
+                "dropped": n_docs - n_kept,
+                "bad_words": len(bad)}
 
     if args.compact:
         # After ingest + curation: fold the accrued per-run dirs into

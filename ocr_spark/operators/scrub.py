@@ -1,0 +1,155 @@
+"""PII scrubbing and unicode text normalization for corpus curation.
+
+PII: the three pattern families every public webtext pipeline redacts
+before training — email addresses, phone numbers, IP addresses (Dolma,
+Soldaini et al. 2024, redacts exactly these three; the BigScience
+ROOTS PII pipeline has the same core). Detection and redaction are
+pure Catalyst regexp expressions — whole-stage codegen over the
+corpus, DuckDB-oracle-checkable, no Python in the hot path.
+
+Normalization (``clean_text``): CRLF folding, C0/DEL control-char
+strip, unicode NFC, horizontal-whitespace collapse, blank-run
+squeeze, trim. NFC is the one non-expression step (Spark has no
+builtin unicode normalizer): a vectorized Arrow pandas UDF over
+``pandas.Series.str.normalize`` — batch transfer, never per-row
+Python. The DuckDB twin uses ``nfc_normalize`` — an independent NFC
+implementation, so the oracle cross-checks two normalizers.
+
+Regex portability note: patterns below are written to behave
+identically under Java regex (Spark) and RE2 (DuckDB) — no
+lookaround, no backreferences, ASCII \\d/\\b only. The one divergence
+is ``\\s``: Java's includes U+000B (vertical tab), RE2's does not, so
+the RE2 twins of patterns using ``\\s`` in a class must add ``\\v``
+(``PHONE_RE_RE2``).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+# --------------------------------------------------------------------------
+# PII patterns (public: Dolma's regex taggers use these three families).
+# --------------------------------------------------------------------------
+
+EMAIL_RE = r"[A-Za-z0-9_.+-]+@[A-Za-z0-9-]+\.[A-Za-z0-9.-]+"
+PHONE_RE = r"\(?\d{3}\)?[-\s.]?\d{3}[-\s.]?\d{4}"
+# RE2 twin of PHONE_RE for the DuckDB oracle (\v: see module docstring).
+PHONE_RE_RE2 = r"\(?\d{3}\)?[-\s\v.]?\d{3}[-\s\v.]?\d{4}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+# Dolma's replacement-token convention. The tokens contain no digits,
+# '@', or '.', so redaction is idempotent: a second pass matches
+# nothing inside them.
+EMAIL_TOKEN = "|||EMAIL_ADDRESS|||"
+PHONE_TOKEN = "|||PHONE_NUMBER|||"
+IP_TOKEN = "|||IP_ADDRESS|||"
+
+# Redaction order matters: emails first (their local/domain parts can
+# contain digit-dot runs an IP or phone pattern would claim), then IPs
+# (dotted digit quads a phone pattern could partially claim), then
+# phones. Counts are computed STAGE-WISE on the same intermediate
+# strings, so n_emails + n_phones + n_ips equals the number of
+# replacements actually performed.
+
+
+def _count(c: Column, pattern: str) -> Column:
+    return F.size(F.regexp_extract_all(c, F.lit(pattern), 0))
+
+
+def redact_pii(c: Column) -> Column:
+    """Text with every email, then IP, then phone replaced by its
+    Dolma-style token (pure expression)."""
+    t = F.coalesce(c, F.lit(""))
+    t = F.regexp_replace(t, EMAIL_RE, EMAIL_TOKEN)
+    t = F.regexp_replace(t, IPV4_RE, IP_TOKEN)
+    return F.regexp_replace(t, PHONE_RE, PHONE_TOKEN)
+
+
+def pii_stats(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Per-document PII counts (stage-wise, = redactions performed)
+    plus the redacted text. One codegen projection, no shuffle."""
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    after_email = F.regexp_replace(raw, EMAIL_RE, EMAIL_TOKEN)
+    after_ip = F.regexp_replace(after_email, IPV4_RE, IP_TOKEN)
+    after_phone = F.regexp_replace(after_ip, PHONE_RE, PHONE_TOKEN)
+    out = df.select(
+        F.col(id_col),
+        _count(raw, EMAIL_RE).alias("n_emails"),
+        _count(after_email, IPV4_RE).alias("n_ips"),
+        _count(after_ip, PHONE_RE).alias("n_phones"),
+        after_phone.alias("redacted_text"))
+    return out.withColumn(
+        "has_pii",
+        (F.col("n_emails") + F.col("n_ips") + F.col("n_phones")) > 0)
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The corpus with ``text_col`` redacted in place plus an
+    ``n_pii_redacted`` counter column (schema otherwise preserved, so
+    curation stages chain over it)."""
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    after_email = F.regexp_replace(raw, EMAIL_RE, EMAIL_TOKEN)
+    after_ip = F.regexp_replace(after_email, IPV4_RE, IP_TOKEN)
+    n = (_count(raw, EMAIL_RE) + _count(after_email, IPV4_RE)
+         + _count(after_ip, PHONE_RE))
+    # Counter BEFORE the text swap: expressions bind by column name, so
+    # counting after withColumn(text_col, ...) would scan the already-
+    # redacted text and always report 0.
+    return (df.withColumn("n_pii_redacted", n)
+              .withColumn(text_col, redact_pii(F.col(text_col))))
+
+
+# --------------------------------------------------------------------------
+# Unicode text normalization.
+# --------------------------------------------------------------------------
+
+# C0 controls + DEL, KEEPING \t (09), \n (0A), \r (0D) — \r is folded
+# to \n by the CRLF step before this strip runs.
+CONTROL_RE = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+
+
+def _nfc_series(s: pd.Series) -> pd.Series:
+    return s.fillna("").str.normalize("NFC")
+
+
+def nfc_normalize(c: Column) -> Column:
+    """Unicode NFC via pandas' vectorized str.normalize (Arrow batch
+    transfer — the one step Catalyst expressions can't do). The UDF is
+    built at plan time, not import time: the decorator form needs an
+    active SparkSession to parse its return type."""
+    return pandas_udf(_nfc_series, "string")(c)
+
+
+def clean_text_col(c: Column) -> Column:
+    """CRLF -> LF, control strip, NFC, [ \\t]+ collapse, newline-edge
+    space strip, 3+ blank-line
+    squeeze to one blank line, trim."""
+    t = F.coalesce(c, F.lit(""))
+    t = F.regexp_replace(t, "\r\n|\r", "\n")
+    t = F.regexp_replace(t, CONTROL_RE, "")
+    t = nfc_normalize(t)
+    t = F.regexp_replace(t, "[ \t]+", " ")
+    # Runs are single spaces now, so one optional space suffices on
+    # each side of a newline.
+    t = F.regexp_replace(t, " ?\n ?", "\n")
+    t = F.regexp_replace(t, "\n{3,}", "\n\n")
+    # Not F.trim: Spark's (and DuckDB's) trim strips ' ' only; after
+    # the collapses above the edges can still hold newlines.
+    return F.regexp_replace(t, "^[ \n]+|[ \n]+$", "")
+
+
+def clean_text(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The corpus with ``text_col`` normalized in place plus an
+    ``n_chars_removed`` counter (original minus cleaned length; NFC
+    composition makes it a delta, not an unsigned count)."""
+    out = df.withColumn(
+        "_orig_len", F.length(F.coalesce(F.col(text_col), F.lit(""))))
+    out = out.withColumn(text_col, clean_text_col(F.col(text_col)))
+    return (out.withColumn(
+        "n_chars_removed",
+        F.col("_orig_len") - F.length(F.col(text_col)))
+        .drop("_orig_len"))

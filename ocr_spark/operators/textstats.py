@@ -346,6 +346,86 @@ def line_dedup(df: DataFrame, text_col: str = "text",
     return out
 
 
+# ---------------------------------------------------------------------------
+# C4 heuristic cleanup (public rules: Raffel et al. 2020, "Exploring
+# the Limits of Transfer Learning with a Unified Text-to-Text
+# Transformer", JMLR — the C4 corpus construction, §2.2): line-level
+# retention by terminal punctuation / word count / "javascript", then
+# page-level gates (sentence floor, "lorem ipsum", curly brace, bad
+# words). Pure expressions end to end.
+# ---------------------------------------------------------------------------
+
+C4_MIN_WORDS_PER_LINE = 3
+C4_MIN_SENTENCES = 5
+# Terminal punctuation per the paper: period, exclamation mark,
+# question mark, end quotation mark.
+_C4_TERMINAL_RE = '[.!?"]$'
+# The paper gates on the public LDNOOBW word list; it is external and
+# per-language, so callers supply it — the default gate is vacuous by
+# design rather than shipping a bundled slur list.
+C4_BAD_WORDS: tuple[str, ...] = ()
+
+
+def c4_kept_lines(c: Column) -> Column:
+    """Lines surviving C4's line-level rules: ends in terminal
+    punctuation, has >= 3 whitespace words, does not mention
+    "javascript" (case-insensitive) — as an array expression."""
+    return F.filter(
+        F.transform(F.split(F.coalesce(c, F.lit("")), "\n"), F.trim),
+        lambda line: line.rlike(_C4_TERMINAL_RE)
+        & (F.size(F.split(line, r"\s+")) >= C4_MIN_WORDS_PER_LINE)
+        & ~F.lower(line).contains("javascript"))
+
+
+def c4_stats(df: DataFrame, text_col: str = "text",
+             id_col: str = "doc_id",
+             bad_words: tuple[str, ...] = C4_BAD_WORDS) -> DataFrame:
+    """Per-document C4 signals + the keep decision + the retained
+    text. Sentences are counted as terminal marks ([.!?]) in the
+    retained lines; the bad-word gate matches lowercase alpha runs
+    against ``bad_words``. One codegen projection, no shuffle."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    kept = c4_kept_lines(c)
+    kept_text = F.array_join(kept, "\n")
+    n_sentences = F.length(F.regexp_replace(kept_text, "[^.!?]", ""))
+    has_lorem = F.lower(c).contains("lorem ipsum")
+    has_brace = c.contains("{")
+    if bad_words:
+        words = F.regexp_extract_all(F.lower(c), F.lit("[a-z]+"), 0)
+        has_bad = F.arrays_overlap(
+            words, F.array(*[F.lit(w.lower()) for w in bad_words]))
+    else:
+        has_bad = F.lit(False)
+    out = df.select(
+        F.col(id_col),
+        F.size(F.split(c, "\n")).alias("n_lines"),
+        F.size(kept).alias("n_kept_lines"),
+        n_sentences.alias("n_sentences"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        has_bad.alias("has_bad_word"),
+        kept_text.alias("kept_text"))
+    return out.withColumn(
+        "keep",
+        (F.col("n_sentences") >= C4_MIN_SENTENCES)
+        & ~F.col("has_lorem") & ~F.col("has_brace")
+        & ~F.col("has_bad_word"))
+
+
+def c4_filter(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id",
+              bad_words: tuple[str, ...] = C4_BAD_WORDS) -> DataFrame:
+    """The corpus C4-cleaned: pages passing the page gates, with
+    ``text_col`` replaced by the retained lines (metadata columns
+    preserved, so curation stages chain over it)."""
+    stats = c4_stats(df, text_col, id_col, bad_words)
+    kept = stats.filter("keep").select(
+        F.col(id_col), F.col("kept_text"))
+    return (df.drop(text_col)
+            .join(kept, on=id_col, how="inner")
+            .withColumnRenamed("kept_text", text_col))
+
+
 def document_stats(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id") -> DataFrame:
     """One-pass per-document stats frame."""

@@ -520,3 +520,90 @@ def test_job_maintenance_flag_validation(tmp_path):
         job._parse(["--table", t, "--expire-keep", "0"])
     args = job._parse(["--table", t, "--compact"])
     assert args.compact and args.input is None
+
+
+def test_job_pii_scrub_redacts_corpus(spark, tmp_path):
+    """--pii-scrub redacts emails/IPs/phones with Dolma-style tokens
+    and reports redaction totals in the summary."""
+    inp = str(tmp_path / "in.parquet")
+    rows = []
+    for i in range(6):
+        body = (f"Document {i} body. Write to user{i}@example.org or "
+                f"call (555) 123-4567 from 10.0.0.{i} please.")
+        rows.append((f"https://cc.synth.local/app{i}/salary_slip/"
+                     f"{i}.png", None, None, body, "en", None))
+    spark.createDataFrame(rows, schema=schemas.INPUT_SCHEMA)\
+        .write.parquet(inp)
+
+    ps = str(tmp_path / "ps")
+    r = job.main(["--input", inp, "--table", str(tmp_path / "t"),
+                  "--partitions", "2", "--pii-scrub", ps], spark=spark)
+    assert r["pii_scrub"] == {"pii_redacted": 18, "docs_touched": 6,
+                              "docs": 6}
+    back = spark.read.parquet(f"{ps}/scrubbed")
+    txts = [row["extracted_text"] for row in back.collect()]
+    assert all("|||EMAIL_ADDRESS|||" in t and "|||IP_ADDRESS|||" in t
+               and "|||PHONE_NUMBER|||" in t for t in txts)
+    assert not any("@example.org" in t or "10.0.0." in t for t in txts)
+    # Chainable schema: full committed row + the counter.
+    assert {"url", "extracted_text", "n_pii_redacted"} <= set(back.columns)
+
+
+def test_job_clean_text_normalizes_corpus(spark, tmp_path):
+    """--clean-text folds CRLF, strips controls, NFC-normalizes, and
+    collapses whitespace, reporting character deltas."""
+    inp = str(tmp_path / "in.parquet")
+    rows = []
+    for i in range(4):
+        body = f"  Café line {i}.\r\nnext\x07  line   here \t "
+        rows.append((f"https://cc.synth.local/app{i}/salary_slip/"
+                     f"{i}.png", None, None, body, "en", None))
+    spark.createDataFrame(rows, schema=schemas.INPUT_SCHEMA)\
+        .write.parquet(inp)
+
+    ct = str(tmp_path / "ct")
+    r = job.main(["--input", inp, "--table", str(tmp_path / "t"),
+                  "--partitions", "2", "--clean-text", ct], spark=spark)
+    assert r["clean_text"]["docs"] == 4
+    assert r["clean_text"]["docs_touched"] == 4
+    assert r["clean_text"]["chars_removed"] > 0
+    back = spark.read.parquet(f"{ct}/cleaned")
+    for row in back.collect():
+        i = row["url"].split("/")[3].removeprefix("app")
+        assert row["extracted_text"] == f"Café line {i}.\nnext line here"
+
+
+def test_job_c4_filter_gates_and_rewrites(spark, tmp_path):
+    """--c4-filter persists signals + the filtered corpus with only the
+    retained lines; the bad-word gate takes --c4-bad-words."""
+    inp = str(tmp_path / "in.parquet")
+    good = "\n".join(f"This is sentence number {j} of the page."
+                     for j in range(6))
+    bodies = [good + "\njunk line without punctuation",
+              good + "\nSome lorem ipsum filler text here.",
+              good + "\nThis page says zblockedz sadly.",
+              "Too short a page."]
+    rows = [(f"https://cc.synth.local/app{i}/salary_slip/{i}.png",
+             None, None, b, "en", None) for i, b in enumerate(bodies)]
+    spark.createDataFrame(rows, schema=schemas.INPUT_SCHEMA)\
+        .write.parquet(inp)
+
+    c4 = str(tmp_path / "c4")
+    r = job.main(["--input", inp, "--table", str(tmp_path / "t"),
+                  "--partitions", "2", "--c4-filter", c4,
+                  "--c4-bad-words", "zblockedz"], spark=spark)
+    assert r["c4_filter"] == {"docs": 4, "kept": 1, "dropped": 3,
+                              "bad_words": 1}
+    kept = spark.read.parquet(f"{c4}/filtered").collect()
+    assert len(kept) == 1
+    assert kept[0]["extracted_text"] == good  # junk line rewritten out
+    signals = spark.read.parquet(f"{c4}/signals")
+    assert signals.count() == 4
+    assert signals.filter("has_bad_word").count() == 1
+    assert "kept_text" not in signals.columns
+
+
+def test_job_c4_bad_words_requires_c4_filter(tmp_path):
+    with pytest.raises(SystemExit):
+        job._parse(["--synth", "4", "--table", str(tmp_path / "t"),
+                    "--c4-bad-words", "x"])

@@ -1,0 +1,137 @@
+"""PII scrubbing + unicode normalization (operators/scrub.py) and the
+C4 heuristic cleanup (textstats.c4_*)."""
+
+import unicodedata
+
+from pyspark.sql import functions as F
+
+from ocr_spark.operators import scrub, textstats
+
+
+def _one(spark, text, fn, **kw):
+    df = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    return fn(df, **kw).collect()[0]
+
+
+class TestPii:
+    def test_email_redaction(self, spark):
+        r = _one(spark, "mail john.doe+x@sub.example.co.uk now",
+                 scrub.pii_scrub)
+        assert r["text"] == "mail |||EMAIL_ADDRESS||| now"
+        assert r["n_pii_redacted"] == 1
+
+    def test_phone_forms(self, spark):
+        for t in ["(555) 123-4567", "555-123-4567", "555.123.4567",
+                  "5551234567"]:
+            r = _one(spark, f"call {t} today", scrub.pii_scrub)
+            assert r["text"] == "call |||PHONE_NUMBER||| today", t
+
+    def test_ip_before_phone(self, spark):
+        # A dotted quad must become an IP token, not a partial phone hit.
+        r = _one(spark, "host 192.168.100.200 up", scrub.pii_scrub)
+        assert r["text"] == "host |||IP_ADDRESS||| up"
+
+    def test_email_digits_not_double_claimed(self, spark):
+        # The email eats its digit runs before the phone pass sees them.
+        r = _one(spark, "x 5551234567abc@d-e.io y", scrub.pii_scrub)
+        assert r["text"] == "x |||EMAIL_ADDRESS||| y"
+        assert r["n_pii_redacted"] == 1
+
+    def test_stats_stagewise_counts(self, spark):
+        r = _one(spark,
+                 "a@b.io c@d.net 10.0.0.1 call (555) 123-4567 or "
+                 "555.987.6543", scrub.pii_stats)
+        assert (r["n_emails"], r["n_ips"], r["n_phones"]) == (2, 1, 2)
+        assert r["has_pii"]
+        assert r["redacted_text"].count("|||EMAIL_ADDRESS|||") == 2
+
+    def test_idempotent_and_clean_doc(self, spark):
+        dirty = "see a@b.com at 10.0.0.1 phone 555-123-4567"
+        once = _one(spark, dirty, scrub.pii_scrub)["text"]
+        twice = _one(spark, once, scrub.pii_scrub)
+        assert twice["text"] == once and twice["n_pii_redacted"] == 0
+        clean = _one(spark, "no pii here at all", scrub.pii_stats)
+        assert not clean["has_pii"]
+
+    def test_null_text(self, spark):
+        df = spark.createDataFrame([(0, None)], "doc_id: long, text: string")
+        r = scrub.pii_scrub(df).collect()[0]
+        assert r["text"] == "" and r["n_pii_redacted"] == 0
+
+
+class TestCleanText:
+    def test_crlf_controls_whitespace(self, spark):
+        r = _one(spark, "  a\x00b\x07\r\nc\td   \n\n\n\n\ne \x7f ",
+                 scrub.clean_text)
+        assert r["text"] == "ab\nc d\n\ne"
+        assert r["n_chars_removed"] == len("  a\x00b\x07\r\nc\td   \n\n\n\n\ne \x7f ") - len("ab\nc d\n\ne")
+
+    def test_nfc_composition(self, spark):
+        decomposed = "Cafe\u0301 nai\u0308ve"  # e + U+0301, i + U+0308
+        r = _one(spark, decomposed, scrub.clean_text)
+        assert r["text"] == unicodedata.normalize("NFC", decomposed)
+        assert len(decomposed) == 12 and len(r["text"]) == 10
+        assert r["n_chars_removed"] == 2
+
+    def test_idempotent(self, spark):
+        dirty = " x\r\ný\x01  z\n\n\n\nw\t"
+        once = _one(spark, dirty, scrub.clean_text)["text"]
+        assert _one(spark, once, scrub.clean_text)["text"] == once
+
+    def test_null_and_schema_preserved(self, spark):
+        df = spark.createDataFrame([(0, None, "k")],
+                                   "doc_id: long, text: string, meta: string")
+        r = scrub.clean_text(df).collect()[0]
+        assert r["text"] == "" and r["meta"] == "k"
+
+
+GOOD_PAGE = "\n".join(
+    f"This is sentence number {i} of the page." for i in range(6))
+
+
+class TestC4:
+    def test_line_rules(self, spark):
+        text = "\n".join([
+            "A good long sentence ends here.",   # kept
+            "No terminal punctuation at all",    # dropped: no terminal
+            "Too short.",                        # dropped: < 3 words
+            'A quoted ending works fine."',      # kept (end quote)
+            "Enable JavaScript to view this.",   # dropped: javascript
+            "Is this a question?",               # kept
+        ])
+        r = _one(spark, text, textstats.c4_stats)
+        assert r["n_lines"] == 6 and r["n_kept_lines"] == 3
+        assert r["kept_text"].splitlines() == [
+            "A good long sentence ends here.",
+            'A quoted ending works fine."',
+            "Is this a question?"]
+
+    def test_page_gates(self, spark):
+        rows = [(0, GOOD_PAGE),
+                (1, "Only one real sentence lives here."),
+                (2, GOOD_PAGE + "\nSome lorem ipsum filler text here."),
+                (3, GOOD_PAGE + "\nvar f = function() { return 1; };"),
+                (4, GOOD_PAGE + "\nThis page says xbadwordx sadly.")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {r["doc_id"]: r for r in
+               textstats.c4_stats(df, bad_words=("xbadwordx",)).collect()}
+        assert out[0]["keep"]
+        assert not out[1]["keep"] and out[1]["n_sentences"] == 1
+        assert not out[2]["keep"] and out[2]["has_lorem"]
+        assert not out[3]["keep"] and out[3]["has_brace"]
+        assert not out[4]["keep"] and out[4]["has_bad_word"]
+        # Default bad_words is vacuous (the LDNOOBW list is external).
+        assert not textstats.c4_stats(df).collect()[4]["has_bad_word"]
+
+    def test_filter_replaces_text_keeps_metadata(self, spark):
+        rows = [(0, GOOD_PAGE + "\njunk line no punct", "m0"),
+                (1, "Tiny.", "m1")]
+        df = spark.createDataFrame(rows, ["doc_id", "text", "meta"])
+        kept = textstats.c4_filter(df).collect()
+        assert len(kept) == 1
+        assert kept[0]["doc_id"] == 0 and kept[0]["meta"] == "m0"
+        assert kept[0]["text"] == GOOD_PAGE
+
+    def test_empty_text(self, spark):
+        r = _one(spark, "", textstats.c4_stats)
+        assert not r["keep"] and r["n_kept_lines"] == 0
