@@ -3035,25 +3035,36 @@ def q_pii_stats(spark, sf_dir):
 
 
 def _sql_pii_stats():
+    # Counts replay the operator's token-occurrence-delta trick: each
+    # replacement inserts exactly one token, so stage-wise counts are
+    # occurrence deltas of literal replace() length probes.
     from ocr_spark.operators import scrub
     e, i, p = scrub.EMAIL_RE, scrub.IPV4_RE, scrub.PHONE_RE_RE2
     et, it, pt = scrub.EMAIL_TOKEN, scrub.IP_TOKEN, scrub.PHONE_TOKEN
+
+    def occ(col, tok):
+        return (f"CAST((length({col}) - length(replace({col}, '{tok}', '')))"
+                f" / {len(tok)} AS int)")
+
     return f"""
 WITH d AS ({_PII_DERIVE_SQL}),
 s AS (SELECT doc_id, text AS raw,
         regexp_replace(text, '{e}', '{et}', 'g') AS after_email
       FROM d),
 s2 AS (SELECT *, regexp_replace(after_email, '{i}', '{it}', 'g') AS after_ip
-       FROM s)
-SELECT doc_id,
-  len(regexp_extract_all(raw, '{e}')) AS n_emails,
-  len(regexp_extract_all(after_email, '{i}')) AS n_ips,
-  len(regexp_extract_all(after_ip, '{p}')) AS n_phones,
-  len(regexp_extract_all(raw, '{e}')) + len(regexp_extract_all(after_email, '{i}'))
-    + len(regexp_extract_all(after_ip, '{p}')) > 0 AS has_pii,
-  md5(regexp_replace(after_ip, '{p}', '{pt}', 'g')) AS redacted_fp,
-  length(regexp_replace(after_ip, '{p}', '{pt}', 'g')) AS redacted_len
-FROM s2 ORDER BY doc_id
+       FROM s),
+s3 AS (SELECT *, regexp_replace(after_ip, '{p}', '{pt}', 'g') AS final
+       FROM s2),
+c AS (SELECT doc_id, final,
+  {occ("after_email", et)} - {occ("raw", et)} AS n_emails,
+  {occ("after_ip", it)} - {occ("after_email", it)} AS n_ips,
+  {occ("final", pt)} - {occ("after_ip", pt)} AS n_phones
+  FROM s3)
+SELECT doc_id, n_emails, n_ips, n_phones,
+  n_emails + n_ips + n_phones > 0 AS has_pii,
+  md5(final) AS redacted_fp,
+  length(final) AS redacted_len
+FROM c ORDER BY doc_id
 """
 
 
@@ -3215,6 +3226,61 @@ FROM s ORDER BY doc_id
 """
 
 
+def q_lm_quality(spark, sf_dir):
+    """CCNet-style LM quality scoring (Wenzek et al. 2020): a char-
+    trigram Laplace model trained on the doc_id%5==0 slice as the
+    'clean reference corpus', scoring every document in bits/char
+    through the REAL lmscore train/score path (two hash-agg train,
+    explode + broadcast-join + per-doc aggregate score)."""
+    from ocr_spark.operators import lmscore
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    ref = d.filter(F.col("doc_id") % 5 == 0)
+    return lmscore.lm_quality(d, ref).orderBy("doc_id")
+
+
+def _sql_lm_quality():
+    # Replays normalize -> trigram counts -> context counts -> vocab ->
+    # Laplace score. DuckDB range() is end-exclusive where Spark
+    # sequence() is inclusive; greatest() clamps short texts to an
+    # empty gram list on both sides.
+    return r"""
+WITH norm AS (
+  SELECT doc_id,
+         regexp_replace(lower(trim(text)), '[\s\v]+', ' ', 'g') AS t
+  FROM documents),
+refgrams AS (
+  SELECT substr(t, i, 3) AS gram
+  FROM norm, unnest(range(1, greatest(length(t) - 1, 1))) AS u(i)
+  WHERE doc_id % 5 = 0),
+gcnt AS (SELECT gram, count(*) AS cnt FROM refgrams GROUP BY gram),
+ccnt AS (SELECT substr(gram, 1, 2) AS ctx, sum(cnt) AS ctx_cnt
+         FROM gcnt GROUP BY 1),
+vocab AS (
+  SELECT count(DISTINCT ch) AS v
+  FROM (SELECT unnest(str_split(t, '')) AS ch FROM norm
+        WHERE doc_id % 5 = 0)
+  WHERE ch <> ''),
+docgrams AS (
+  SELECT doc_id, substr(t, i, 3) AS gram
+  FROM norm, unnest(range(1, greatest(length(t) - 1, 1))) AS u(i)),
+scored AS (
+  SELECT d.doc_id,
+         (coalesce(g.cnt, 0) + 1)::double
+           / (coalesce(c.ctx_cnt, 0) + (SELECT v FROM vocab)) AS p
+  FROM docgrams d
+  LEFT JOIN gcnt g USING (gram)
+  LEFT JOIN ccnt c ON substr(d.gram, 1, 2) = c.ctx),
+agg AS (
+  SELECT doc_id, count(*) AS n_grams,
+         round(avg(-log2(p)), 6) AS bits_per_char
+  FROM scored GROUP BY doc_id)
+SELECT norm.doc_id, coalesce(agg.n_grams, 0) AS n_grams,
+       agg.bits_per_char
+FROM norm LEFT JOIN agg USING (doc_id)
+ORDER BY norm.doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "salary_amount": q_salary_amount,
@@ -3237,6 +3303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_stats": q_pii_stats,
         "clean_text": q_clean_text,
         "c4_stats": q_c4_stats,
+        "lm_quality": q_lm_quality,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_bruteforce": q_ann_bruteforce,
         "embedding_neardup": q_embedding_neardup,
@@ -3292,6 +3359,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_stats": _sql_pii_stats(),
         "clean_text": _sql_clean_text(),
         "c4_stats": _sql_c4_stats(),
+        "lm_quality": _sql_lm_quality(),
         "ngram_jaccard": _sql_ngram_jaccard(),
         "ann_bruteforce": _sql_ann_bruteforce(),
         "embedding_neardup": _sql_embedding_neardup(),

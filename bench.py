@@ -295,19 +295,32 @@ def main():
     def _ts():
         textstats.document_stats(docs).count()
 
+    scrub_path = f"/dev/shm/ocr_spark_bench_scrub_{os.getpid()}"
+
     @timed("scrub")
     def _scrub():
-        # PII redaction + unicode normalization chained over the
-        # extracted corpus (the realistic placement: scrub after
-        # extraction, before dedup). The aggregate reads the rewritten
-        # text so column pruning can't skip the regex/NFC work.
+        # PII redaction then unicode normalization over the extracted
+        # corpus, persisted between stages — the exact shape job.py's
+        # --pii-scrub / --clean-text stages run (a single fused
+        # expression tree would re-evaluate the regex chain once per
+        # counter column across the Arrow NFC boundary; production
+        # never does that).
         from ocr_spark.operators import scrub
-        out = scrub.clean_text(
-            scrub.pii_scrub(extracted, text_col="extracted_text"),
-            text_col="extracted_text")
-        out.agg(F.sum(F.length("extracted_text")),
-                F.sum("n_pii_redacted"),
-                F.sum("n_chars_removed")).collect()
+        scrub.pii_scrub(extracted, text_col="extracted_text")\
+            .write.mode("overwrite").parquet(f"{scrub_path}/pii")
+        scrub.clean_text(spark.read.parquet(f"{scrub_path}/pii"),
+                         text_col="extracted_text")\
+            .write.mode("overwrite").parquet(f"{scrub_path}/clean")
+
+    @timed("lm_quality")
+    def _lm():
+        # CCNet-style LM scoring: train the char-trigram model on the
+        # doc_id%5==0 slice, score the whole documents table (explode
+        # + broadcast joins + per-doc aggregate).
+        from ocr_spark.operators import lmscore
+        ref = docs.filter(F.col("doc_id") % 5 == 0)
+        lmscore.lm_quality(docs, ref)\
+            .agg(F.sum("n_grams"), F.avg("bits_per_char")).collect()
 
     @timed("pricing_summary")
     def _q1():
@@ -468,6 +481,7 @@ def main():
     shutil.rmtree(html_out_path, ignore_errors=True)
     shutil.rmtree(layout_path, ignore_errors=True)
     shutil.rmtree(png_path, ignore_errors=True)
+    shutil.rmtree(scrub_path, ignore_errors=True)
 
     print(json.dumps({
         "metric": "headline_queries_total_wall",

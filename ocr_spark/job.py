@@ -33,6 +33,11 @@ the per-url signals and the filtered corpus.
 --line-dedup <dir> removes corpus-level boilerplate lines (a trimmed
 line shared by more than 5 distinct documents) from every document,
 persisting the cleaned corpus with per-document removal counts.
+--lm-score <dir> trains a CCNet-style char-trigram language model on
+a reference corpus (--lm-ref parquet; default: the committed snapshot
+itself) and persists per-url bits-per-character signals; --lm-max-bits
+additionally persists the corpus filtered to documents at or under
+that score.
 --pii-scrub <dir> redacts emails, then IPs, then phone numbers
 (Dolma-style tokens, operators/scrub.py) from every document,
 persisting the scrubbed corpus with per-document redaction counts.
@@ -156,6 +161,20 @@ def _parse(argv):
     p.add_argument("--domain-cap", type=int, default=None, metavar="N",
                    help="keep at most N docs per host (deterministic "
                         "survivor selection) for --domain-filter")
+    p.add_argument("--lm-score", default=None, metavar="DIR",
+                   help="score every committed document's extracted_text "
+                        "in bits/char under a CCNet-style char-trigram "
+                        "LM (operators/lmscore.py); persist per-url "
+                        "signals under DIR")
+    p.add_argument("--lm-ref", default=None, metavar="PATH",
+                   help="parquet of reference text to train the "
+                        "--lm-score model on (column text or "
+                        "extracted_text); default: the committed "
+                        "snapshot itself (self-scoring flags outliers)")
+    p.add_argument("--lm-max-bits", type=float, default=None,
+                   help="with --lm-score, also persist the corpus "
+                        "filtered to documents scoring <= this many "
+                        "bits/char")
     p.add_argument("--pii-scrub", default=None, metavar="DIR",
                    help="redact emails/IPs/phone numbers (Dolma-style "
                         "tokens, operators/scrub.py) from the committed "
@@ -241,6 +260,8 @@ def _parse(argv):
         p.error("--domain-block/--domain-cap require --domain-filter")
     if args.c4_bad_words is not None and not args.c4_filter:
         p.error("--c4-bad-words requires --c4-filter")
+    if (args.lm_ref or args.lm_max_bits is not None) and not args.lm_score:
+        p.error("--lm-ref/--lm-max-bits require --lm-score")
     if args.lang_filter:
         from ocr_spark.operators import textstats
         known = (set(textstats.LANG_STOPWORDS)
@@ -545,6 +566,49 @@ def main(argv=None, spark=None) -> dict:
                 "lines_removed": int(r["lines_removed"] or 0),
                 "docs_touched": int(r["docs_touched"] or 0),
                 "n_hot_lines": int(n_hot)}
+
+    if args.lm_score:
+        # CCNet-style LM quality scoring: per-url bits/char signals
+        # persist (and optionally the <=threshold corpus) — same
+        # explainable-drop contract as the other quality gates.
+        from pyspark.sql import functions as F
+
+        from ocr_spark.operators import lmscore
+        committed = table.read(spark)
+        if committed is not None:
+            if args.lm_ref:
+                ref = spark.read.parquet(args.lm_ref)
+                ref_col = ("extracted_text" if "extracted_text"
+                           in ref.columns else "text")
+            else:
+                ref, ref_col = committed, "extracted_text"
+            model = lmscore.train_char_lm(ref, text_col=ref_col)
+            signals = lmscore.lm_score(committed, model,
+                                       text_col="extracted_text",
+                                       id_col="url")
+            signals.write.mode("overwrite").parquet(
+                f"{args.lm_score}/signals")
+            signals = spark.read.parquet(f"{args.lm_score}/signals")
+            r = signals.agg(
+                F.count("*").alias("docs"),
+                F.round(F.avg("bits_per_char"), 3).alias("mean_bits"),
+                F.round(F.max("bits_per_char"), 3).alias("max_bits"))\
+                .first()
+            summary["lm_score"] = {
+                "docs": int(r["docs"]), "vocab": model["vocab"],
+                "mean_bits_per_char": float(r["mean_bits"] or 0.0),
+                "max_bits_per_char": float(r["max_bits"] or 0.0)}
+            if args.lm_max_bits is not None:
+                kept = committed.join(
+                    signals.filter(
+                        F.col("bits_per_char") <= args.lm_max_bits)
+                    .select("url"), on="url", how="left_semi")
+                kept.write.mode("overwrite").parquet(
+                    f"{args.lm_score}/filtered")
+                n_kept = spark.read.parquet(
+                    f"{args.lm_score}/filtered").count()
+                summary["lm_score"]["kept"] = n_kept
+                summary["lm_score"]["dropped"] = int(r["docs"]) - n_kept
 
     if args.pii_scrub:
         # Dolma-style PII redaction (operators/scrub.py): the scrubbed

@@ -1,0 +1,121 @@
+"""Language-model quality scoring for corpus curation (CCNet-style).
+
+CCNet (Wenzek et al., LREC 2020) ranks Common-Crawl pages by the
+perplexity of a KenLM 5-gram model trained on a clean reference
+corpus — the canonical "does this read like real language" signal
+that length/stopword/repetition heuristics can't see. This module is
+that signal re-expressed Spark-first with a character-trigram model
+and Laplace (add-one) smoothing:
+
+  train  = two hash aggregations over the reference corpus
+           (n-gram counts + (n-1)-gram context counts) — map-side
+           partial combine, one shuffle each, model lands as two
+           small DataFrames.
+  score  = explode each document's n-grams, two broadcast joins
+           against the model (gram count, context count), then one
+           per-document aggregate of -log2 P(c|ctx) — bits per
+           character, lower = more natural.
+
+P(c | ctx) = (count(ngram) + 1) / (count(ctx) + V), V = reference
+charset size. Unseen grams and contexts coalesce to 0 — P = 1/V at
+the floor, so a page of binary noise scores ~log2(V) bits/char.
+
+Scale shape: the model is bounded by the reference charset cubed
+(practically ~100k-1M rows for web text — broadcastable); set
+``broadcast=False`` to fall back to shuffle joins for a giant-charset
+model. Everything else is expressions; no Python in the hot path.
+
+100% determinism note: counts are integers, probabilities are single
+IEEE divisions of integers (identical across engines); the one
+order-sensitive op is the final avg, rounded to 6 like every float
+oracle column in this repo.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import normalize_text
+
+
+def char_ngrams(c: Column, n: int = 3) -> Column:
+    """Character n-grams of the normalized text as an array expression.
+    Spark's sequence() counts DOWN when stop < start, so short texts
+    need the explicit empty-array guard."""
+    norm = normalize_text(F.coalesce(c, F.lit("")))
+    length = F.length(norm)
+    return F.when(
+        length >= n,
+        F.transform(F.sequence(F.lit(1), length - n + 1),
+                    lambda i: norm.substr(i, F.lit(n))))\
+        .otherwise(F.array().cast("array<string>"))
+
+
+def train_char_lm(ref_df: DataFrame, text_col: str = "text",
+                  n: int = 3) -> dict:
+    """Train the character n-gram model on a reference corpus.
+
+    Returns {"grams": DataFrame(gram, cnt), "contexts":
+    DataFrame(ctx, ctx_cnt), "vocab": int, "n": int}. The vocab count
+    is a driver-side int (train is a job step that produces a model
+    artifact, not a per-row path)."""
+    grams = (ref_df
+             .select(F.explode(char_ngrams(F.col(text_col), n))
+                     .alias("gram"))
+             .groupBy("gram").agg(F.count("*").alias("cnt")))
+    contexts = (grams
+                .groupBy(F.substring("gram", 1, n - 1).alias("ctx"))
+                .agg(F.sum("cnt").alias("ctx_cnt")))
+    vocab = (ref_df
+             .select(F.explode(F.split(
+                 normalize_text(F.coalesce(F.col(text_col), F.lit(""))),
+                 "")).alias("ch"))
+             .filter(F.col("ch") != "")
+             .select("ch").distinct().count())
+    return {"grams": grams, "contexts": contexts,
+            "vocab": max(int(vocab), 1), "n": n}
+
+
+def lm_score(df: DataFrame, model: dict, text_col: str = "text",
+             id_col: str = "doc_id", broadcast: bool = True) -> DataFrame:
+    """Per-document bits-per-character under the trained model:
+    (id, n_grams, bits_per_char). Documents shorter than n normalized
+    characters have no grams — n_grams = 0, bits_per_char NULL."""
+    n, v = model["n"], model["vocab"]
+    grams_m = model["grams"]
+    ctx_m = model["contexts"]
+    if broadcast:
+        grams_m, ctx_m = F.broadcast(grams_m), F.broadcast(ctx_m)
+    g = df.select(F.col(id_col),
+                  F.explode_outer(char_ngrams(F.col(text_col), n))
+                  .alias("gram"))
+    scored = (g
+              .join(grams_m, on="gram", how="left")
+              .join(ctx_m,
+                    F.substring("gram", 1, n - 1) == F.col("ctx"),
+                    how="left")
+              .select(
+                  F.col(id_col), F.col("gram"),
+                  # NULL gram = the explode_outer placeholder of an
+                  # empty document — it must not score as a phantom
+                  # 1/V, so p stays NULL and avg() ignores the row.
+                  F.when(
+                      F.col("gram").isNotNull(),
+                      (F.coalesce(F.col("cnt"), F.lit(0)) + 1)
+                      .cast("double")
+                      / (F.coalesce(F.col("ctx_cnt"), F.lit(0)) + v))
+                  .alias("p")))
+    return (scored.groupBy(id_col)
+            .agg(F.count("gram").alias("n_grams"),
+                 F.round(F.avg(-F.log2(F.col("p"))), 6)
+                 .alias("bits_per_char")))
+
+
+def lm_quality(df: DataFrame, ref_df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", n: int = 3,
+               broadcast: bool = True) -> DataFrame:
+    """Convenience: train on ``ref_df``, score ``df``."""
+    model = train_char_lm(ref_df, text_col=text_col, n=n)
+    return lm_score(df, model, text_col=text_col, id_col=id_col,
+                    broadcast=broadcast)

@@ -607,3 +607,40 @@ def test_job_c4_bad_words_requires_c4_filter(tmp_path):
     with pytest.raises(SystemExit):
         job._parse(["--synth", "4", "--table", str(tmp_path / "t"),
                     "--c4-bad-words", "x"])
+
+
+def test_job_lm_score_flags_noise(spark, tmp_path):
+    """--lm-score with a clean --lm-ref corpus flags the one noise
+    document; --lm-max-bits persists the filtered corpus."""
+    inp = str(tmp_path / "in.parquet")
+    sent = ("the quick brown fox jumps over the lazy dog near the "
+            "quiet garden where the dog rests again")
+    ref = str(tmp_path / "ref.parquet")
+    spark.createDataFrame(
+        [(i, sent) for i in range(8)], ["doc_id", "text"])\
+        .write.parquet(ref)
+    bodies = [sent, sent.replace("fox", "cat"), sent.replace("dog", "owl"),
+              "xq zvkj qpwxo vnrml zzkty qqqwj pzvxm rrklt wggh"]
+    rows = [(f"https://cc.synth.local/app{i}/salary_slip/{i}.png",
+             None, None, b, "en", None) for i, b in enumerate(bodies)]
+    spark.createDataFrame(rows, schema=schemas.INPUT_SCHEMA)\
+        .write.parquet(inp)
+
+    lm = str(tmp_path / "lm")
+    r = job.main(["--input", inp, "--table", str(tmp_path / "t"),
+                  "--partitions", "2", "--lm-score", lm,
+                  "--lm-ref", ref, "--lm-max-bits", "4.0"], spark=spark)
+    assert r["lm_score"]["docs"] == 4
+    assert r["lm_score"]["vocab"] > 10
+    signals = {row["url"].split("/")[3]: row["bits_per_char"]
+               for row in spark.read.parquet(f"{lm}/signals").collect()}
+    assert signals["app3"] > max(signals[f"app{i}"] for i in range(3)) + 1
+    kept = spark.read.parquet(f"{lm}/filtered")
+    assert kept.count() == 3
+    assert not any("app3" in row["url"] for row in kept.collect())
+
+
+def test_job_lm_flags_require_lm_score(tmp_path):
+    with pytest.raises(SystemExit):
+        job._parse(["--synth", "4", "--table", str(tmp_path / "t"),
+                    "--lm-max-bits", "5"])
