@@ -217,6 +217,40 @@ def main() -> None:
           and "ArrowEvalPython" not in p and "MapInPandas" not in p,
           f"HashAggregate={'HashAggregate' in p}")
 
+    # 9g. r4.3: PII redaction and the C4 line/page rules are pure
+    #     codegen regex/array expressions — NO Python node of any kind
+    #     in either plan.
+    for name in ("pii_stats", "c4_stats"):
+        p = plans[name]
+        no_python = all(marker not in p for marker in
+                        ("BatchEvalPython", "ArrowEvalPython",
+                         "MapInPandas", "MapInArrow"))
+        check(name, "pure codegen expressions (no Python node in plan)",
+              no_python and "ERROR" not in p, "")
+
+    # 9h. r4.3: clean_text is expressions around exactly ONE Arrow
+    #     pandas UDF (the NFC normalizer — Spark has no builtin), and
+    #     never row-at-a-time Python.
+    p = plans["clean_text"]
+    # Formatted plans print each node twice (tree sketch + detail
+    # block) — count the `(n) ArrowEvalPython` detail headers.
+    import re as _re
+    n_arrow = len(_re.findall(r"^\(\d+\) ArrowEvalPython", p, _re.M))
+    check("clean_text",
+          "single Arrow NFC eval, no row UDF",
+          n_arrow == 1 and "BatchEvalPython" not in p,
+          f"ArrowEvalPython node x{n_arrow}")
+
+    # 9i. r4.3: the LM scorer joins the exploded gram stream against
+    #     the model BROADCAST (ids+grams only ride the shuffle to the
+    #     per-doc aggregate); no Python anywhere.
+    p = plans["lm_quality"]
+    check("lm_quality",
+          "broadcast model joins + hash aggregation, no Python in plan",
+          "BroadcastHashJoin" in p and "HashAggregate" in p
+          and "BatchEvalPython" not in p and "ArrowEvalPython" not in p,
+          f"BroadcastHashJoin={'BroadcastHashJoin' in p}")
+
     # 9. No CartesianProduct anywhere: every join is keyed or broadcast
     #    (the brute-force oracle baselines use broadcast nested loop,
     #    which bounds the big side to one scan).
