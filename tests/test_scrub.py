@@ -135,3 +135,79 @@ class TestC4:
     def test_empty_text(self, spark):
         r = _one(spark, "", textstats.c4_stats)
         assert not r["keep"] and r["n_kept_lines"] == 0
+
+
+class TestCrossEngineFuzz:
+    """Seeded fuzz of the Java-regex (Spark) vs RE2 (DuckDB) parity the
+    oracle queries rely on: the same nasty strings run through the real
+    operators AND hand-built DuckDB twins of the same chains."""
+
+    def _nasty_corpus(self):
+        import random
+        rng = random.Random(0xC0FFEE)
+        atoms = ["user@example.org", "a@b.io", "(555) 123-4567",
+                 "555.867.5309", "5551234567", "10.0.0.1", "8.8.8.8",
+                 "999.999.999.999", "1234567890123456", "@", ".", "-",
+                 "word", "Café", "naïve", "é", "\x0b", "\x07",
+                 "\r\n", "\r", "\n\n\n\n", "\t\t", "   ", "{", "}",
+                 "|||EMAIL_ADDRESS|||", "|||PHONE_NUMBER|||",
+                 "a.b@c", "x+y@d-e.fg", "12.34", "...", "日本語",
+                 "line ends here.", "Is it?", 'quote."', "javascript",
+                 "JavaScript", "lorem ipsum"]
+        corpus = []
+        for i in range(250):
+            n = rng.randint(0, 12)
+            corpus.append((i, " ".join(rng.choice(atoms)
+                                       for _ in range(n))))
+        return corpus
+
+    def test_pii_and_clean_match_duckdb(self, spark):
+        import duckdb
+
+        rows = self._nasty_corpus()
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {(r["doc_id"]): (r["text"], r["n_pii_redacted"])
+               for r in scrub.pii_scrub(df).collect()}
+        cleaned = {r["doc_id"]: r["text"]
+                   for r in scrub.clean_text(df).collect()}
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (doc_id INT, text VARCHAR)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+        e, i, p = scrub.EMAIL_RE, scrub.IPV4_RE, scrub.PHONE_RE_RE2
+        et, it, pt = scrub.EMAIL_TOKEN, scrub.IP_TOKEN, scrub.PHONE_TOKEN
+
+        def occ(col, tok):
+            return (f"CAST((length({col}) - length(replace({col}, "
+                    f"'{tok}', ''))) / {len(tok)} AS int)")
+
+        ref = con.execute(f"""
+            WITH s AS (SELECT doc_id, text AS raw,
+                regexp_replace(text, '{e}', '{et}', 'g') AS ae FROM t),
+            s2 AS (SELECT *, regexp_replace(ae, '{i}', '{it}', 'g') AS ai
+                   FROM s),
+            s3 AS (SELECT *, regexp_replace(ai, '{p}', '{pt}', 'g') AS fin
+                   FROM s2)
+            SELECT doc_id, fin,
+              {occ('ae', et)} - {occ('raw', et)}
+              + {occ('ai', it)} - {occ('ae', it)}
+              + {occ('fin', pt)} - {occ('ai', pt)} AS n
+            FROM s3""").fetchall()
+        for doc_id, fin, n in ref:
+            assert got[doc_id] == (fin, n), (doc_id, got[doc_id], fin, n)
+
+        ctrl = scrub.CONTROL_RE
+        ref2 = con.execute(f"""
+            SELECT doc_id,
+              regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                nfc_normalize(regexp_replace(regexp_replace(
+                  text, '\\r\\n|\\r', chr(10), 'g'), '{ctrl}', '', 'g')),
+                '[ \\t]+', ' ', 'g'),
+                ' ?\\n ?', chr(10), 'g'),
+                '\\n{{3,}}', chr(10) || chr(10), 'g'),
+                '^[ \\n]+|[ \\n]+$', '', 'g') AS cleaned
+            FROM t""").fetchall()
+        for doc_id, expect in ref2:
+            assert cleaned[doc_id] == expect, (doc_id,
+                                               repr(cleaned[doc_id]),
+                                               repr(expect))
