@@ -128,6 +128,7 @@ def stream_exact_dedup(spark: SparkSession, input_dir: str, out_dir: str,
 
 def stream_curate(spark: SparkSession, input_dir: str, table_root: str,
                   checkpoint_dir: str, keep_langs=("en",),
+                  scrub_pii: bool = False,
                   available_now: bool = True,
                   max_files_per_trigger: int = 8):
     """Curation-on-ingest: each micro-batch of raw pages flows through
@@ -159,7 +160,15 @@ def stream_curate(spark: SparkSession, input_dir: str, table_root: str,
     and each gate's drop count lands in a per-batch metrics row under
     ``<table_root>/metrics_curate`` — the job CLI's never-silent
     counter contract, streamed.
+
+    ``scrub_pii=True`` redacts emails/IPs/phones (operators/scrub.py)
+    from each fresh row's text BEFORE fingerprinting, so the committed
+    corpus never holds the raw PII and two pages differing only in PII
+    dedup as content-equal; the per-batch redaction total rides the
+    metrics row (always present — 0 when the gate is off, so the
+    metrics parquet keeps one schema either way).
     """
+    from ..operators.scrub import pii_scrub
     from ..operators.textstats import (fingerprint, gopher_quality_filter,
                                        lang_id)
 
@@ -178,6 +187,10 @@ def stream_curate(spark: SparkSession, input_dir: str, table_root: str,
         committed = table.read(spark)
         fresh = (batch if committed is None
                  else batch.join(committed.select("url"), "url", "left_anti"))
+        if scrub_pii:
+            fresh = pii_scrub(fresh, text_col="text")
+        else:
+            fresh = fresh.withColumn("n_pii_redacted", F.lit(0))
         staged = (fresh
                   .withColumn("lang_guess",
                               lang_id(F.coalesce(F.col("text"), F.lit(""))))
@@ -185,6 +198,8 @@ def stream_curate(spark: SparkSession, input_dir: str, table_root: str,
         staged.persist()
         try:
             n_fresh = staged.count()
+            n_pii = int(staged.agg(
+                F.sum("n_pii_redacted")).first()[0] or 0)
             q_kept = gopher_quality_filter(staged, text_col="text",
                                            id_col="url")
             n_q = q_kept.count()
@@ -204,12 +219,12 @@ def stream_curate(spark: SparkSession, input_dir: str, table_root: str,
             if n > 0:
                 table.commit(run_id, n)
             metrics_row = [(batch_id, n_input, n_input - n_fresh,
-                            n_fresh - n_q, n_q - n_l, n_l - n, n)]
+                            n_fresh - n_q, n_q - n_l, n_l - n, n, n_pii)]
             spark.createDataFrame(
                 metrics_row,
                 "batch_id long, input_rows long, redelivered long, "
                 "quality_dropped long, lang_dropped long, "
-                "dup_dropped long, committed long"
+                "dup_dropped long, committed long, pii_redacted long"
             ).write.mode("append").parquet(f"{table_root}/metrics_curate")
         finally:
             staged.unpersist()

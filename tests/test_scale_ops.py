@@ -1255,3 +1255,52 @@ class TestStreaming:
                                str(tmp_path / "nd_ck2"),
                                max_files_per_trigger=1)
         assert table.read(spark).count() == 4
+
+
+class TestStreamScrub:
+    def test_stream_curate_scrub_pii_on_ingest(self, spark, tmp_path):
+        """scrub_pii=True redacts before fingerprinting: the committed
+        corpus never holds raw PII, two pages differing only in PII
+        dedup as content-equal, and the redaction total rides the
+        metrics row."""
+        import datetime as dt
+
+        from ocr_spark import schemas
+        from ocr_spark.streaming.jobs import stream_curate
+
+        in_dir = str(tmp_path / "sp_in")
+        ts = dt.datetime(2026, 3, 1)
+        base = ("the quick brown fox jumps over the lazy dog and then "
+                "walks away into the quiet evening field with no fuss "
+                "mail me at {} today")
+        rows = [("https://c.local/p0", ts, None,
+                 base.format("alice@example.org"), "en", None),
+                ("https://c.local/p1", ts, None,
+                 base.format("bob@example.net"), "en", None)]
+        spark.createDataFrame(rows, schema=schemas.INPUT_SCHEMA)\
+            .coalesce(1).write.parquet(in_dir)
+
+        table = stream_curate(spark, in_dir, str(tmp_path / "sp_tbl"),
+                              str(tmp_path / "sp_ck"), keep_langs=("en",),
+                              scrub_pii=True)
+        out = table.read(spark).collect()
+        # PII-only variants collapse to one survivor, already redacted.
+        assert len(out) == 1
+        assert "|||EMAIL_ADDRESS|||" in out[0]["text"]
+        assert "example.org" not in out[0]["text"]
+        assert out[0]["n_pii_redacted"] == 1
+        m = spark.read.parquet(f"{tmp_path}/sp_tbl/metrics_curate")
+        sums = m.groupBy().sum().first().asDict()
+        assert sums["sum(pii_redacted)"] == 2
+        assert sums["sum(dup_dropped)"] == 1
+
+        # Default path: gate off, counter present and zero.
+        in2 = str(tmp_path / "sp_in2")
+        spark.createDataFrame(rows[:1], schema=schemas.INPUT_SCHEMA)\
+            .coalesce(1).write.parquet(in2)
+        table2 = stream_curate(spark, in2, str(tmp_path / "sp_tbl2"),
+                               str(tmp_path / "sp_ck2"),
+                               keep_langs=("en",))
+        got = table2.read(spark).first()
+        assert "alice@example.org" in got["text"]
+        assert got["n_pii_redacted"] == 0
