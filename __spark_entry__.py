@@ -3281,6 +3281,37 @@ ORDER BY norm.doc_id
 """
 
 
+def q_token_sample(spark, sf_dir):
+    """Deterministic token-budget sampling: keep documents in salted-
+    hash order until 10k tokens of mass precede — through the REAL
+    bucketed sampler (md5 rank family); the oracle replays the
+    equivalent GLOBAL window cumsum, which the bucketed path must
+    match bit-for-bit."""
+    from ocr_spark.operators import sampling
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    out = sampling.token_budget_sample(d, 10_000, hash_mode="md5")
+    return out.select(
+        "doc_id",
+        textstats.token_count(F.col("text")).alias("n_tokens"))
+
+
+def _sql_token_sample():
+    tok = ("CASE WHEN trim(regexp_replace(lower(trim(text)), '[\\s\\v]+',"
+           " ' ', 'g')) = '' THEN 0 ELSE len(regexp_split_to_array("
+           "trim(regexp_replace(lower(trim(text)), '[\\s\\v]+', ' ', "
+           "'g')), ' ')) END")
+    return f"""
+WITH t AS (SELECT doc_id, {tok} AS n,
+                  md5(doc_id || '#0') AS key FROM documents),
+w AS (SELECT doc_id, n,
+        coalesce(sum(n) OVER (ORDER BY key, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+      FROM t)
+SELECT doc_id, n AS n_tokens FROM w WHERE before < 10000
+ORDER BY doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "salary_amount": q_salary_amount,
@@ -3304,6 +3335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_text": q_clean_text,
         "c4_stats": q_c4_stats,
         "lm_quality": q_lm_quality,
+        "token_sample": q_token_sample,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_bruteforce": q_ann_bruteforce,
         "embedding_neardup": q_embedding_neardup,
@@ -3360,6 +3392,7 @@ def oracle_sql() -> dict[str, str]:
         "clean_text": _sql_clean_text(),
         "c4_stats": _sql_c4_stats(),
         "lm_quality": _sql_lm_quality(),
+        "token_sample": _sql_token_sample(),
         "ngram_jaccard": _sql_ngram_jaccard(),
         "ann_bruteforce": _sql_ann_bruteforce(),
         "embedding_neardup": _sql_embedding_neardup(),

@@ -38,6 +38,9 @@ a reference corpus (--lm-ref parquet; default: the committed snapshot
 itself) and persists per-url bits-per-character signals; --lm-max-bits
 additionally persists the corpus filtered to documents at or under
 that score.
+--token-sample <dir> cuts a deterministic token-budget subcorpus
+(--token-budget N tokens, salted-hash document order, bucketed
+prefix-sum — no global window), persisting the sample and its report.
 --pii-scrub <dir> redacts emails, then IPs, then phone numbers
 (Dolma-style tokens, operators/scrub.py) from every document,
 persisting the scrubbed corpus with per-document redaction counts.
@@ -161,6 +164,15 @@ def _parse(argv):
     p.add_argument("--domain-cap", type=int, default=None, metavar="N",
                    help="keep at most N docs per host (deterministic "
                         "survivor selection) for --domain-filter")
+    p.add_argument("--token-sample", default=None, metavar="DIR",
+                   help="cut a deterministic token-budget subcorpus of "
+                        "the committed snapshot (operators/sampling.py) "
+                        "and persist it under DIR with a one-row report")
+    p.add_argument("--token-budget", type=int, default=None, metavar="N",
+                   help="token budget for --token-sample")
+    p.add_argument("--sample-salt", type=int, default=0,
+                   help="salt for --token-sample's hash order (a "
+                        "different salt draws a different sample)")
     p.add_argument("--lm-score", default=None, metavar="DIR",
                    help="score every committed document's extracted_text "
                         "in bits/char under a CCNet-style char-trigram "
@@ -262,6 +274,10 @@ def _parse(argv):
         p.error("--c4-bad-words requires --c4-filter")
     if (args.lm_ref or args.lm_max_bits is not None) and not args.lm_score:
         p.error("--lm-ref/--lm-max-bits require --lm-score")
+    if args.token_sample and args.token_budget is None:
+        p.error("--token-sample requires --token-budget")
+    if args.token_budget is not None and not args.token_sample:
+        p.error("--token-budget requires --token-sample")
     if args.lang_filter:
         from ocr_spark.operators import textstats
         known = (set(textstats.LANG_STOPWORDS)
@@ -688,6 +704,28 @@ def main(argv=None, spark=None) -> dict:
                 "docs": n_docs, "kept": n_kept,
                 "dropped": n_docs - n_kept,
                 "bad_words": len(bad)}
+
+    if args.token_sample:
+        # Deterministic token-budget subcorpus (the last curation step
+        # before training-mix assembly): sample + report persist, the
+        # report rides the summary.
+        from ocr_spark.operators import sampling
+        committed = table.read(spark)
+        if committed is not None:
+            sample, report = sampling.token_budget_sample(
+                committed, args.token_budget,
+                text_col="extracted_text", id_col="url",
+                salt=args.sample_salt, return_report=True)
+            sample.write.mode("overwrite").parquet(
+                f"{args.token_sample}/sample")
+            report.write.mode("overwrite").parquet(
+                f"{args.token_sample}/report")
+            r = spark.read.parquet(f"{args.token_sample}/report").first()
+            summary["token_sample"] = {
+                "budget": args.token_budget,
+                "salt": args.sample_salt,
+                **{k: int(r[k]) for k in ("total_docs", "total_tokens",
+                                          "kept_docs", "kept_tokens")}}
 
     if args.compact:
         # After ingest + curation: fold the accrued per-run dirs into

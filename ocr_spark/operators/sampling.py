@@ -1,0 +1,119 @@
+"""Deterministic corpus sampling under a token budget.
+
+Cutting a reproducible N-token subcorpus out of a cleaned crawl is the
+last step before training-mix assembly (public practice: C4/Pile/Dolma
+all publish fixed-token subsets). The sampler ranks documents by a
+salted uniform hash of their id (reproducible, order-independent,
+unbiased) and keeps them in hash order until the cumulative token
+count reaches the budget.
+
+Scale shape — the naive version is a GLOBAL ordered cumsum, i.e. a
+one-partition window over 10^12 rows. Instead:
+
+  1. bucket each doc by the top bits of its hash key (arithmetic
+     shift, so bucket order == key order) — one hash aggregation
+     gives per-bucket token sums (4096 tiny rows);
+  2. prefix-sum those 4096 rows DRIVER-side to find the boundary
+     bucket and the budget remainder entering it;
+  3. buckets before the boundary are kept whole with a plain filter
+     (no shuffle beyond the agg); ONLY the boundary bucket — 1/4096
+     of the corpus — pays an ordered window cumsum.
+
+The result is bit-identical to the global-window definition (bucket
+boundaries respect key order; within-bucket ordering matches the
+global (key, id) order), which is exactly what the DuckDB oracle
+replays with a plain window at test scale.
+
+``hash_mode='md5'`` ranks by the md5 hex string instead of xxhash64 —
+the DuckDB-expressible family, same convention as the LSH operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textstats import token_count
+
+N_BUCKETS_BITS = 12  # 4096 buckets: driver prefix is trivial,
+#                      boundary window sees ~1/4096 of the corpus.
+
+
+def _rank_key(id_col: str, salt: int, hash_mode: str):
+    sid = F.concat(F.col(id_col).cast("string"), F.lit(f"#{salt}"))
+    if hash_mode == "md5":
+        # Hex string — ASCII ordering, identical in DuckDB.
+        return F.md5(sid.cast("binary"))
+    return F.xxhash64(sid)
+
+
+def token_budget_sample(df: DataFrame, budget_tokens: int,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        salt: int = 0, hash_mode: str = "xxhash64",
+                        return_report: bool = False):
+    """Corpus filtered to a deterministic ~``budget_tokens`` sample:
+    a document is kept iff the token mass of all documents ranking
+    before it (by salted hash, ties by id) is under the budget — so
+    the sample always crosses the budget by at most one document, and
+    budget <= 0 keeps nothing.
+
+    With return_report=True also returns a one-row frame
+    (total_docs, total_tokens, kept_docs, kept_tokens)."""
+    key = _rank_key(id_col, salt, hash_mode)
+    staged = df.withColumn("_key", key)\
+        .withColumn("_n_tok", token_count(F.col(text_col)))
+    if hash_mode == "md5":
+        # First 3 hex chars: 4096 buckets, ordered like the string.
+        staged = staged.withColumn("_bucket", F.substring("_key", 1, 3))
+    else:
+        # Arithmetic shift keeps signed order: bucket asc == key asc.
+        staged = staged.withColumn(
+            "_bucket", F.shiftright("_key", 64 - N_BUCKETS_BITS))
+
+    # One tiny aggregation; the prefix over <=4096 rows runs on the
+    # driver (this is plan work, not data work).
+    per_bucket = (staged.groupBy("_bucket")
+                  .agg(F.sum("_n_tok").alias("_tok"))
+                  .orderBy("_bucket").collect())
+    running = 0
+    boundary_bucket = None
+    boundary_remainder = 0
+    for row in per_bucket:
+        if running + row["_tok"] < budget_tokens:
+            running += row["_tok"]
+        else:
+            boundary_bucket = row["_bucket"]
+            boundary_remainder = budget_tokens - running
+            break
+
+    if boundary_bucket is None:
+        kept = staged  # budget covers the whole corpus
+    else:
+        # Buckets are ordered like the key, so "fully kept" is one
+        # comparison — no giant IN list.
+        kept_full = staged.filter(F.col("_bucket") < boundary_bucket)
+        w = (Window.partitionBy("_bucket")
+             .orderBy("_key", id_col)
+             .rowsBetween(Window.unboundedPreceding, -1))
+        boundary = (staged.filter(F.col("_bucket") == boundary_bucket)
+                    .withColumn("_before",
+                                F.coalesce(F.sum("_n_tok").over(w),
+                                           F.lit(0)))
+                    .filter(F.col("_before") < boundary_remainder)
+                    .drop("_before"))
+        kept = kept_full.unionByName(boundary)
+    out = kept.drop("_key", "_bucket", "_n_tok")
+    if return_report:
+        totals = staged.agg(
+            F.count("*").alias("total_docs"),
+            F.sum("_n_tok").alias("total_tokens")).first()
+        kept_tot = kept.agg(
+            F.count("*").alias("kept_docs"),
+            F.sum("_n_tok").alias("kept_tokens")).first()
+        report = df.sparkSession.createDataFrame(
+            [(int(totals["total_docs"]), int(totals["total_tokens"] or 0),
+              int(kept_tot["kept_docs"]), int(kept_tot["kept_tokens"] or 0))],
+            "total_docs long, total_tokens long, kept_docs long, "
+            "kept_tokens long")
+        return out, report
+    return out

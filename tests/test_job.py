@@ -644,3 +644,42 @@ def test_job_lm_flags_require_lm_score(tmp_path):
     with pytest.raises(SystemExit):
         job._parse(["--synth", "4", "--table", str(tmp_path / "t"),
                     "--lm-max-bits", "5"])
+
+
+def test_job_token_sample_cuts_budgeted_corpus(spark, tmp_path):
+    """--token-sample persists a deterministic subcorpus whose token
+    mass crosses the budget by at most one document."""
+    inp = str(tmp_path / "in.parquet")
+    rows = []
+    for i in range(12):
+        body = " ".join(f"w{i}x{j}" for j in range(5))  # 5 tokens each
+        rows.append((f"https://cc.synth.local/app{i}/salary_slip/"
+                     f"{i}.png", None, None, body, "en", None))
+    spark.createDataFrame(rows, schema=schemas.INPUT_SCHEMA)\
+        .write.parquet(inp)
+
+    ts = str(tmp_path / "ts")
+    r = job.main(["--input", inp, "--table", str(tmp_path / "t"),
+                  "--partitions", "2", "--token-sample", ts,
+                  "--token-budget", "23"], spark=spark)
+    # 5 tokens/doc: before-mass < 23 keeps exactly 5 docs (25 tokens).
+    assert r["token_sample"]["kept_docs"] == 5
+    assert r["token_sample"]["kept_tokens"] == 25
+    assert r["token_sample"]["total_docs"] == 12
+    sample = spark.read.parquet(f"{ts}/sample")
+    assert sample.count() == 5
+    assert "extracted_text" in sample.columns
+    # Same command, same sample (determinism across invocations).
+    r2 = job.main(["--input", inp, "--table", str(tmp_path / "t"),
+                   "--partitions", "2", "--token-sample", ts,
+                   "--token-budget", "23"], spark=spark)
+    assert r2["token_sample"] == r["token_sample"]
+
+
+def test_job_token_sample_flag_validation(tmp_path):
+    with pytest.raises(SystemExit):
+        job._parse(["--synth", "4", "--table", str(tmp_path / "t"),
+                    "--token-sample", "d"])
+    with pytest.raises(SystemExit):
+        job._parse(["--synth", "4", "--table", str(tmp_path / "t"),
+                    "--token-budget", "5"])

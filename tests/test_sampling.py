@@ -1,0 +1,85 @@
+"""Deterministic token-budget sampling (operators/sampling.py)."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from ocr_spark.operators import sampling
+from ocr_spark.operators.textstats import token_count
+
+
+def _corpus(spark, n=60):
+    rows = [(i, " ".join(
+        hashlib.md5(f"tb{i}:{j}".encode()).hexdigest()[:6]
+        for j in range(1 + i % 7))) for i in range(n)]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _global_rule(spark, df, budget, salt=0, mode="md5"):
+    """The one-window global definition the bucketed path must match."""
+    rows = df.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n")).collect()
+    def key(r):
+        s = f"{r['doc_id']}#{salt}".encode()
+        return hashlib.md5(s).hexdigest()
+    ordered = sorted(rows, key=lambda r: (key(r), r["doc_id"]))
+    kept, before = set(), 0
+    for r in ordered:
+        if before < budget:
+            kept.add(r["doc_id"])
+        before += r["n"]
+    return kept
+
+
+class TestTokenBudgetSample:
+    def test_matches_global_definition(self, spark):
+        df = _corpus(spark)
+        total = df.select(F.sum(token_count(F.col("text")))).first()[0]
+        for budget in (0, 1, 7, 40, total // 3, total - 1, total, total + 5):
+            got = {r["doc_id"] for r in sampling.token_budget_sample(
+                df, budget, hash_mode="md5").collect()}
+            want = _global_rule(spark, df, budget)
+            assert got == want, budget
+
+    def test_deterministic_and_salted(self, spark):
+        df = _corpus(spark)
+        a = {r["doc_id"] for r in
+             sampling.token_budget_sample(df, 50).collect()}
+        b = {r["doc_id"] for r in
+             sampling.token_budget_sample(df, 50).collect()}
+        assert a == b
+        c = {r["doc_id"] for r in
+             sampling.token_budget_sample(df, 50, salt=1).collect()}
+        assert a != c  # a different salt draws a different sample
+
+    def test_monotone_in_budget(self, spark):
+        df = _corpus(spark)
+        small = {r["doc_id"] for r in
+                 sampling.token_budget_sample(df, 30).collect()}
+        big = {r["doc_id"] for r in
+               sampling.token_budget_sample(df, 90).collect()}
+        assert small <= big and len(small) < len(big)
+
+    def test_report_and_overshoot_bound(self, spark):
+        df = _corpus(spark)
+        budget = 55
+        out, report = sampling.token_budget_sample(
+            df, budget, return_report=True)
+        r = report.collect()[0]
+        assert r["kept_docs"] == out.count()
+        # The sample crosses the budget by at most one document
+        # (max doc here is 7 tokens) and never stops short while
+        # documents remain.
+        assert budget <= r["kept_tokens"] < budget + 7
+        assert r["total_docs"] == 60
+
+    def test_schema_preserved(self, spark):
+        df = _corpus(spark).withColumn("meta", F.lit("m"))
+        out = sampling.token_budget_sample(df, 20)
+        assert set(out.columns) == {"doc_id", "text", "meta"}
+
+    def test_zero_and_full_budget(self, spark):
+        df = _corpus(spark)
+        assert sampling.token_budget_sample(df, 0).count() == 0
+        assert sampling.token_budget_sample(df, 10**9).count() == 60
