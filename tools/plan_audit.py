@@ -251,6 +251,20 @@ def main() -> None:
           and "BatchEvalPython" not in p and "ArrowEvalPython" not in p,
           f"BroadcastHashJoin={'BroadcastHashJoin' in p}")
 
+    # 9j. r4.3: the token-budget sampler's only window is PARTITIONED
+    #     by the hash bucket (the boundary bucket's ordered cumsum) —
+    #     a global unpartitioned window over the corpus would be the
+    #     one-partition scale-killer the bucketed design exists to
+    #     avoid.
+    p = plans["token_sample"]
+    window_blocks = [b for b in p.split("\n\n")
+                     if b.splitlines() and "Window" in b.splitlines()[0]]
+    bucketed = bool(window_blocks) and all(
+        "_bucket" in b for b in window_blocks)
+    check("token_sample",
+          "boundary-bucket-partitioned window (no global cumsum)",
+          bucketed, f"{len(window_blocks)} window block(s)")
+
     # 9. No CartesianProduct anywhere: every join is keyed or broadcast
     #    (the brute-force oracle baselines use broadcast nested loop,
     #    which bounds the big side to one scan).
