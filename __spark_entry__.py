@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ocr_spark.functions import expressions as X
-from ocr_spark.operators import dedup, similarity, textstats
+from ocr_spark.operators import decontam, dedup, similarity, textstats
 
 # ---------------------------------------------------------------------------
 # Shared derived-document definitions: both engines synthesize the same
@@ -688,6 +688,149 @@ FROM a JOIN b ON a.pair_id = b.pair_id ORDER BY a.pair_id
 """
 
 
+def q_decontam(spark, sf_dir):
+    """Benchmark decontamination (Brown et al. 2020 Appendix C,
+    13-gram overlap): benchmark = token window 3..18 of every 10th
+    document, so contaminated docs are (at least) the sampled ones
+    whose window holds >=13 tokens; counts run through the REAL
+    explode -> hash-join -> agg path at hash_mode='md5' (the
+    DuckDB-expressible twin of the xxhash64 production hash)."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(dedup.normalize_text(F.col("text")), " ")
+    bench = (docs.filter(F.col("doc_id") % 10 == 0)
+             .select(F.array_join(F.slice(toks, 3, 16), " ").alias("text")))
+    return (decontam.contamination(docs, bench, n=13, hash_mode="md5")
+            .orderBy("doc_id"))
+
+
+def _sql_decontam():
+    # Joining on substr(md5(gram),1,16) is the same bijection as
+    # Spark's dedup.md5_hash64 (hex chars 1-16 <-> the two 32-bit
+    # words), so overlap sets and counts are identical.
+    gram16 = ("list_distinct(list_transform("
+              "range(1, greatest(len(toks) - 12, 0) + 1), "
+              "i -> substr(md5(array_to_string("
+              "list_slice(toks, i, i + 12), ' ')), 1, 16)))")
+    return f"""
+WITH dn AS (SELECT doc_id,
+    regexp_replace(lower(trim(text)), '[\\s\\v]+', ' ', 'g') AS n
+    FROM documents),
+tk AS (SELECT doc_id, string_split(n, ' ') AS toks FROM dn),
+g AS (SELECT doc_id, {gram16} AS hs FROM tk),
+bt AS (SELECT string_split(array_to_string(list_slice(toks, 3, 18), ' '), ' ')
+           AS toks
+       FROM tk WHERE doc_id % 10 = 0),
+bg AS (SELECT DISTINCT unnest({gram16}) AS h FROM bt),
+dh AS (SELECT doc_id, unnest(hs) AS h FROM g)
+SELECT dh.doc_id, count(*) AS hit_count
+FROM dh JOIN bg ON dh.h = bg.h
+GROUP BY dh.doc_id ORDER BY dh.doc_id
+"""
+
+
+def q_substring_dup(spark, sf_dir):
+    """Intra-corpus exact-substring duplication (Lee et al. 2021):
+    corpus = documents plus a 'pad pad pad '-prefixed copy of every
+    7th document, so planted recombinations carry known-high
+    dup_fractions; counts run through the REAL explode -> min-owner
+    agg -> hash-join -> per-doc agg path at hash_mode='md5' (the
+    DuckDB-expressible twin of the xxhash64 production hash)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    derived = (docs.filter(F.col("doc_id") % 7 == 0)
+               .select((F.col("doc_id") + 100000).alias("doc_id"),
+                       F.concat(F.lit("pad pad pad "), F.col("text"))
+                       .alias("text")))
+    corpus = docs.unionByName(derived)
+    return (decontam.substring_duplication(corpus, n=15, hash_mode="md5")
+            .orderBy("doc_id"))
+
+
+def _sql_substring_dup():
+    # Same substr(md5(gram),1,16) bijection as _sql_decontam; the
+    # min-owner join replays keep-first ownership.
+    gram16 = ("list_distinct(list_transform("
+              "range(1, greatest(len(toks) - 14, 0) + 1), "
+              "i -> substr(md5(array_to_string("
+              "list_slice(toks, i, i + 14), ' ')), 1, 16)))")
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, 'pad pad pad ' || text AS text
+  FROM documents WHERE doc_id % 7 = 0),
+dn AS (SELECT doc_id,
+    regexp_replace(lower(trim(text)), '[\\s\\v]+', ' ', 'g') AS n
+    FROM corpus),
+tk AS (SELECT doc_id, string_split(n, ' ') AS toks FROM dn),
+g AS (SELECT doc_id, {gram16} AS hs FROM tk),
+dh AS (SELECT doc_id, unnest(hs) AS h FROM g),
+own AS (SELECT h, min(doc_id) AS owner FROM dh GROUP BY h)
+SELECT dh.doc_id,
+       count(*) AS n_ngrams,
+       count(*) FILTER (WHERE dh.doc_id <> own.owner) AS dup_ngrams,
+       round(count(*) FILTER (WHERE dh.doc_id <> own.owner)::double
+             / count(*), 6) AS dup_fraction
+FROM dh JOIN own USING (h)
+GROUP BY dh.doc_id ORDER BY dh.doc_id
+"""
+
+
+def q_quality_classify(spark, sf_dir):
+    """Model-based quality scoring (DCLM / FineWeb-Edu style) as
+    closed-form Naive Bayes: positives = the even-doc_id slice,
+    negatives = the same slice with vowels stripped from the RAW text
+    (mutilation before normalization), every document scored through
+    the REAL train (hash-agg token counts) + score (explode ->
+    broadcast model join -> per-doc mean-llr) path."""
+    from ocr_spark.operators import qualityclf
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    pos = docs.filter(F.col("doc_id") % 2 == 0).select("text")
+    neg = pos.select(
+        F.regexp_replace("text", "[aeiou]", "").alias("text"))
+    return qualityclf.nb_quality(docs, pos, neg).orderBy("doc_id")
+
+
+def _sql_quality_classify():
+    # Replays normalize -> token counts per class -> Laplace llr ->
+    # broadcast probe -> per-doc mean. Vowels strip from RAW text
+    # (before lowercasing) exactly like the Spark leg.
+    norm = "regexp_replace(lower(trim({x})), '[\\s\\v]+', ' ', 'g')"
+    return f"""
+WITH posn AS (SELECT {norm.format(x='text')} AS t
+              FROM documents WHERE doc_id % 2 = 0),
+negn AS (SELECT {norm.format(
+    x="regexp_replace(text, '[aeiou]', '', 'g')")} AS t
+         FROM documents WHERE doc_id % 2 = 0),
+lab AS (SELECT t, 1 AS y FROM posn UNION ALL SELECT t, 0 AS y FROM negn),
+ltok AS (SELECT y, unnest(string_split(t, ' ')) AS token
+         FROM lab WHERE t <> ''),
+cnts AS (SELECT token, sum(y) AS pos_cnt, sum(1 - y) AS neg_cnt
+         FROM ltok GROUP BY token),
+tot AS (SELECT sum(y) AS pos_tokens, sum(1 - y) AS neg_tokens,
+               count(DISTINCT token) AS v FROM ltok),
+model AS (SELECT token,
+    ln((pos_cnt + 1)::double
+       / ((SELECT pos_tokens FROM tot) + (SELECT v FROM tot)))
+  - ln((neg_cnt + 1)::double
+       / ((SELECT neg_tokens FROM tot) + (SELECT v FROM tot))) AS llr
+  FROM cnts),
+unseen AS (SELECT ln(1.0 / (pos_tokens + v))
+                - ln(1.0 / (neg_tokens + v)) AS u FROM tot),
+dn AS (SELECT doc_id, {norm.format(x='text')} AS t FROM documents),
+dtok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS token
+         FROM dn WHERE t <> ''),
+sc AS (SELECT d.doc_id,
+              coalesce(m.llr, (SELECT u FROM unseen)) AS t_llr
+       FROM dtok d LEFT JOIN model m USING (token)),
+agg AS (SELECT doc_id, count(*) AS n_tokens,
+               round(avg(t_llr), 6) AS mean_llr
+        FROM sc GROUP BY doc_id)
+SELECT dn.doc_id, coalesce(agg.n_tokens, 0) AS n_tokens, agg.mean_llr
+FROM dn LEFT JOIN agg USING (doc_id)
+ORDER BY dn.doc_id
+"""
+
+
 def q_ann_bruteforce(spark, sf_dir):
     """Brute-force cosine top-5 for query vectors 0..2 (rank list with
     deterministic tie-break; similarity rounded for cross-engine hash)."""
@@ -1113,6 +1256,51 @@ r AS (SELECT query_id, corpus_id, cos_sim,
       FROM s)
 SELECT query_id, rank, corpus_id, round(cos_sim, 4) AS cos_sim
 FROM r WHERE rank <= 3 ORDER BY query_id, rank
+"""
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023):
+    k-means cells (ivf_train) then exact-cosine pairs within each
+    cell. Oracle configuration mirrors ivf_ann: train_iters=0 (raw
+    seed centroids, no float averaging) + assign_mode='expr', so
+    assignment and scoring are the same sequential-sum expression
+    cosine the green ann_bruteforce oracle certifies. The operator
+    pre-filters at 0.3 and both engines apply the graded threshold on
+    the ROUNDED cosine (0.35), so the boundary comparison can never
+    straddle a float epsilon."""
+    e = _emb(spark, sf_dir)
+    cents = similarity.ivf_train(e, nlist=8, train_iters=0)
+    pairs = similarity.semantic_dedup_pairs(
+        e, threshold=0.3, centroids=cents, assign_mode="expr")
+    return (pairs
+            .select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim"))
+            .filter(F.col("cos_sim") >= 0.35)
+            .orderBy("id_a", "id_b"))
+
+
+def _sql_semantic_dedup():
+    cos = ("list_sum(list_transform(range(1, len({a}) + 1),"
+           " i -> {a}[i::int] * {b}[i::int]))"
+           " / (sqrt(list_sum(list_transform({a}, x -> x * x)))"
+           " * sqrt(list_sum(list_transform({b}, x -> x * x))))")
+    return f"""
+WITH cent AS (SELECT vec_id AS cid, embedding::double[] AS c
+              FROM embeddings WHERE vec_id < 8),
+e AS (SELECT vec_id, embedding::double[] AS v FROM embeddings),
+ca0 AS (SELECT e.vec_id AS id, e.v, cent.cid,
+               {cos.format(a='e.v', b='cent.c')} AS cos
+        FROM e, cent),
+ca AS (SELECT id, v, cid FROM (
+         SELECT id, v, cid,
+                row_number() OVER (PARTITION BY id
+                                   ORDER BY cos DESC, cid ASC) AS rn
+         FROM ca0) WHERE rn = 1),
+p AS (SELECT a.id AS id_a, b.id AS id_b,
+             round({cos.format(a='a.v', b='b.v')}, 4) AS cos_sim
+      FROM ca a JOIN ca b ON a.cid = b.cid AND a.id < b.id)
+SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.35
+ORDER BY id_a, id_b
 """
 
 
@@ -3337,6 +3525,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_quality": q_lm_quality,
         "token_sample": q_token_sample,
         "ngram_jaccard": q_ngram_jaccard,
+        "decontam": q_decontam,
+        "substring_dup": q_substring_dup,
+        "quality_classify": q_quality_classify,
         "ann_bruteforce": q_ann_bruteforce,
         "embedding_neardup": q_embedding_neardup,
         "tx_line_parse": q_tx_line_parse,
@@ -3346,6 +3537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
+        "semantic_dedup": q_semantic_dedup,
         "media_features": q_media_features,
         "pixel_decode": q_pixel_decode,
         "audio_decode": q_audio_decode,
@@ -3394,6 +3586,9 @@ def oracle_sql() -> dict[str, str]:
         "lm_quality": _sql_lm_quality(),
         "token_sample": _sql_token_sample(),
         "ngram_jaccard": _sql_ngram_jaccard(),
+        "decontam": _sql_decontam(),
+        "substring_dup": _sql_substring_dup(),
+        "quality_classify": _sql_quality_classify(),
         "ann_bruteforce": _sql_ann_bruteforce(),
         "embedding_neardup": _sql_embedding_neardup(),
         "tx_line_parse": _sql_tx_line_parse(),
@@ -3432,6 +3627,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _sql_simhash_pairs(),
         "lsh_ann": _sql_lsh_ann(),
         "ivf_ann": _sql_ivf_ann(),
+        "semantic_dedup": _sql_semantic_dedup(),
         # r3: the byte-histogram fallback IS SQL-expressible via
         # hex(encode(text)) — media_features joins the oracle gate.
         "media_features": _sql_media_features(),

@@ -118,16 +118,18 @@ def _parse(argv):
                         "hot-bucket drop report under this dir")
     p.add_argument("--neardup-max-bucket", type=int, default=1000)
     p.add_argument("--neardup-method", default="minhash",
-                   choices=["minhash", "simhash", "ngram", "embedding"],
+                   choices=["minhash", "simhash", "ngram", "embedding",
+                            "semantic"],
                    help="pair generator for --neardup: MinHash-LSH "
                         "(set-Jaccard, default), SimHash (64-bit "
                         "fingerprint hamming), exact n-gram Jaccard "
-                        "with anchor blocking, or embedding-cosine LSH "
-                        "(needs --embeddings) — all emit (id_a, id_b) "
+                        "with anchor blocking, embedding-cosine LSH, "
+                        "or SemDeDup k-means-cell cosine (the last two "
+                        "need --embeddings) — all emit (id_a, id_b) "
                         "pairs the same --dedup-apply resolves")
     p.add_argument("--embeddings", default=None, metavar="PATH",
                    help="parquet of (url, embedding) rows for "
-                        "--neardup-method embedding; rows are "
+                        "--neardup-method embedding/semantic; rows are "
                         "semi-joined to the committed snapshot's urls")
     p.add_argument("--dedup-apply", default=None, metavar="DIR",
                    help="resolve the --neardup pairs to clusters "
@@ -212,6 +214,55 @@ def _parse(argv):
                         "committed snapshot's extracted_text; persist "
                         "the cleaned corpus under DIR and report the "
                         "removal counters")
+    p.add_argument("--decontam", default=None, metavar="DIR",
+                   help="remove benchmark-contaminated documents "
+                        "(Brown et al. 2020 13-gram overlap) from the "
+                        "committed snapshot; persist the per-url hit "
+                        "counts and the decontaminated corpus under DIR")
+    p.add_argument("--benchmark", default=None, metavar="PATH",
+                   help="parquet of benchmark/eval documents (column "
+                        "'text') whose n-grams define contamination for "
+                        "--decontam")
+    p.add_argument("--decontam-ngram", type=int, default=13,
+                   help="shingle width in tokens for --decontam "
+                        "(default 13, the GPT-3/Pile setting)")
+    p.add_argument("--decontam-min-hits", type=int, default=1,
+                   help="distinct overlapping n-grams required to drop "
+                        "a document (default 1 = any overlap)")
+    p.add_argument("--substr-dedup", default=None, metavar="DIR",
+                   help="drop documents recombining long token spans of "
+                        "earlier documents (Lee et al. 2021 exact-"
+                        "substring duplication, keep-first by url); "
+                        "persist the per-url span stats and the "
+                        "deduplicated corpus under DIR")
+    p.add_argument("--substr-ngram", type=int, default=50,
+                   help="span width in tokens for --substr-dedup "
+                        "(default 50, the paper's setting)")
+    p.add_argument("--substr-max-frac", type=float, default=0.5,
+                   help="drop a document when MORE than this fraction "
+                        "of its spans occur in earlier documents "
+                        "(default 0.5; 0.0 = any shared span drops)")
+    p.add_argument("--substr-sample", type=int, default=1,
+                   help="content-defined anchor sampling modulus: keep "
+                        "only spans whose start token hashes to 0 mod "
+                        "this (default 1 = exact; 8-16 cuts the wall "
+                        "~10x with ~(1-1/mod)^g span miss probability)")
+    p.add_argument("--clf-filter", default=None, metavar="DIR",
+                   help="score every committed document with a Naive "
+                        "Bayes quality classifier (DCLM/FineWeb-style "
+                        "model-based filtering) trained on --clf-pos vs "
+                        "--clf-neg; persist the per-url scores and the "
+                        "above-threshold corpus under DIR")
+    p.add_argument("--clf-pos", default=None, metavar="PATH",
+                   help="parquet of positive/high-quality example "
+                        "documents (column 'text') for --clf-filter")
+    p.add_argument("--clf-neg", default=None, metavar="PATH",
+                   help="parquet of negative/low-quality example "
+                        "documents (column 'text') for --clf-filter")
+    p.add_argument("--clf-threshold", type=float, default=0.0,
+                   help="keep documents with mean token log-likelihood "
+                        "ratio >= this (default 0.0 = the model's "
+                        "decision boundary)")
     p.add_argument("--rollback", type=int, default=None, metavar="SEQ",
                    help="before any ingest, move the table head back to "
                         "snapshot SEQ (publishes a new replicating "
@@ -250,10 +301,11 @@ def _parse(argv):
             p.error("--neardup-method requires --neardup")
         if args.embeddings:
             p.error("--embeddings requires --neardup with "
-                    "--neardup-method embedding")
-    elif args.neardup_method == "embedding" and not args.embeddings:
-        p.error("--neardup-method embedding requires --embeddings "
-                "(the snapshot carries no vectors)")
+                    "--neardup-method embedding or semantic")
+    elif (args.neardup_method in ("embedding", "semantic")
+          and not args.embeddings):
+        p.error(f"--neardup-method {args.neardup_method} requires "
+                "--embeddings (the snapshot carries no vectors)")
     if args.domain_filter:
         if not args.domain_block and args.domain_cap is None:
             p.error("--domain-filter needs --domain-block and/or "
@@ -278,6 +330,36 @@ def _parse(argv):
         p.error("--token-sample requires --token-budget")
     if args.token_budget is not None and not args.token_sample:
         p.error("--token-budget requires --token-sample")
+    if args.decontam:
+        if not args.benchmark:
+            p.error("--decontam requires --benchmark (contamination is "
+                    "defined relative to an eval corpus)")
+        if args.decontam_ngram < 2:
+            p.error("--decontam-ngram must be >= 2")
+        if args.decontam_min_hits < 1:
+            p.error("--decontam-min-hits must be >= 1")
+    elif (args.benchmark or args.decontam_ngram != 13
+          or args.decontam_min_hits != 1):
+        p.error("--benchmark/--decontam-ngram/--decontam-min-hits "
+                "require --decontam")
+    if args.substr_dedup:
+        if args.substr_ngram < 2:
+            p.error("--substr-ngram must be >= 2")
+        if not 0.0 <= args.substr_max_frac <= 1.0:
+            p.error("--substr-max-frac must be in [0, 1]")
+        if args.substr_sample < 1:
+            p.error("--substr-sample must be >= 1")
+    elif (args.substr_ngram != 50 or args.substr_max_frac != 0.5
+          or args.substr_sample != 1):
+        p.error("--substr-ngram/--substr-max-frac/--substr-sample "
+                "require --substr-dedup")
+    if args.clf_filter:
+        if not (args.clf_pos and args.clf_neg):
+            p.error("--clf-filter requires --clf-pos and --clf-neg "
+                    "(the classifier is trained from labeled examples)")
+    elif args.clf_pos or args.clf_neg or args.clf_threshold != 0.0:
+        p.error("--clf-pos/--clf-neg/--clf-threshold require "
+                "--clf-filter")
     if args.lang_filter:
         from ocr_spark.operators import textstats
         known = (set(textstats.LANG_STOPWORDS)
@@ -380,7 +462,7 @@ def main(argv=None, spark=None) -> dict:
             # contract and the one-row bucket_report shape.
             coverage = {}
 
-            def _embedding_pairs(d):
+            def _embedding_sidecar(d):
                 # The committed snapshot carries no vectors; an
                 # embeddings sidecar table joins in by url (semi-join so
                 # uncommitted or stale vectors never create pairs; one
@@ -388,16 +470,31 @@ def main(argv=None, spark=None) -> dict:
                 # pairs out). Coverage is counted: docs the sidecar
                 # MISSES can never pair, and a silent gap would violate
                 # this stage's never-silent contract.
-                from ocr_spark.operators import similarity
                 emb = (spark.read.parquet(args.embeddings)
                        .dropDuplicates(["url"])
                        .join(d.select("url"), "url", "left_semi"))
                 coverage["docs_with_embeddings"] = emb.count()
                 coverage["docs_missing_embeddings"] = (
                     d.count() - coverage["docs_with_embeddings"])
+                return emb
+
+            def _embedding_pairs(d):
+                from ocr_spark.operators import similarity
                 return similarity.embedding_near_dup_pairs(
-                    emb, id_col="url", vec_col="embedding",
+                    _embedding_sidecar(d), id_col="url",
+                    vec_col="embedding",
                     max_bucket=args.neardup_max_bucket,
+                    return_report=True)
+
+            def _semantic_pairs(d):
+                # SemDeDup (Abbas et al. 2023): learned k-means cells
+                # instead of LSH buckets; same sidecar contract and the
+                # same (id_a, id_b) + bucket_report shape downstream.
+                from ocr_spark.operators import similarity
+                return similarity.semantic_dedup_pairs(
+                    _embedding_sidecar(d), id_col="url",
+                    vec_col="embedding",
+                    max_cell=args.neardup_max_bucket,
                     return_report=True)
 
             generators = {
@@ -415,6 +512,7 @@ def main(argv=None, spark=None) -> dict:
                     max_bucket=args.neardup_max_bucket,
                     return_report=True),
                 "embedding": _embedding_pairs,
+                "semantic": _semantic_pairs,
             }
             pairs, report = generators[args.neardup_method](
                 committed.select("url", "extracted_text"))
@@ -508,6 +606,106 @@ def main(argv=None, spark=None) -> dict:
                 f"{args.lang_filter}/filtered").count()
             summary["lang_filter"] = {
                 "keep": keep_langs, "docs": n_docs, "kept": n_kept,
+                "dropped": n_docs - n_kept}
+
+    if args.decontam:
+        # Benchmark decontamination (Brown et al. 2020 Appendix C):
+        # the per-url hit counts persist next to the decontaminated
+        # corpus so a dropped page is always explainable — same
+        # never-silent contract as the other gates.
+        from pyspark.sql import functions as F
+
+        from ocr_spark.operators import decontam as decontam_ops
+        committed = table.read(spark)
+        if committed is not None:
+            bench = spark.read.parquet(args.benchmark)
+            hits = decontam_ops.contamination(
+                committed, bench, n=args.decontam_ngram,
+                text_col="extracted_text", id_col="url",
+                bench_text_col="text")
+            hits.write.mode("overwrite").parquet(f"{args.decontam}/hits")
+            hits = spark.read.parquet(f"{args.decontam}/hits")
+            bad = hits.filter(
+                F.col("hit_count") >= args.decontam_min_hits)
+            kept = committed.join(bad.select("url"), on="url",
+                                  how="left_anti")
+            kept.write.mode("overwrite").parquet(
+                f"{args.decontam}/filtered")
+            n_docs = committed.count()
+            n_kept = spark.read.parquet(
+                f"{args.decontam}/filtered").count()
+            summary["decontam"] = {
+                "ngram": args.decontam_ngram,
+                "min_hits": args.decontam_min_hits,
+                "docs": n_docs, "kept": n_kept,
+                "dropped": n_docs - n_kept,
+                "contaminated": bad.count()}
+
+    if args.substr_dedup:
+        # Intra-corpus exact-substring dedup (Lee et al. 2021):
+        # keep-first by url; the per-url span stats persist next to
+        # the survivor corpus — never-silent like the other gates.
+        from pyspark.sql import functions as F
+
+        from ocr_spark.operators import decontam as decontam_ops
+        committed = table.read(spark)
+        if committed is not None:
+            stats = decontam_ops.substring_duplication(
+                committed, n=args.substr_ngram,
+                text_col="extracted_text", id_col="url",
+                sample_mod=args.substr_sample)
+            stats.write.mode("overwrite").parquet(
+                f"{args.substr_dedup}/spans")
+            stats = spark.read.parquet(f"{args.substr_dedup}/spans")
+            bad = stats.filter(
+                F.col("dup_fraction") > args.substr_max_frac)
+            kept = committed.join(bad.select("url"), on="url",
+                                  how="left_anti")
+            kept.write.mode("overwrite").parquet(
+                f"{args.substr_dedup}/filtered")
+            n_docs = committed.count()
+            n_kept = spark.read.parquet(
+                f"{args.substr_dedup}/filtered").count()
+            summary["substr_dedup"] = {
+                "ngram": args.substr_ngram,
+                "max_frac": args.substr_max_frac,
+                "sample_mod": args.substr_sample,
+                "docs": n_docs, "kept": n_kept,
+                "dropped": n_docs - n_kept}
+
+    if args.clf_filter:
+        # Model-based quality filtering (DCLM/FineWeb-style): the
+        # closed-form NB model trains on the labeled sidecars, every
+        # committed doc's score persists next to the filtered corpus.
+        from pyspark.sql import functions as F
+
+        from ocr_spark.operators import qualityclf
+        committed = table.read(spark)
+        if committed is not None:
+            # Sidecar examples carry 'text'; the snapshot carries
+            # 'extracted_text' — fold both onto the snapshot's name.
+            pos = (spark.read.parquet(args.clf_pos)
+                   .select(F.col("text").alias("extracted_text")))
+            neg = (spark.read.parquet(args.clf_neg)
+                   .select(F.col("text").alias("extracted_text")))
+            scores = qualityclf.nb_quality(
+                committed, pos, neg,
+                text_col="extracted_text", id_col="url")
+            scores.write.mode("overwrite").parquet(
+                f"{args.clf_filter}/scores")
+            scores = spark.read.parquet(f"{args.clf_filter}/scores")
+            keep = scores.filter(
+                F.col("mean_llr") >= args.clf_threshold)
+            kept = committed.join(keep.select("url"), on="url",
+                                  how="left_semi")
+            kept.write.mode("overwrite").parquet(
+                f"{args.clf_filter}/filtered")
+            n_docs = committed.count()
+            n_kept = spark.read.parquet(
+                f"{args.clf_filter}/filtered").count()
+            summary["clf_filter"] = {
+                "threshold": args.clf_threshold,
+                "docs": n_docs, "kept": n_kept,
                 "dropped": n_docs - n_kept}
 
     if args.domain_filter:

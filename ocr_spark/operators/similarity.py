@@ -588,9 +588,14 @@ def _ivf_cells(df: DataFrame, centroids, id_col: str, vec_col: str,
     base = df.select(F.col(id_col),
                      F.col(vec_col).cast("array<double>").alias("_v"))
     if mode == "blas":
+        # Output schema carries the INPUT id type (urls are valid ids
+        # in the curation jobs — hardcoding `long` here would crash the
+        # blas path for every string-keyed corpus).
+        from pyspark.sql.types import IntegerType, StructField, StructType
+        out_schema = StructType([base.schema[id_col],
+                                 StructField("ivf_cid", IntegerType())])
         return base.mapInPandas(
-            _ivf_assign_blas_udf(centroids, nprobe),
-            f"{id_col} long, ivf_cid int")
+            _ivf_assign_blas_udf(centroids, nprobe), out_schema)
     structs = _cell_structs(F.col("_v"), centroids)
     if nprobe == 1:
         return base.select(id_col,
@@ -713,3 +718,62 @@ def ivf_search_index(spark, path: str, queries: DataFrame, centroids,
         F.col("cos_sim").desc(), F.col("corpus_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def semantic_dedup_pairs(df: DataFrame, threshold: float = 0.95,
+                         nlist: int = 16, train_iters: int = 2,
+                         centroids=None, id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         max_cell: int = 100_000,
+                         assign_mode: str = "blas",
+                         return_report: bool = False):
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): cluster the embedding space with spherical k-means
+    (ivf_train), then emit exact-cosine pairs >= threshold WITHIN each
+    cluster. Feed the pairs to dedup.dedup_resolve / dedup_apply for
+    the keep-one-per-group corpus shrink.
+
+    vs embedding_near_dup_pairs (sign-LSH buckets): the quantizer here
+    is DATA-DEPENDENT — cells follow the corpus's own density, so
+    recall concentrates where the corpus actually clusters and the
+    candidate count per doc is bounded by its cell occupancy, not by
+    hyperplane luck. The method's documented blind spot is inherited
+    from the paper: a pair straddling two cells is never compared
+    (SemDeDup dedups within clusters only — raise nlist's inverse or
+    pre-merge with an LSH pass if cross-cluster recall matters).
+
+    Scale shape: one ids-only (id, ivf_cid) relation (assignment is a
+    BLAS matmul per Arrow batch; centroids are kilobytes of broadcast
+    model state), a self-join keyed on the cell id with max_cell
+    capping degenerate cells, and ONE vector re-join for exact
+    scoring — the same candidates-then-exact-score contract as the
+    rest of the ANN family, so emitted cosines are always true.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"))
+    if centroids is None:
+        centroids = ivf_train(base, nlist=nlist, train_iters=train_iters,
+                              corpus_id="id", vec_col="v")
+    cells = _ivf_cells(base, centroids, "id", "v", nprobe=1,
+                       mode=assign_mode)
+    uncapped = cells
+    cells = _cap_buckets(cells, ["ivf_cid"], max_cell)
+    l, r = cells.alias("l"), cells.alias("r")
+    cand = (l.join(r, "ivf_cid")
+            .filter(F.col("l.id") < F.col("r.id"))
+            .select(F.col("l.id").alias("id_a"),
+                    F.col("r.id").alias("id_b")))
+    pairs = (
+        cand.join(base.select(F.col("id").alias("id_a"),
+                              F.col("v").alias("va")), "id_a")
+        .join(base.select(F.col("id").alias("id_b"),
+                          F.col("v").alias("vb")), "id_b")
+        .select("id_a", "id_b",
+                cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold))
+    if return_report:
+        from .dedup import bucket_report
+        return pairs, bucket_report(uncapped, ["ivf_cid"], max_cell)
+    return pairs

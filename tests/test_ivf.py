@@ -166,3 +166,93 @@ class TestStringIds:
                    assign_mode="expr").collect()}
         assert {(r["query_id"], r["rank"], r["corpus_id"])
                 for r in got} == mem
+
+
+class TestSemanticDedup:
+    def test_within_cluster_pairs_found(self, spark):
+        """Planted: two tight semantic clusters -> every within-cluster
+        pair is emitted, no cross-cluster pair is (orthogonal centers,
+        cos ~ 0)."""
+        rows = []
+        a = np.zeros(8); a[0] = 1.0
+        b = np.zeros(8); b[4] = 1.0
+        rng = np.random.default_rng(5)
+        for i in range(6):
+            base = a if i < 3 else b
+            v = base + 0.02 * rng.standard_normal(8)
+            rows.append((i, (v / np.linalg.norm(v)).tolist()))
+        df = spark.createDataFrame(rows, SCHEMA)
+        pairs = {(r["id_a"], r["id_b"])
+                 for r in similarity.semantic_dedup_pairs(
+                     df, threshold=0.9, nlist=2, train_iters=2).collect()}
+        assert pairs == {(0, 1), (0, 2), (1, 2), (3, 4), (3, 5), (4, 5)}
+
+    def test_matches_within_cell_bruteforce(self, spark):
+        """The operator is exactly 'brute force restricted to the
+        learned cells': recompute that restriction independently and
+        compare sets (scores included, rounded)."""
+        df = _clustered(spark, n=80, seed=9)
+        cents = similarity.ivf_train(df, nlist=4, train_iters=2)
+        got = {(r["id_a"], r["id_b"], round(r["cos_sim"], 6))
+               for r in similarity.semantic_dedup_pairs(
+                   df, threshold=0.8, centroids=cents).collect()}
+        cells = {r["vec_id"]: r["ivf_cid"] for r in similarity._ivf_cells(
+            df, cents, "vec_id", "embedding", 1, "expr").collect()}
+        vecs = {r["vec_id"]: np.array(r["embedding"])
+                for r in df.collect()}
+        want = set()
+        ids = sorted(vecs)
+        for i in ids:
+            for j in ids:
+                if i < j and cells[i] == cells[j]:
+                    c = float(vecs[i] @ vecs[j]
+                              / (np.linalg.norm(vecs[i])
+                                 * np.linalg.norm(vecs[j])))
+                    if c >= 0.8:
+                        want.add((i, j, round(c, 6)))
+        assert got == want
+
+    def test_expr_and_blas_agree(self, spark):
+        df = _clustered(spark, n=60, seed=2)
+        cents = similarity.ivf_train(df, nlist=3, train_iters=1)
+        out = []
+        for mode in ("expr", "blas"):
+            out.append(sorted(
+                (r["id_a"], r["id_b"], round(r["cos_sim"], 9))
+                for r in similarity.semantic_dedup_pairs(
+                    df, threshold=0.8, centroids=cents,
+                    assign_mode=mode).collect()))
+        assert out[0] == out[1]
+
+    def test_cell_cap_reports_drops(self, spark):
+        df = _clustered(spark, n=40, n_clusters=1, seed=4)
+        pairs, report = similarity.semantic_dedup_pairs(
+            df, threshold=0.0, nlist=1, train_iters=0, max_cell=10,
+            return_report=True)
+        [rep] = report.collect()
+        # cap_buckets drops a hot cell ENTIRELY (the quantizer carries
+        # no information there) and the report says so.
+        assert rep["rows_dropped"] == 40
+        assert rep["n_hot_buckets"] == 1
+        assert pairs.count() == 0
+
+    def test_pairs_feed_dedup_resolve(self, spark):
+        """End of the SemDeDup recipe: pairs -> connected components ->
+        one survivor per semantic group."""
+        from ocr_spark.operators import dedup
+        rows = []
+        a = np.zeros(8); a[1] = 1.0
+        b = np.zeros(8); b[6] = 1.0
+        rng = np.random.default_rng(12)
+        for i in range(6):
+            base = a if i < 3 else b
+            v = base + 0.02 * rng.standard_normal(8)
+            rows.append((i, (v / np.linalg.norm(v)).tolist()))
+        df = spark.createDataFrame(rows, SCHEMA)
+        pairs = similarity.semantic_dedup_pairs(
+            df, threshold=0.9, nlist=2, train_iters=2)
+        resolved = dedup.dedup_resolve(
+            pairs.select("id_a", "id_b"), id_col="vec_id")
+        survivors = {r["vec_id"] for r in
+                     resolved.filter("keep").collect()}
+        assert survivors == {0, 3}

@@ -432,6 +432,56 @@ def test_job_neardup_embedding_method(spark, tmp_path):
                     "--neardup", nd, "--neardup-method", "embedding"])
 
 
+def test_job_neardup_semantic_method(spark, tmp_path):
+    """--neardup-method semantic clusters the embedding sidecar with
+    learned k-means cells (SemDeDup) and feeds within-cell cosine
+    pairs into the same resolve/apply tail."""
+    # Urls zero-padded so lexicographic id order (the deterministic
+    # centroid seed order) is numeric.
+    urls = [f"https://cc.synth.local/app{i:02d}/salary_slip/{i}.png"
+            for i in range(18)]
+    rows = [(u, None, None, f"doc body {i}", "en", None)
+            for i, u in enumerate(urls)]
+    inp = str(tmp_path / "in.parquet")
+    spark.createDataFrame(rows, schema=schemas.INPUT_SCHEMA)\
+        .write.parquet(inp)
+    # Docs 0..15 on orthogonal axes (one per seed cell at the default
+    # nlist=16); docs 16 and 17 are near-copies of doc 0, so the
+    # learned quantizer puts all three in one cell.
+    def basis(i):
+        v = [0.0] * 16
+        v[i] = 1.0
+        return v
+    vecs = [basis(i) for i in range(16)]
+    for eps in (0.011, 0.013):
+        v = basis(0)
+        v[5] = eps
+        vecs.append(v)
+    emb = str(tmp_path / "emb.parquet")
+    spark.createDataFrame(list(zip(urls, vecs)), ["url", "embedding"])\
+        .write.parquet(emb)
+
+    nd, da = str(tmp_path / "nd"), str(tmp_path / "da")
+    r = job.main(["--input", inp, "--table", str(tmp_path / "t"),
+                  "--partitions", "2",
+                  "--neardup", nd, "--neardup-method", "semantic",
+                  "--embeddings", emb, "--dedup-apply", da], spark=spark)
+    assert r["neardup"]["method"] == "semantic"
+    assert r["neardup"]["pairs"] == 3  # (0,16), (0,17), (16,17)
+    assert r["neardup"]["docs_with_embeddings"] == 18
+    got = {frozenset((p["id_a"], p["id_b"]))
+           for p in spark.read.parquet(f"{nd}/pairs").collect()}
+    assert got == {frozenset((urls[0], urls[16])),
+                   frozenset((urls[0], urls[17])),
+                   frozenset((urls[16], urls[17]))}
+    assert r["dedup_apply"] == {"docs": 18, "survivors": 16,
+                                "dropped": 2, "clusters": 16}
+
+    with pytest.raises(SystemExit):
+        job._parse(["--synth", "4", "--table", str(tmp_path / "t2"),
+                    "--neardup", nd, "--neardup-method", "semantic"])
+
+
 def test_job_flag_dependency_and_lang_keep_validation(tmp_path):
     """Orphaned stage flags and unknown --lang-keep codes are usage
     errors at parse time, not silent no-ops or corpus deletions."""
@@ -547,6 +597,153 @@ def test_job_pii_scrub_redacts_corpus(spark, tmp_path):
     assert not any("@example.org" in t or "10.0.0." in t for t in txts)
     # Chainable schema: full committed row + the counter.
     assert {"url", "extracted_text", "n_pii_redacted"} <= set(back.columns)
+
+
+def test_job_decontam_drops_benchmark_overlap(spark, tmp_path):
+    """--decontam removes documents sharing a 13-gram with the
+    --benchmark corpus and persists explainable hit counts."""
+    sent = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliett kilo lima mike november oscar papa")
+    inp = str(tmp_path / "in.parquet")
+    rows = []
+    for i in range(6):
+        body = (f"doc {i} leaked text {sent} end of page" if i % 3 == 0
+                else f"doc {i} original body with plenty of its own "
+                     f"words repeated over and over again number {i}")
+        rows.append((f"https://cc.synth.local/app{i}/salary_slip/"
+                     f"{i}.png", None, None, body, "en", None))
+    spark.createDataFrame(rows, schema=schemas.INPUT_SCHEMA)\
+        .write.parquet(inp)
+    bench = str(tmp_path / "bench.parquet")
+    spark.createDataFrame([(sent,)], ["text"]).write.parquet(bench)
+
+    dc = str(tmp_path / "dc")
+    r = job.main(["--input", inp, "--table", str(tmp_path / "t"),
+                  "--partitions", "2", "--decontam", dc,
+                  "--benchmark", bench], spark=spark)
+    assert r["decontam"] == {"ngram": 13, "min_hits": 1, "docs": 6,
+                             "kept": 4, "dropped": 2, "contaminated": 2}
+    hits = {row["url"]: row["hit_count"] for row in
+            spark.read.parquet(f"{dc}/hits").collect()}
+    assert set(hits) == {f"https://cc.synth.local/app{i}/salary_slip/"
+                         f"{i}.png" for i in (0, 3)}
+    # 16 benchmark tokens -> 4 distinct 13-grams, all present.
+    assert all(v == 4 for v in hits.values())
+    kept = spark.read.parquet(f"{dc}/filtered")
+    assert kept.count() == 4
+    assert not any("app0/" in row["url"] or "app3/" in row["url"]
+                   for row in kept.collect())
+
+
+def test_job_decontam_flag_validation(tmp_path):
+    """Orphaned decontamination flags are usage errors, and --decontam
+    without a benchmark is too."""
+    base = ["--synth", "4", "--table", str(tmp_path / "t")]
+    for extra in (["--benchmark", "x.parquet"],
+                  ["--decontam-ngram", "8"],
+                  ["--decontam-min-hits", "2"],
+                  ["--decontam", str(tmp_path / "dc")],
+                  ["--decontam", str(tmp_path / "dc"),
+                   "--benchmark", "x.parquet", "--decontam-ngram", "1"]):
+        with pytest.raises(SystemExit):
+            job.main(base + extra)
+
+
+def test_job_substr_dedup_drops_recombinations(spark, tmp_path):
+    """--substr-dedup drops documents whose token spans are mostly
+    owned by earlier (smaller-url) documents, keep-first."""
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima"
+    bodies = {
+        0: base,                                   # owner of every span
+        1: "prefix words here " + base,            # 8/11 spans owned by 0
+        2: "totally original content one two three four five six seven",
+        3: "another unique page body eight nine ten eleven twelve thirteen",
+        4: base,                                   # verbatim copy
+    }
+    inp = str(tmp_path / "in.parquet")
+    rows = [(f"https://cc.synth.local/app{i}/salary_slip/{i}.png",
+             None, None, bodies[i], "en", None) for i in range(5)]
+    spark.createDataFrame(rows, schema=schemas.INPUT_SCHEMA)\
+        .write.parquet(inp)
+
+    sd = str(tmp_path / "sd")
+    r = job.main(["--input", inp, "--table", str(tmp_path / "t"),
+                  "--partitions", "2", "--substr-dedup", sd,
+                  "--substr-ngram", "5", "--substr-max-frac", "0.5"],
+                 spark=spark)
+    assert r["substr_dedup"] == {"ngram": 5, "max_frac": 0.5,
+                                 "sample_mod": 1, "docs": 5,
+                                 "kept": 3, "dropped": 2}
+    stats = {row["url"]: row["dup_fraction"] for row in
+             spark.read.parquet(f"{sd}/spans").collect()}
+    assert stats[rows[0][0]] == 0.0
+    assert stats[rows[1][0]] == pytest.approx(8 / 11, abs=1e-6)
+    assert stats[rows[4][0]] == 1.0
+    kept = sorted(row["url"] for row in
+                  spark.read.parquet(f"{sd}/filtered").collect())
+    assert kept == [rows[0][0], rows[2][0], rows[3][0]]
+
+
+def test_job_substr_dedup_flag_validation(tmp_path):
+    base = ["--synth", "4", "--table", str(tmp_path / "t")]
+    for extra in (["--substr-ngram", "5"],
+                  ["--substr-max-frac", "0.2"],
+                  ["--substr-sample", "8"],
+                  ["--substr-dedup", str(tmp_path / "sd"),
+                   "--substr-ngram", "1"],
+                  ["--substr-dedup", str(tmp_path / "sd"),
+                   "--substr-max-frac", "1.5"],
+                  ["--substr-dedup", str(tmp_path / "sd"),
+                   "--substr-sample", "0"]):
+        with pytest.raises(SystemExit):
+            job.main(base + extra)
+
+
+def test_job_clf_filter_keeps_quality_docs(spark, tmp_path):
+    """--clf-filter trains the NB model on the labeled sidecars and
+    keeps only above-threshold documents."""
+    nat = ["the quick brown fox jumps over the lazy dog every day",
+           "a stitch in time saves nine when you least expect it",
+           "all that glitters is not gold said the wise old friend"]
+    junk = ["zzxq vrtk plmw qqzz xkcd vvbn mmzx ppqr ttyy wwff",
+            "qqq zzz xxx vvv kkk mmm ppp ttt www fff ggg hhh",
+            "xz zv vk km mp pt tw wf fg gh hz zx qq zz xx vv"]
+    inp = str(tmp_path / "in.parquet")
+    rows = [(f"https://cc.synth.local/app{i}/salary_slip/{i}.png",
+             None, None, body, "en", None)
+            for i, body in enumerate(
+                ["the lazy old fox said it is gold not time",
+                 "zzxq kkk vvv xz qq zz mmzx ttyy wwff ppp"])]
+    spark.createDataFrame(rows, schema=schemas.INPUT_SCHEMA)\
+        .write.parquet(inp)
+    posp, negp = str(tmp_path / "pos.parquet"), str(tmp_path / "neg.parquet")
+    spark.createDataFrame([(t,) for t in nat], ["text"]).write.parquet(posp)
+    spark.createDataFrame([(t,) for t in junk], ["text"]).write.parquet(negp)
+
+    cf = str(tmp_path / "cf")
+    r = job.main(["--input", inp, "--table", str(tmp_path / "t"),
+                  "--partitions", "2", "--clf-filter", cf,
+                  "--clf-pos", posp, "--clf-neg", negp], spark=spark)
+    assert r["clf_filter"] == {"threshold": 0.0, "docs": 2,
+                               "kept": 1, "dropped": 1}
+    scores = {row["url"]: row["mean_llr"] for row in
+              spark.read.parquet(f"{cf}/scores").collect()}
+    assert scores[rows[0][0]] > 0 > scores[rows[1][0]]
+    kept = [row["url"] for row in
+            spark.read.parquet(f"{cf}/filtered").collect()]
+    assert kept == [rows[0][0]]
+
+
+def test_job_clf_filter_flag_validation(tmp_path):
+    base = ["--synth", "4", "--table", str(tmp_path / "t")]
+    for extra in (["--clf-pos", "p.parquet"],
+                  ["--clf-neg", "n.parquet"],
+                  ["--clf-threshold", "0.5"],
+                  ["--clf-filter", str(tmp_path / "cf")],
+                  ["--clf-filter", str(tmp_path / "cf"),
+                   "--clf-pos", "p.parquet"]):
+        with pytest.raises(SystemExit):
+            job.main(base + extra)
 
 
 def test_job_clean_text_normalizes_corpus(spark, tmp_path):

@@ -265,6 +265,60 @@ def main() -> None:
           "boundary-bucket-partitioned window (no global cumsum)",
           bucketed, f"{len(window_blocks)} window block(s)")
 
+    # 9k. r4.4: decontamination probes the benchmark n-gram set with a
+    #     BROADCAST hash join (the exploded corpus gram stream is a
+    #     map-side probe; only (id, count) partials shuffle) and the
+    #     whole chain is expressions — no Python node of any kind.
+    p = plans["decontam"]
+    no_python = all(m not in p for m in
+                    ("BatchEvalPython", "ArrowEvalPython",
+                     "MapInPandas", "MapInArrow"))
+    check("decontam",
+          "broadcast benchmark probe + pure expressions, no Python",
+          "BroadcastHashJoin" in p and no_python
+          and "HashAggregate" in p,
+          f"BroadcastHashJoin={'BroadcastHashJoin' in p}")
+
+    # 9l. r4.4: the SemDeDup oracle leg assigns cells with pure
+    #     expressions (assign_mode='expr'), caps hot cells in-plan
+    #     (window count over the cell key), and self-joins keyed on
+    #     the cell id — no CartesianProduct, no Python.
+    p = plans["semantic_dedup"]
+    check("semantic_dedup",
+          "expression cell assignment + capped keyed self-join",
+          "BatchEvalPython" not in p and "MapInPandas" not in p
+          and "Window" in p and "_bucket_n" in p
+          and "CartesianProduct" not in p,
+          f"Window cap={'_bucket_n' in p}")
+
+    # 9m. r4.4: intra-corpus substring dedup is two hash aggregations
+    #     and one keyed join on the 8-byte gram hash — pure
+    #     expressions, no broadcast of the corpus-sized owner table,
+    #     no CartesianProduct.
+    p = plans["substring_dup"]
+    no_python = all(m not in p for m in
+                    ("BatchEvalPython", "ArrowEvalPython",
+                     "MapInPandas", "MapInArrow"))
+    check("substring_dup",
+          "keyed gram-hash join + hash aggregations, no Python",
+          no_python and "HashAggregate" in p
+          and "CartesianProduct" not in p,
+          f"HashAggregate={'HashAggregate' in p}")
+
+    # 9n. r4.4: the NB quality classifier scores with a BROADCAST
+    #     model probe (the corpus-side token stream never shuffles
+    #     before the per-doc partial agg) and the whole train+score
+    #     chain is expressions.
+    p = plans["quality_classify"]
+    no_python = all(m not in p for m in
+                    ("BatchEvalPython", "ArrowEvalPython",
+                     "MapInPandas", "MapInArrow"))
+    check("quality_classify",
+          "broadcast model probe + pure expressions, no Python",
+          "BroadcastHashJoin" in p and no_python
+          and "HashAggregate" in p,
+          f"BroadcastHashJoin={'BroadcastHashJoin' in p}")
+
     # 9. No CartesianProduct anywhere: every join is keyed or broadcast
     #    (the brute-force oracle baselines use broadcast nested loop,
     #    which bounds the big side to one scan).
