@@ -401,7 +401,13 @@ def write_report(report: dict) -> None:
     function can never diverge from the committed artifact."""
     workloads = report["workloads"]
     delivery = report["cpu_delivery_m_iter_per_sec"]
-    trials = report["trials"]
+    # A --merge-from re-render carries trials=0 (no NEW trials were
+    # run); the honest count is the number of recorded trials per
+    # (workload, level) in the merged log.
+    from collections import Counter
+    log_counts = Counter((r.get("workload", "cc"), r["level"])
+                         for r in report.get("trials_log", []))
+    trials = max(log_counts.values()) if log_counts else report["trials"]
     runs = report["runs_per_trial"]
     all_levels = sorted({int(k) for wl in workloads.values()
                          for k in wl["levels"]})
