@@ -129,6 +129,14 @@ def lang_id(c: Column) -> Column:
        kana first at 5% (Japanese is majority Han), the rest at 30%.
     2. Latin stopword vote: the language with the most stopword hits
        wins; ties break alphabetically; no hits -> 'und'.
+
+    PERF WARNING (measured): as a self-contained Column the captured
+    ``tokens(c)`` re-evaluates inside every stopword filter and the
+    cascading argmax whens re-embed earlier hit expressions, so the
+    normalize+split chain runs ~L^2 times per document — 19.2s for
+    2055 x 8.6 KB docs. Fine for short rows and oracle fixtures; hot
+    paths use ``with_lang_guess`` (token array and script counts
+    landed in real columns, one pass) — identical verdicts, 10x+.
     """
     tok = tokens(c)
     best_lang = F.lit("und")
@@ -149,6 +157,51 @@ def lang_id(c: Column) -> Column:
             > F.lit(script_threshold(lang)) * nonws,
             F.lit(lang)).otherwise(expr)
     return expr
+
+
+def with_lang_guess(df: DataFrame, text_col: str,
+                    out_col: str = "lang_guess") -> DataFrame:
+    """``lang_id`` as a column-landed two-projection pipeline: the
+    token array, non-whitespace length, and per-script counts land in
+    real columns (evaluated ONCE per document — the multiply-
+    referenced token alias is non-cheap, so CollapseProject keeps the
+    boundary), the per-language hit counts land next, and the verdict
+    is a CASE over integer columns. Identical verdicts to ``lang_id``
+    (script order, strict-> argmax, alphabetical ties, 'und' floor) —
+    see test_textlib's equivalence fuzz — at one normalize+split
+    instead of ~L^2."""
+    langs = sorted(LANG_STOPWORDS)
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    internal = (["_lg_tok", "_lg_nonws"]
+                + [f"_lg_sc_{lang}" for lang in SCRIPT_ORDER]
+                + [f"_lg_h_{lang}" for lang in langs])
+    landed = df.select(
+        "*", tokens(c).alias("_lg_tok"),
+        F.length(F.regexp_replace(c, r"\s+", "")).alias("_lg_nonws"),
+        *[F.length(F.regexp_replace(c, f"[^{SCRIPT_RANGES[lang]}]", ""))
+          .alias(f"_lg_sc_{lang}") for lang in SCRIPT_ORDER])
+    def _hit(lang):
+        sw = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+        return F.size(F.filter(F.col("_lg_tok"),
+                               lambda t: F.array_contains(sw, t)))\
+            .alias(f"_lg_h_{lang}")
+
+    hits = landed.select("*", *[_hit(lang) for lang in langs])
+    mx = F.greatest(*[F.col(f"_lg_h_{lang}") for lang in langs])
+    # Stopword argmax: first lang (sorted order) holding the max —
+    # the strict `>` scan of lang_id keeps the earliest winner.
+    guess = F.lit("und")
+    for lang in reversed(langs):
+        guess = F.when(F.col(f"_lg_h_{lang}") == mx,
+                       F.lit(lang)).otherwise(guess)
+    guess = F.when(mx == 0, F.lit("und")).otherwise(guess)
+    # Script vote overrides, checked in SCRIPT_ORDER.
+    for lang in reversed(SCRIPT_ORDER):
+        guess = F.when(
+            F.col(f"_lg_sc_{lang}").cast("double")
+            > F.lit(script_threshold(lang)) * F.col("_lg_nonws"),
+            F.lit(lang)).otherwise(guess)
+    return hits.withColumn(out_col, guess).drop(*internal)
 
 
 def fingerprint(c: Column) -> Column:
@@ -195,13 +248,40 @@ def dup_line_fraction(c: Column) -> Column:
 
 
 def bigram_array(c: Column) -> Column:
-    """Adjacent word bigrams of the normalized text (expression)."""
+    """Adjacent word bigrams of the normalized text (expression).
+
+    PERF WARNING (measured): Catalyst inlines the captured ``tok``
+    expression into the per-element lambda, so each bigram re-runs the
+    whole normalize+split — O(tokens*len) per document (178s for 2055
+    x 8.6 KB docs). Fine for short rows and array-valued use; hot
+    paths use ``_bigram_rows`` (position explode over ints with the
+    token array landed in a real column) — same values, linear cost."""
     tok = tokens(c)
     n = F.size(tok)
     idx = F.sequence(F.lit(1), n - 1)
     return F.when(n < 2, F.array().cast("array<string>")).otherwise(
         F.transform(idx, lambda j: F.concat(
             F.element_at(tok, j), F.lit(" "), F.element_at(tok, j + 1))))
+
+
+def _bigram_rows(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id_col, bigram): one row per adjacent word pair. The token
+    array lands in a real column (`_tok`) referenced several times,
+    which stops CollapseProject from inlining the normalize+split back
+    into per-element work (the ``bigram_array`` pathology); per-bigram
+    work above the Generate is two O(1) array accesses. Same row set
+    as exploding ``bigram_array``."""
+    idx = F.when(F.size("_tok") >= 2,
+                 F.sequence(F.lit(1), F.size("_tok") - 1))\
+        .otherwise(F.array().cast("array<int>"))
+    return (df.select(F.col(id_col), tokens(F.col(text_col)).alias("_tok"))
+            .select(F.col(id_col), F.col("_tok"),
+                    F.explode(idx).alias("_i"))
+            .select(F.col(id_col),
+                    F.concat(F.element_at("_tok", F.col("_i")),
+                             F.lit(" "),
+                             F.element_at("_tok", F.col("_i") + 1))
+                    .alias("bigram")))
 
 
 def repetition_stats(df: DataFrame, text_col: str = "text",
@@ -223,15 +303,14 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
         F.col(id_col),
         F.length(normalize_text(c)).alias("_nchars"),
         token_count(c).alias("n_tokens"),
-        F.round(dup_line_fraction(c), 6).alias("dup_line_frac"),
-        bigram_array(c).alias("_bg"))
-    counts = (base.select(F.col(id_col), F.explode("_bg").alias("bigram"))
+        F.round(dup_line_fraction(c), 6).alias("dup_line_frac"))
+    counts = (_bigram_rows(df, text_col, id_col)
               .groupBy(id_col, "bigram").agg(F.count("*").alias("cnt")))
     top = (counts.groupBy(id_col)
            .agg(F.max(F.struct(F.col("cnt"), F.col("bigram"))).alias("t"))
            .select(F.col(id_col), F.col("t.bigram").alias("top_bigram"),
                    F.col("t.cnt").alias("_cnt")))
-    out = (base.drop("_bg").join(top, on=id_col, how="left")
+    out = (base.join(top, on=id_col, how="left")
            .select(
                F.col(id_col), "n_tokens", "dup_line_frac",
                F.coalesce(F.col("top_bigram"), F.lit("")).alias("top_bigram"),

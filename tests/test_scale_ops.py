@@ -679,6 +679,35 @@ class TestTextStats:
         assert out == {0: "ja", 1: "zh", 2: "ko", 3: "ru",
                        4: "ar", 5: "hi", 6: "en"}
 
+    def test_with_lang_guess_equals_lang_id(self, spark):
+        """The column-landed fast path must agree with the Column form
+        verdict-for-verdict: every script fixture, every Latin vote,
+        ties, empties, and adversarial mixes."""
+        rows = [(i, t) for i, t in enumerate([
+            "el perro y la casa de un los del por",
+            "the cat and the dog of a in is for",
+            "zzz qqq xxx", "", "   ", None,
+            "il gatto che sono del non questo anche piu ha",
+            "het een van ik je niet op zijn maar ook",
+            "日本語のページ本文はここにあります",
+            "这是一个完全中文的网页正文内容",
+            "이 문서는 한국어로 작성되었습니다",
+            "это страница на русском языке для теста",
+            "هذه صفحة باللغة العربية للاختبار",
+            "यह पृष्ठ हिंदी में लिखा गया है",
+            "the quick brown fox 漢字 and the lazy dog of it",
+            "the la the la the la",          # cross-language tie text
+            "de de de",                      # 'de' is a stopword in many
+            "a \t b\n\nc  d",
+        ])]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        slow = {r["doc_id"]: r["g"] for r in df.select(
+            "doc_id", textstats.lang_id(F.col("text")).alias("g"))
+            .collect()}
+        fast = {r["doc_id"]: r["lang_guess"] for r in
+                textstats.with_lang_guess(df, "text").collect()}
+        assert fast == slow
+
     def test_repetition_stats_gopher_gates(self, spark):
         """Gopher repetition signals: duplicate-line spam fails the
         0.30 line gate, a bigram loop fails the 0.18 top-2-gram mass
