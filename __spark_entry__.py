@@ -1102,6 +1102,335 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Curation funnel (operators/curate.py): the ENTIRE chained recipe —
+# PII scrub -> unicode clean -> lang gate -> Gopher gate -> C4 gate ->
+# exact dedup -> MinHash near-dup resolve — replayed end to end by the
+# DuckDB twin (scrub regexes, independent NFC, generated lang vote,
+# bigram aggregation, md5 MinHash banding, recursive component
+# closure). Planted classes on doc_id % 11, each violating exactly one
+# stage; doc_id < 220 keeps the recursive SQL cheap at sf0.01.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_RU = "Это русский текст для проверки языкового фильтра. " * 4
+_FUNNEL_PII = ("\nContact someone@example.com or call (555) 123-4567 "
+               "for more help today.")
+_FUNNEL_DIRTY = "Café menu  intro line for the page today."
+_FUNNEL_BOILER = "Repeated boiler line for the gate.\n" * 6
+_FUNNEL_BRACE = "\nvar f = function() { return 1; };"
+_FUNNEL_LOREM = "\nSome lorem ipsum filler text here."
+_FUNNEL_VAR0 = "\nThe variant number zero closes it."
+_FUNNEL_VAR1 = "\nThe variant number one closes it."
+
+
+def _funnel_docs(spark, sf_dir):
+    """doc_id % 11 classes: 0 clean, 1 +PII line, 2 dirty unicode
+    (CRLF, combining accent, double space, trailing blank run),
+    3 Russian (lang gate), 4 duplicate-line spam (Gopher), 5 curly
+    brace (C4), 6 lorem ipsum (C4), 7/8 exact-dup pair, 9/10 near-dup
+    pair. Bodies are six stopword-framed sentences of per-document
+    hash words (digits translated to letters so no accidental
+    phone/IP match), so unrelated docs never near-dup-cluster."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 220)
+    sid = F.col("doc_id").cast("string")
+    lead = (F.col("doc_id") - 1).cast("string")
+
+    def w(s, i):
+        return F.translate(
+            F.substring(F.md5(F.concat(s, F.lit(f":{i}")).cast("binary")),
+                        1, 16),
+            "0123456789", "ghijklmnop")
+
+    def base(s):
+        return F.concat_ws("\n", *[
+            F.concat(F.lit("The "), w(s, 3 * i), F.lit(" and the "),
+                     w(s, 3 * i + 1), F.lit(" are "), w(s, 3 * i + 2),
+                     F.lit("."))
+            for i in range(6)])
+
+    m = F.col("doc_id") % 11
+    txt = (F.when(m == 1, F.concat(base(sid), F.lit(_FUNNEL_PII)))
+           .when(m == 2, F.concat(F.lit(_FUNNEL_DIRTY + "\r\n"),
+                                  base(sid), F.lit("\n" * 5)))
+           .when(m == 3, F.lit(_FUNNEL_RU))
+           .when(m == 4, F.concat(F.lit(_FUNNEL_BOILER), base(sid)))
+           .when(m == 5, F.concat(base(sid), F.lit(_FUNNEL_BRACE)))
+           .when(m == 6, F.concat(base(sid), F.lit(_FUNNEL_LOREM)))
+           .when(m == 8, base(lead))
+           .when(m == 9, F.concat(base(sid), F.lit(_FUNNEL_VAR0)))
+           .when(m == 10, F.concat(base(lead), F.lit(_FUNNEL_VAR1)))
+           .otherwise(base(sid)))
+    return d.select("doc_id", txt.alias("text"))
+
+
+def _run_funnel(spark, sf_dir):
+    from ocr_spark.operators import curate as curate_ops
+    return curate_ops.curate(_funnel_docs(spark, sf_dir),
+                             neardup_threshold=0.5, hash_mode="md5")
+
+
+def q_curate_decisions(spark, sf_dir):
+    """Per-document verdicts of the full curation funnel through the
+    REAL operators/curate.py chain (md5 MinHash family for the
+    DuckDB-expressible near-dup leg)."""
+    res = _run_funnel(spark, sf_dir)
+    # exact_ok / neardup_ok are NULL for documents that never reached
+    # the stage; encode as -1 so the cross-engine value compare never
+    # sees a NULL boolean (None vs NaN in the two pandas bridges).
+    return (res["decisions"].select(
+        "doc_id", "n_pii_redacted", "n_chars_removed", "lang_guess",
+        "lang_ok", "gopher_ok", "c4_ok",
+        F.coalesce(F.col("exact_ok").cast("int"), F.lit(-1))
+        .alias("exact_ok"),
+        F.coalesce(F.col("neardup_ok").cast("int"), F.lit(-1))
+        .alias("neardup_ok"),
+        "final_keep",
+        F.md5(F.col("curated_text").cast("binary")).alias("curated_fp"))
+        .orderBy("doc_id"))
+
+
+def q_curate_funnel(spark, sf_dir):
+    """The stage accounting table of the same funnel run."""
+    return _run_funnel(spark, sf_dir)["funnel"].orderBy("stage_idx")
+
+
+def _sql_funnel_chain() -> str:
+    """The whole funnel as one WITH RECURSIVE chain of CTEs (prefix
+    f_*; the embedded _sql_minhash_cte chain keeps its own d/dn/../j
+    names). Ends with f_out = the per-document decisions relation."""
+    from ocr_spark.operators import scrub
+    from ocr_spark.operators.textstats import (
+        C4_MIN_SENTENCES, GOPHER_MAX_DUP_LINE_FRAC,
+        GOPHER_MAX_TOP_BIGRAM_FRAC, GOPHER_MIN_TOKENS_FOR_BIGRAM_GATE,
+        SCRIPT_ORDER, SCRIPT_RANGES, script_threshold)
+
+    # ---- derive (must match _funnel_docs expression for expression)
+    def w_sql(s, i):
+        return ("translate(substr(md5(" + s + " || ':" + str(i)
+                + "'), 1, 16), '0123456789', 'ghijklmnop')")
+
+    def base_sql(s):
+        lines = [
+            "'The ' || " + w_sql(s, 3 * i) + " || ' and the ' || "
+            + w_sql(s, 3 * i + 1) + " || ' are ' || "
+            + w_sql(s, 3 * i + 2) + " || '.'"
+            for i in range(6)]
+        return "(" + " || chr(10) || ".join(lines) + ")"
+
+    bs, bl = base_sql("doc_id::varchar"), base_sql("(doc_id - 1)::varchar")
+    pii = _FUNNEL_PII.replace("\n", "' || chr(10) || '")
+    dirty = _FUNNEL_DIRTY.replace("́", "' || chr(769) || '")
+    boiler = _FUNNEL_BOILER.replace("\n", "' || chr(10) || '")
+    brace = _FUNNEL_BRACE.replace("\n", "' || chr(10) || '")
+    lorem = _FUNNEL_LOREM.replace("\n", "' || chr(10) || '")
+    var0 = _FUNNEL_VAR0.replace("\n", "' || chr(10) || '")
+    var1 = _FUNNEL_VAR1.replace("\n", "' || chr(10) || '")
+    derive = f"""f_base AS MATERIALIZED (
+  SELECT doc_id, CASE doc_id % 11
+    WHEN 1 THEN {bs} || '{pii}'
+    WHEN 2 THEN '{dirty}' || chr(13) || chr(10) || {bs} || repeat(chr(10), 5)
+    WHEN 3 THEN '{_FUNNEL_RU}'
+    WHEN 4 THEN '{boiler}' || {bs}
+    WHEN 5 THEN {bs} || '{brace}'
+    WHEN 6 THEN {bs} || '{lorem}'
+    WHEN 8 THEN {bl}
+    WHEN 9 THEN {bs} || '{var0}'
+    WHEN 10 THEN {bl} || '{var1}'
+    ELSE {bs} END AS text
+  FROM documents WHERE doc_id < 220)"""
+
+    # ---- scrub (pii_stats twin shape) + clean (clean_text twin shape)
+    e, i, p = scrub.EMAIL_RE, scrub.IPV4_RE, scrub.PHONE_RE_RE2
+    et, it, pt = scrub.EMAIL_TOKEN, scrub.IP_TOKEN, scrub.PHONE_TOKEN
+
+    def occ(col, tok):
+        return (f"CAST((length({col}) - length(replace({col}, '{tok}', '')))"
+                f" / {len(tok)} AS int)")
+
+    scrub_clean = f"""f_sc1 AS MATERIALIZED (SELECT doc_id, text AS raw,
+    regexp_replace(text, '{e}', '{et}', 'g') AS ae FROM f_base),
+f_sc2 AS MATERIALIZED (SELECT *, regexp_replace(ae, '{i}', '{it}', 'g') AS ai FROM f_sc1),
+f_sc3 AS MATERIALIZED (SELECT *, regexp_replace(ai, '{p}', '{pt}', 'g') AS fin FROM f_sc2),
+f_scrub AS MATERIALIZED (SELECT doc_id, fin AS text,
+    ({occ('ae', et)} - {occ('raw', et)})
+    + ({occ('ai', it)} - {occ('ae', it)})
+    + ({occ('fin', pt)} - {occ('ai', pt)}) AS n_pii_redacted
+  FROM f_sc3),
+f_clean AS MATERIALIZED (SELECT doc_id, n_pii_redacted, length(text) AS orig_len,
+  regexp_replace(
+  regexp_replace(
+  regexp_replace(
+  regexp_replace(
+    nfc_normalize(
+      regexp_replace(
+        regexp_replace(text, '\\r\\n|\\r', chr(10), 'g'),
+        '{scrub.CONTROL_RE}', '', 'g')),
+    '[ \\t]+', ' ', 'g'),
+    ' ?\\n ?', chr(10), 'g'),
+    '\\n{{3,}}', chr(10) || chr(10), 'g'),
+    '^[ \\n]+|[ \\n]+$', '', 'g') AS text
+  FROM f_scrub)"""
+
+    # ---- C4 gate on the cleaned text (c4_stats twin shape, no bad words)
+    c4 = f"""f_c4 AS MATERIALIZED (SELECT doc_id,
+  array_to_string(
+    list_filter(list_transform(str_split(text, chr(10)), l -> trim(l)),
+      l -> regexp_matches(l, '[.!?"]$')
+        AND len(regexp_split_to_array(l, '[\\s\\v]+')) >= 3
+        AND NOT contains(lower(l), 'javascript')),
+    chr(10)) AS c4_text,
+  contains(lower(text), 'lorem ipsum') AS has_lorem,
+  contains(text, '{{') AS has_brace
+  FROM f_clean),
+f_c4k AS MATERIALIZED (SELECT doc_id, c4_text,
+  (length(regexp_replace(c4_text, '[^.!?]', '', 'g')) >= {C4_MIN_SENTENCES}
+   AND NOT has_lorem AND NOT has_brace) AS c4_ok
+  FROM f_c4)"""
+
+    # ---- lang vote on the cleaned text (generated like _sql_lang_id)
+    langs = sorted(_STOPWORDS)
+    hit_cols = ",\n    ".join(
+        "len(list_filter(tok, t -> list_contains(["
+        + ",".join(f"'{wd}'" for wd in _STOPWORDS[lang]) + "], t)))"
+        f" AS h_{lang}" for lang in langs)
+    mx = "greatest(" + ", ".join(f"h_{lang}" for lang in langs) + ")"
+    branches = "\n".join(f"  WHEN h_{lang} = mx THEN '{lang}'"
+                         for lang in langs)
+    script_cols = ",\n    ".join(
+        f"length(regexp_replace(txt, '[^{SCRIPT_RANGES[lang]}]',"
+        f" '', 'g')) AS sc_{lang}" for lang in SCRIPT_ORDER)
+    script_branches = "\n".join(
+        f"  WHEN sc_{lang} > {script_threshold(lang)} * nw THEN '{lang}'"
+        for lang in SCRIPT_ORDER)
+    lang_sql = f"""f_lt AS MATERIALIZED (SELECT doc_id, text AS txt,
+    length(regexp_replace(text, '[\\s\\v]+', '', 'g')) AS nw,
+    {script_cols},
+    regexp_split_to_array(trim(regexp_replace(lower(trim(text)),
+      '[\\s\\v]+', ' ', 'g')), ' ') AS tok
+  FROM f_clean),
+f_lh AS MATERIALIZED (SELECT doc_id, nw,
+    {", ".join("sc_" + s for s in SCRIPT_ORDER)},
+    {hit_cols} FROM f_lt),
+f_lm AS MATERIALIZED (SELECT doc_id, *, {mx} AS mx FROM f_lh),
+f_lang AS MATERIALIZED (SELECT doc_id, CASE
+{script_branches}
+  WHEN mx = 0 THEN 'und'
+{branches}
+  END AS lang_guess FROM f_lm)"""
+
+    # ---- Gopher repetition gate (repetition_stats twin shape)
+    gopher = f"""f_r1 AS MATERIALIZED (SELECT doc_id, text AS t,
+    list_filter(list_transform(string_split(text, chr(10)),
+                               x -> trim(x)), x -> x <> '') AS lines,
+    regexp_replace(lower(trim(text)), '[\\s\\v]+', ' ', 'g') AS norm
+  FROM f_clean),
+f_r2 AS MATERIALIZED (SELECT doc_id,
+    CASE WHEN len(lines) = 0 THEN 0.0
+         ELSE round(1.0 - len(list_distinct(lines))::double
+                    / len(lines), 6) END AS dup_line_frac,
+    length(norm) AS nchars,
+    regexp_split_to_array(trim(norm), ' ') AS tok,
+    CASE WHEN trim(norm) = '' THEN 0
+         ELSE len(regexp_split_to_array(trim(norm), ' ')) END AS n_tokens
+  FROM f_r1),
+f_rb AS MATERIALIZED (SELECT doc_id, unnest(list_transform(
+    range(1, len(tok)), j -> tok[j::int] || ' ' || tok[(j+1)::int])) AS bg
+  FROM f_r2 WHERE len(tok) >= 2),
+f_rc AS MATERIALIZED (SELECT doc_id, bg, count(*) AS cnt FROM f_rb GROUP BY 1, 2),
+f_rm AS MATERIALIZED (SELECT doc_id, bg, cnt FROM f_rc
+  QUALIFY row_number() OVER (PARTITION BY doc_id
+                             ORDER BY cnt DESC, bg DESC) = 1),
+f_rep AS MATERIALIZED (SELECT r.doc_id,
+    (r.dup_line_frac <= {GOPHER_MAX_DUP_LINE_FRAC}
+     AND (r.n_tokens < {GOPHER_MIN_TOKENS_FOR_BIGRAM_GATE}
+          OR (CASE WHEN m.cnt IS NULL OR r.nchars = 0 THEN 0.0
+                   ELSE round(m.cnt * length(m.bg)::double / r.nchars, 6)
+              END) <= {GOPHER_MAX_TOP_BIGRAM_FRAC})) AS gopher_ok
+  FROM f_r2 r LEFT JOIN f_rm m ON r.doc_id = m.doc_id)"""
+
+    # ---- combine scalar verdicts, exact dedup among scalar survivors
+    combine = """f_dec AS MATERIALIZED (SELECT c.doc_id, c.n_pii_redacted,
+    (c.orig_len - length(c.text)) AS n_chars_removed,
+    lg.lang_guess, (lg.lang_guess = 'en') AS lang_ok,
+    rp.gopher_ok, k.c4_ok, k.c4_text
+  FROM f_clean c
+  JOIN f_lang lg USING (doc_id)
+  JOIN f_rep rp USING (doc_id)
+  JOIN f_c4k k USING (doc_id)),
+f_alive AS MATERIALIZED (SELECT doc_id, c4_text,
+    md5(regexp_replace(lower(trim(c4_text)), '[\\s\\v]+', ' ', 'g')) AS ch
+  FROM f_dec WHERE lang_ok AND gopher_ok AND c4_ok),
+f_own AS MATERIALIZED (SELECT ch, min(doc_id) AS surv FROM f_alive GROUP BY ch),
+f_exact AS MATERIALIZED (SELECT a.doc_id, (a.doc_id = o.surv) AS exact_ok
+  FROM f_alive a JOIN f_own o USING (ch))"""
+
+    # ---- near-dup: md5 MinHash chain over exact survivors + closure
+    minhash = _sql_minhash_cte(
+        "SELECT a.doc_id, a.c4_text AS text FROM f_alive a "
+        "JOIN f_exact e USING (doc_id) WHERE e.exact_ok")
+    resolve = """f_p AS MATERIALIZED (SELECT id_a, id_b FROM j WHERE jac >= 0.5),
+f_edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM f_p
+            UNION ALL SELECT id_b, id_a FROM f_p),
+f_verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM f_edges),
+f_reach AS (SELECT id, id AS comp FROM f_verts
+            UNION
+            SELECT e.dst AS id, r.comp FROM f_reach r
+            JOIN f_edges e ON e.src = r.id),
+f_lbl AS MATERIALIZED (SELECT id, min(comp) AS comp FROM f_reach GROUP BY id),
+f_nd AS MATERIALIZED (SELECT d.doc_id, coalesce(l.id = l.comp, TRUE) AS neardup_ok
+  FROM d LEFT JOIN f_lbl l ON l.id = d.doc_id),
+f_out AS MATERIALIZED (SELECT dc.doc_id, dc.n_pii_redacted, dc.n_chars_removed,
+    dc.lang_guess, dc.lang_ok, dc.gopher_ok, dc.c4_ok,
+    ex.exact_ok, nd.neardup_ok,
+    coalesce(nd.neardup_ok, FALSE) AS final_keep,
+    md5(dc.c4_text) AS curated_fp
+  FROM f_dec dc
+  LEFT JOIN f_exact ex USING (doc_id)
+  LEFT JOIN f_nd nd USING (doc_id))"""
+
+    return ",\n".join([derive, scrub_clean, c4, lang_sql, gopher,
+                       combine, minhash, resolve])
+
+
+def _sql_curate_decisions():
+    return f"""
+WITH RECURSIVE {_sql_funnel_chain()}
+SELECT doc_id, n_pii_redacted, n_chars_removed, lang_guess, lang_ok,
+       gopher_ok, c4_ok,
+       coalesce(exact_ok::int, -1) AS exact_ok,
+       coalesce(neardup_ok::int, -1) AS neardup_ok,
+       final_keep, curated_fp
+FROM f_out ORDER BY doc_id
+"""
+
+
+def _sql_curate_funnel():
+    return f"""
+WITH RECURSIVE {_sql_funnel_chain()},
+f_agg AS (SELECT count(*) AS n_input,
+    count(*) FILTER (WHERE lang_ok) AS n_lang,
+    count(*) FILTER (WHERE lang_ok AND gopher_ok) AS n_gopher,
+    count(*) FILTER (WHERE lang_ok AND gopher_ok AND c4_ok) AS n_c4,
+    count(*) FILTER (WHERE exact_ok) AS n_exact,
+    count(*) FILTER (WHERE neardup_ok) AS n_neardup
+  FROM f_out),
+f_stage AS (
+  SELECT 0 AS stage_idx, 'input' AS stage, n_input AS docs_in,
+         n_input AS docs_out FROM f_agg
+  UNION ALL SELECT 1, 'scrub', n_input, n_input FROM f_agg
+  UNION ALL SELECT 2, 'clean', n_input, n_input FROM f_agg
+  UNION ALL SELECT 3, 'lang', n_input, n_lang FROM f_agg
+  UNION ALL SELECT 4, 'gopher', n_lang, n_gopher FROM f_agg
+  UNION ALL SELECT 5, 'c4', n_gopher, n_c4 FROM f_agg
+  UNION ALL SELECT 6, 'exact_dedup', n_c4, n_exact FROM f_agg
+  UNION ALL SELECT 7, 'neardup', n_exact, n_neardup FROM f_agg)
+SELECT stage_idx, stage, docs_in::bigint AS docs_in,
+       docs_out::bigint AS docs_out,
+       (docs_in - docs_out)::bigint AS docs_dropped
+FROM f_stage ORDER BY stage_idx
+"""
+
+
 def q_simhash_pairs(spark, sf_dir):
     d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
     return dedup.simhash_pairs(d, max_hamming=10, hash_mode="md5")
@@ -3534,6 +3863,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "minhash_pairs": q_minhash_pairs,
         "dedup_resolve": q_dedup_resolve,
+        "curate_decisions": q_curate_decisions,
+        "curate_funnel": q_curate_funnel,
         "simhash_pairs": q_simhash_pairs,
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
@@ -3624,6 +3955,8 @@ def oracle_sql() -> dict[str, str]:
         "pdf_layout_boxes": _sql_pdf_layout_boxes(),
         "minhash_pairs": _sql_minhash_pairs(),
         "dedup_resolve": _sql_dedup_resolve(),
+        "curate_decisions": _sql_curate_decisions(),
+        "curate_funnel": _sql_curate_funnel(),
         "simhash_pairs": _sql_simhash_pairs(),
         "lsh_ann": _sql_lsh_ann(),
         "ivf_ann": _sql_ivf_ann(),

@@ -302,6 +302,33 @@ def main():
         similarity.semantic_dedup_pairs(
             emb, threshold=0.8, centroids=sem_cents).count()
 
+    # One-shot curation funnel (r4): the whole chained recipe (scrub ->
+    # clean -> lang/Gopher/C4 gates -> exact dedup -> near-dup resolve)
+    # through operators/curate.py on a deterministic 1/8 slice of the
+    # extracted corpus (the component stages are each timed above;
+    # this line prices the COMPOSITION: one scalar-gate pipeline, the
+    # parquet stage boundary, and the resolve tail on survivors).
+    from ocr_spark.operators import curate as curate_ops
+    curate_path = f"/dev/shm/ocr_spark_bench_curate_{os.getpid()}"
+    curate_in = (extracted.filter(F.xxhash64("url") % 8 == 0)
+                 .select("url", "extracted_text"))
+
+    def _cur_mat(d, name):
+        d.write.mode("overwrite").parquet(f"{curate_path}/{name}")
+        return spark.read.parquet(f"{curate_path}/{name}")
+
+    @timed("curate_funnel")
+    def _cf():
+        res = curate_ops.curate(curate_in, text_col="extracted_text",
+                                id_col="url", materialize=_cur_mat)
+        res["decisions"].write.mode("overwrite").parquet(
+            f"{curate_path}/decisions")
+
+    curate_funnel_rows = {
+        r["stage"]: [r["docs_in"], r["docs_out"]]
+        for r in curate_ops.funnel_counts(
+            spark.read.parquet(f"{curate_path}/decisions")).collect()}
+
     @timed("ann_bruteforce")
     def _ann():
         similarity.cosine_topk(emb.filter(F.col("vec_id") < 32), emb, k=10).count()
@@ -535,6 +562,7 @@ def main():
     shutil.rmtree(layout_path, ignore_errors=True)
     shutil.rmtree(png_path, ignore_errors=True)
     shutil.rmtree(scrub_path, ignore_errors=True)
+    shutil.rmtree(curate_path, ignore_errors=True)
 
     print(json.dumps({
         "metric": "headline_queries_total_wall",
@@ -552,6 +580,7 @@ def main():
         "estimator": f"min_of_{reps}_warm_tmpfs(extract=4)",
         "walls": walls,
         "bucket_reports": bucket_reports,
+        "curate_funnel": curate_funnel_rows,
         "ann_recall_at_10_natural": recall,
         "ann_multiprobe": mp_report,
         "ann_ivf": ivf_report,

@@ -263,6 +263,17 @@ def _parse(argv):
                    help="keep documents with mean token log-likelihood "
                         "ratio >= this (default 0.0 = the model's "
                         "decision boundary)")
+    p.add_argument("--curate", default=None, metavar="DIR",
+                   help="run the FULL curation funnel over the "
+                        "committed snapshot in one pass (PII scrub -> "
+                        "unicode clean -> language gate [--lang-keep] "
+                        "-> Gopher repetition gate -> C4 gate "
+                        "[--c4-bad-words] -> exact dedup -> MinHash "
+                        "near-dup resolve [--neardup-max-bucket] -> "
+                        "benchmark decontam when --benchmark is "
+                        "given); persist per-document decisions, the "
+                        "survivor corpus, and the per-stage funnel "
+                        "table under DIR")
     p.add_argument("--rollback", type=int, default=None, metavar="SEQ",
                    help="before any ingest, move the table head back to "
                         "snapshot SEQ (publishes a new replicating "
@@ -924,6 +935,54 @@ def main(argv=None, spark=None) -> dict:
                 "salt": args.sample_salt,
                 **{k: int(r[k]) for k in ("total_docs", "total_tokens",
                                           "kept_docs", "kept_tokens")}}
+
+    if args.curate:
+        # The whole curation recipe as ONE job: scalar gates in one
+        # pipeline, set-dependent stages over the shrinking survivor
+        # set (operators/curate.py). Decisions persist first and the
+        # funnel/survivors derive from the PERSISTED decisions, so the
+        # accounting always describes exactly the rows on disk.
+        from pyspark.sql import functions as F
+
+        from ocr_spark.operators import curate as curate_ops
+        committed = table.read(spark)
+        if committed is not None:
+
+            def _mat(d, name):
+                # Durable stage boundary (also keeps the clean-text
+                # pandas UDF fed from a bare parquet column — the
+                # python-exchange projection pathology).
+                p = f"{args.curate}/stage_{name}"
+                d.write.mode("overwrite").parquet(p)
+                return spark.read.parquet(p)
+
+            bench = (spark.read.parquet(args.benchmark)
+                     if args.benchmark else None)
+            bad_words = tuple(
+                w.strip() for w in (args.c4_bad_words or "").split(",")
+                if w.strip())
+            keep_langs = tuple(c.strip() for c in args.lang_keep.split(",")
+                               if c.strip())
+            res = curate_ops.curate(
+                committed, text_col="extracted_text", id_col="url",
+                keep_langs=keep_langs, c4_bad_words=bad_words,
+                max_bucket=args.neardup_max_bucket,
+                benchmark=bench, decontam_ngram=args.decontam_ngram,
+                decontam_min_hits=args.decontam_min_hits,
+                materialize=_mat)
+            res["decisions"].write.mode("overwrite").parquet(
+                f"{args.curate}/decisions")
+            decisions = spark.read.parquet(f"{args.curate}/decisions")
+            (decisions.filter("final_keep")
+             .select("url", F.col("curated_text").alias("extracted_text"))
+             .write.mode("overwrite").parquet(f"{args.curate}/survivors"))
+            curate_ops.funnel_counts(
+                decisions, with_decontam=bench is not None)\
+                .write.mode("overwrite").parquet(f"{args.curate}/funnel")
+            summary["curate"] = {
+                r["stage"]: {"in": r["docs_in"], "out": r["docs_out"]}
+                for r in spark.read.parquet(f"{args.curate}/funnel")
+                .orderBy("stage_idx").collect()}
 
     if args.compact:
         # After ingest + curation: fold the accrued per-run dirs into

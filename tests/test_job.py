@@ -880,3 +880,42 @@ def test_job_token_sample_flag_validation(tmp_path):
     with pytest.raises(SystemExit):
         job._parse(["--synth", "4", "--table", str(tmp_path / "t"),
                     "--token-budget", "5"])
+
+
+def test_job_curate_funnel(spark, tmp_path):
+    """--curate runs the one-shot funnel over the committed snapshot:
+    decisions/survivors/funnel persist, counts are monotone, and the
+    summary carries the stage table."""
+    from tests.test_curate import RU, good
+
+    urls = [f"https://cc.synth.local/p{i:02d}/webpage/doc.txt"
+            for i in range(8)]
+    texts = [good(0), good(1), good(2),
+             RU,                      # lang victim
+             good(4), good(4),        # exact-dup pair (idx 4 survives)
+             good(6) + "\nvar f = function() { return 1; };",  # c4
+             good(7)]
+    rows = [(u, None, None, t, "en", None) for u, t in zip(urls, texts)]
+    inp = str(tmp_path / "in.parquet")
+    spark.createDataFrame(rows, schema=schemas.INPUT_SCHEMA)\
+        .write.parquet(inp)
+
+    cur = str(tmp_path / "curate")
+    r = job.main(["--input", inp, "--table", str(tmp_path / "t"),
+                  "--partitions", "2", "--curate", cur], spark=spark)
+    assert r["curate"]["input"]["in"] == 8
+    assert r["curate"]["lang"]["out"] == 7
+    assert r["curate"]["c4"]["out"] == 6
+    assert r["curate"]["exact_dedup"]["out"] == 5
+    assert r["curate"]["neardup"]["out"] == 5
+    assert "decontam" not in r["curate"]
+
+    surv = {s["url"] for s in
+            spark.read.parquet(f"{cur}/survivors").collect()}
+    assert surv == {urls[0], urls[1], urls[2], urls[4], urls[7]}
+    dec = spark.read.parquet(f"{cur}/decisions")
+    assert dec.count() == 8
+    # the funnel table on disk is consistent with the decisions table
+    fun = {f["stage"]: f for f in
+           spark.read.parquet(f"{cur}/funnel").collect()}
+    assert fun["neardup"]["docs_out"] == len(surv)

@@ -319,6 +319,21 @@ def main() -> None:
           and "HashAggregate" in p,
           f"BroadcastHashJoin={'BroadcastHashJoin' in p}")
 
+    # 9o. r4.5: the curation-funnel decisions plan is CUT at the
+    #     signals materialize boundary (the scrub regexes + Arrow NFC
+    #     clean run once, upstream of it — visible as an ExistingRDD
+    #     scan), so downstream carries NO Python node of any kind and
+    #     every dedup join is keyed (no CartesianProduct).
+    p = plans["curate_decisions"]
+    no_python = all(m not in p for m in
+                    ("BatchEvalPython", "ArrowEvalPython",
+                     "MapInPandas", "MapInArrow"))
+    check("curate_decisions",
+          "materialize-cut plan: no Python downstream, keyed joins",
+          no_python and "CartesianProduct" not in p
+          and "ExistingRDD" in p,
+          f"ExistingRDD={'ExistingRDD' in p}")
+
     # 9. No CartesianProduct anywhere: every join is keyed or broadcast
     #    (the brute-force oracle baselines use broadcast nested loop,
     #    which bounds the big side to one scan).
