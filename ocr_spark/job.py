@@ -599,11 +599,11 @@ def main(argv=None, spark=None) -> dict:
         if committed is not None:
             keep_langs = [c.strip() for c in args.lang_keep.split(",")
                           if c.strip()]
-            signals = committed.select(
-                "url",
-                textstats.lang_id(F.coalesce(F.col("extracted_text"),
-                                             F.lit("")))
-                .alias("lang_guess"))
+            # with_lang_guess, not the Column form: the landed token
+            # array evaluates the normalize+split once per document
+            # instead of ~L^2 times (textstats.lang_id PERF WARNING).
+            signals = textstats.with_lang_guess(
+                committed, "extracted_text").select("url", "lang_guess")
             signals.write.mode("overwrite").parquet(
                 f"{args.lang_filter}/signals")
             signals = spark.read.parquet(f"{args.lang_filter}/signals")

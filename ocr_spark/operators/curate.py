@@ -112,7 +112,7 @@ def curate(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     # -- scalar gates in ONE projection over the cleaned text
     c = F.coalesce(F.col(text_col), F.lit(""))
     kept_text = F.array_join(c4_kept_lines(c), "\n")
-    n_sentences = F.length(F.regexp_replace(F.col("_c4_text"), "[^.!?]", ""))
+    n_sentences = F.regexp_count(F.col("_c4_text"), F.lit("[.!?]"))
     if c4_bad_words:
         has_bad = F.arrays_overlap(
             F.regexp_extract_all(F.lower(c), F.lit("[a-z]+"), 0),

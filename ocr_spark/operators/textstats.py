@@ -66,6 +66,30 @@ def script_threshold(lang: str) -> float:
 _BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
+def _char_count(c: Column, char_class: str) -> Column:
+    """Count the characters of a class with ONE counting regex pass.
+
+    length(regexp_replace(c, '[^cls]', '')) is the obvious spelling,
+    but the complement class matches nearly every character of a
+    typical document, so regexp_replace fires one appendReplacement
+    per character (~8.5k/doc at CC sizes) and builds a throwaway
+    string per expression — measured 62x slower than regexp_count on
+    the POSITIVE class (67.9s -> 1.1s for the six script counts over
+    the 20k-doc bench slice), which visits each char once and only
+    increments. Values are identical (verified exactly on that
+    corpus; the oracle twins count the positive class on their side
+    too, so nothing drifts)."""
+    return F.regexp_count(c, F.lit(f"[{char_class}]"))
+
+
+def _nonws_length(c: Column) -> Column:
+    """Non-whitespace character count, counting form (see
+    _char_count): length minus the \\s char count — identical to
+    length(regexp_replace(c, '\\s+', '')) without building the
+    stripped string."""
+    return F.length(c) - F.regexp_count(c, F.lit(r"\s"))
+
+
 def tokens(c: Column) -> Column:
     """Whitespace tokens of the normalized text."""
     return F.split(F.trim(normalize_text(c)), " ")
@@ -97,7 +121,7 @@ def stopword_ratio(c: Column, lang: str = "en") -> Column:
 
 def punct_ratio(c: Column) -> Column:
     n = F.length(c)
-    p = F.length(F.regexp_replace(c, r"[^.,;:!?'\"()\[\]{}-]", ""))
+    p = _char_count(c, r".,;:!?'\"()\[\]{}-")
     return F.when(n == 0, F.lit(0.0)).otherwise(p.cast("double") / n)
 
 
@@ -135,8 +159,8 @@ def lang_id(c: Column) -> Column:
     cascading argmax whens re-embed earlier hit expressions, so the
     normalize+split chain runs ~L^2 times per document — 19.2s for
     2055 x 8.6 KB docs. Fine for short rows and oracle fixtures; hot
-    paths use ``with_lang_guess`` (token array and script counts
-    landed in real columns, one pass) — identical verdicts, 10x+.
+    paths use ``with_lang_guess`` (token array + script counts landed
+    in real columns, one pass) — identical verdicts, shuffle-free.
     """
     tok = tokens(c)
     best_lang = F.lit("und")
@@ -147,11 +171,10 @@ def lang_id(c: Column) -> Column:
         better = hits > best_hits
         best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
         best_hits = F.when(better, hits).otherwise(best_hits)
-    nonws = F.length(F.regexp_replace(c, r"\s+", ""))
+    nonws = _nonws_length(c)
     expr = best_lang
     for lang in reversed(SCRIPT_ORDER):
-        script_chars = F.length(
-            F.regexp_replace(c, f"[^{SCRIPT_RANGES[lang]}]", ""))
+        script_chars = _char_count(c, SCRIPT_RANGES[lang])
         expr = F.when(
             script_chars.cast("double")
             > F.lit(script_threshold(lang)) * nonws,
@@ -169,7 +192,15 @@ def with_lang_guess(df: DataFrame, text_col: str,
     is a CASE over integer columns. Identical verdicts to ``lang_id``
     (script order, strict-> argmax, alphabetical ties, 'und' floor) —
     see test_textlib's equivalence fuzz — at one normalize+split
-    instead of ~L^2."""
+    instead of ~L^2.
+
+    Shape note (measured, 16k-doc bench slice): an explode +
+    broadcast-stopword-table rewrite (the lmscore/qualityclf shape)
+    was tried and lost to this landed form — 6.34s vs 4.48s warm —
+    because the regex counting fix (``_char_count``) removed the real
+    bottleneck; the landed form is also shuffle-free, which is the
+    right default inside curation funnels that already shuffle
+    elsewhere."""
     langs = sorted(LANG_STOPWORDS)
     c = F.coalesce(F.col(text_col), F.lit(""))
     internal = (["_lg_tok", "_lg_nonws"]
@@ -177,9 +208,10 @@ def with_lang_guess(df: DataFrame, text_col: str,
                 + [f"_lg_h_{lang}" for lang in langs])
     landed = df.select(
         "*", tokens(c).alias("_lg_tok"),
-        F.length(F.regexp_replace(c, r"\s+", "")).alias("_lg_nonws"),
-        *[F.length(F.regexp_replace(c, f"[^{SCRIPT_RANGES[lang]}]", ""))
+        _nonws_length(c).alias("_lg_nonws"),
+        *[_char_count(c, SCRIPT_RANGES[lang])
           .alias(f"_lg_sc_{lang}") for lang in SCRIPT_ORDER])
+
     def _hit(lang):
         sw = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
         return F.size(F.filter(F.col("_lg_tok"),
@@ -466,7 +498,7 @@ def c4_stats(df: DataFrame, text_col: str = "text",
     c = F.coalesce(F.col(text_col), F.lit(""))
     kept = c4_kept_lines(c)
     kept_text = F.array_join(kept, "\n")
-    n_sentences = F.length(F.regexp_replace(kept_text, "[^.!?]", ""))
+    n_sentences = _char_count(kept_text, ".!?")
     has_lorem = F.lower(c).contains("lorem ipsum")
     has_brace = c.contains("{")
     if bad_words:

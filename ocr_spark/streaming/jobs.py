@@ -134,7 +134,7 @@ def stream_curate(spark: SparkSession, input_dir: str, table_root: str,
     """Curation-on-ingest: each micro-batch of raw pages flows through
     the SAME batch gates the job CLI applies post-hoc — the Gopher
     repetition thresholds (textstats.gopher_quality_filter), the
-    script-vote language gate (textstats.lang_id in ``keep_langs``),
+    script-vote language gate (textstats.with_lang_guess in ``keep_langs``),
     then exact content dedup — and only the survivors commit to the
     snapshot table. At 100 TB this is the difference between filtering
     the firehose as it lands and landing everything to filter later.
@@ -170,7 +170,7 @@ def stream_curate(spark: SparkSession, input_dir: str, table_root: str,
     """
     from ..operators.scrub import pii_scrub
     from ..operators.textstats import (fingerprint, gopher_quality_filter,
-                                       lang_id)
+                                       with_lang_guess)
 
     langs = list(keep_langs)
     table = SnapshotTable(table_root)
@@ -191,9 +191,9 @@ def stream_curate(spark: SparkSession, input_dir: str, table_root: str,
             fresh = pii_scrub(fresh, text_col="text")
         else:
             fresh = fresh.withColumn("n_pii_redacted", F.lit(0))
-        staged = (fresh
-                  .withColumn("lang_guess",
-                              lang_id(F.coalesce(F.col("text"), F.lit(""))))
+        # with_lang_guess, not the Column form: one normalize+split
+        # per document instead of ~L^2 (textstats.lang_id PERF WARNING).
+        staged = (with_lang_guess(fresh, "text")
                   .withColumn("content_hash", fingerprint(F.col("text"))))
         staged.persist()
         try:
