@@ -38,6 +38,17 @@ def main():
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     sf = _sf_of(sf_dir)
 
+    # Sweep scratch left by crashed runs: every bench path is
+    # pid-suffixed, so anything whose pid is dead is garbage. Stale
+    # corpora on the RAM tmpfs otherwise eat the very memory the JVM
+    # heap and page cache need, skewing later walls.
+    import glob
+    import shutil
+    for d in glob.glob("/dev/shm/ocr_spark_bench_*"):
+        pid = re.search(r"_(\d+)(?:_[a-z]+)?$", d)
+        if pid and not os.path.exists(f"/proc/{pid.group(1)}"):
+            shutil.rmtree(d, ignore_errors=True)
+
     from ocr_spark.operators import crosscheck, dedup, similarity, textstats
     from ocr_spark.plans.pipeline import run_extraction
     from ocr_spark.session import TMPFS_SCRATCH, build_session

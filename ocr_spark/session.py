@@ -55,7 +55,13 @@ def build_session(app_name: str = "ocr_spark", master: str | None = None,
         .config("spark.sql.optimizer.excludedRules",
                 "org.apache.spark.sql.catalyst.optimizer."
                 "InferFiltersFromGenerate")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # In local[k] ONE JVM hosts all k task slots, so the heap must
+        # be sized per-slot like a real executor's (0.75 GB/slot here ~=
+        # a lean 4-core/3 GB executor). 8g (0.25 GB/slot) tipped long
+        # bench sessions into full-GC thrash: measured 682 full GCs =
+        # 43 s of GC inside one 81 s scrub rep, walls 17.6 s <-> 236 s
+        # bimodal; at 24g the same rep runs 17.6 s with ZERO full GCs.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

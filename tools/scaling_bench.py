@@ -572,6 +572,15 @@ anything (full history in tools/scaling_bench.py):
 2. **Hypervisor steal.** Minutes-long waves of 5-18% steal make single
    measurements meaningless; min-of-runs in-session x best-of-trials
    per level is the estimator.
+3. **Per-slot heap sizing.** In local[k] ONE JVM hosts all k task
+   slots; an 8 GB heap (0.25 GB/slot at k=32) tipped long bench
+   sessions into full-GC thrash — measured 682 full GCs = 43 s of GC
+   inside one 81 s scrub repetition, walls bimodal 17.6 s <-> 236 s on
+   identical input. At 24 GB (0.75 GB/slot, ocr_spark/session.py
+   default; this tool's children use 16 GB for their single-job runs)
+   the same repetition runs 17.6 s with ZERO full GCs. A real cluster
+   sizes each executor's heap per-core the same way — the fix is
+   faithful config, not a sandbox hack.
 """
     with open(f"{REPO}/BENCH/BASELINE.md", "w") as f:
         f.write(md)
