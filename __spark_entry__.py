@@ -593,6 +593,151 @@ FROM j ORDER BY doc_id
 """
 
 
+_REP_BOILER = "repeated boiler line"
+_REP_PARA = "alpha beta shared paragraph"
+_REP_LOOP8 = "one two three four five six seven eight "
+_REP_CLICK = "click here "
+
+
+def q_repetition_full(spark, sf_dir):
+    """FULL Gopher Table A1 repetition suite (12 signals + keep):
+    doc_id%5 plants one pathology per gate family — 0: duplicate-line
+    spam (line count + char gates), 1: duplicate paragraphs (para
+    gates), 2: an 8-word loop (dup-5..10-gram coverage ~1.0), 3: a
+    bigram loop (top-2-gram mass), 4: the corpus text untouched."""
+    d = _docs(spark, sf_dir)
+    sid = F.col("doc_id").cast("string")
+    txt = (F.when(F.col("doc_id") % 5 == 0,
+                  F.concat(F.lit("intro line "), sid,
+                           F.lit(("\n" + _REP_BOILER) * 3)))
+           .when(F.col("doc_id") % 5 == 1,
+                 F.concat(F.lit(_REP_PARA + "\n\n" + _REP_PARA
+                                + "\n\ntail para "), sid))
+           .when(F.col("doc_id") % 5 == 2,
+                 F.concat(F.lit(_REP_LOOP8 * 4 + "tag "), sid))
+           .when(F.col("doc_id") % 5 == 3,
+                 F.concat(F.lit(_REP_CLICK * 10 + "unique "), sid))
+           .otherwise(F.col("text")))
+    return textstats.repetition_stats_full(
+        d.select("doc_id", txt.alias("text"))).orderBy("doc_id")
+
+
+def _sql_repetition_full():
+    top_ns = sorted(textstats.GOPHER_MAX_TOP_NGRAM_FRAC)
+    dup_ns = sorted(textstats.GOPHER_MAX_DUP_NGRAM_FRAC)
+    # One positions-CTE per n, stacked by UNION ALL (generated, like
+    # the Spark side's single stacked explode).
+    gram_legs = "\nUNION ALL\n".join(f"""SELECT doc_id, {n} AS n, pos,
+    array_to_string(list_slice(tok, pos, pos + {n - 1}), ' ') AS gram
+  FROM (SELECT doc_id, tok, unnest(range(1, len(tok) - {n - 2})) AS pos
+        FROM s WHERE len(tok) >= {n})""" for n in top_ns + dup_ns)
+    top_cols = ",\n".join(
+        f"    max(CASE WHEN n = {n} THEN mass END) AS m{n}"
+        for n in top_ns)
+    dup_cols = ",\n".join(
+        f"    max(CASE WHEN n = {n} THEN dupchars END) AS d{n}"
+        for n in dup_ns)
+    top_out = ",\n".join(
+        f"""  CASE WHEN s.nchars = 0 OR t.m{n} IS NULL THEN 0.0
+       ELSE round(t.m{n}::double / s.nchars, 6) END AS top_{n}gram_frac"""
+        for n in top_ns)
+    dup_out = ",\n".join(
+        f"""  CASE WHEN coalesce(s.tokchars, 0) = 0 OR v.d{n} IS NULL
+       THEN 0.0 ELSE round(v.d{n}::double / s.tokchars, 6)
+       END AS dup_{n}gram_char_frac""" for n in dup_ns)
+    top_gate = " AND ".join(
+        f"top_{n}gram_frac <= {thr}" for n, thr
+        in sorted(textstats.GOPHER_MAX_TOP_NGRAM_FRAC.items()))
+    dup_gate = " AND ".join(
+        f"dup_{n}gram_char_frac <= {thr}" for n, thr
+        in sorted(textstats.GOPHER_MAX_DUP_NGRAM_FRAC.items()))
+    dupchar = ("coalesce(list_sum(list_transform({L}, (x, i) -> "
+               "CASE WHEN i > 1 AND x = {L}[i - 1] THEN length(x) "
+               "ELSE 0 END)), 0)")
+    return f"""
+WITH d AS (SELECT doc_id,
+  CASE WHEN doc_id % 5 = 0 THEN 'intro line ' || cast(doc_id AS varchar)
+         || repeat(chr(10) || '{_REP_BOILER}', 3)
+       WHEN doc_id % 5 = 1 THEN '{_REP_PARA}' || chr(10) || chr(10)
+         || '{_REP_PARA}' || chr(10) || chr(10)
+         || 'tail para ' || cast(doc_id AS varchar)
+       WHEN doc_id % 5 = 2 THEN repeat('{_REP_LOOP8}', 4)
+         || 'tag ' || cast(doc_id AS varchar)
+       WHEN doc_id % 5 = 3 THEN repeat('{_REP_CLICK}', 10)
+         || 'unique ' || cast(doc_id AS varchar)
+       ELSE text END AS t
+  FROM documents),
+l AS (SELECT doc_id, t,
+        list_sort(list_filter(list_transform(string_split(t, chr(10)),
+                              x -> trim(x)), x -> x <> '')) AS lsort,
+        list_sort(list_filter(list_transform(
+          regexp_split_to_array(t, '\\n[ \\t]*\\n+'),
+          x -> trim(x)), x -> x <> '')) AS psort,
+        regexp_replace(lower(trim(t)), '[\\s\\v]+', ' ', 'g') AS norm
+      FROM d),
+s AS (SELECT doc_id,
+        CASE WHEN len(lsort) = 0 THEN 0.0
+             ELSE round(1.0 - len(list_distinct(lsort))::double
+                        / len(lsort), 6) END AS dup_line_frac,
+        CASE WHEN coalesce(list_sum(list_transform(lsort,
+               x -> length(x))), 0) = 0 THEN 0.0
+             ELSE round({dupchar.format(L='lsort')}::double
+                / list_sum(list_transform(lsort, x -> length(x))), 6)
+        END AS dup_line_char_frac,
+        CASE WHEN len(psort) = 0 THEN 0.0
+             ELSE round(1.0 - len(list_distinct(psort))::double
+                        / len(psort), 6) END AS dup_para_frac,
+        CASE WHEN coalesce(list_sum(list_transform(psort,
+               x -> length(x))), 0) = 0 THEN 0.0
+             ELSE round({dupchar.format(L='psort')}::double
+                / list_sum(list_transform(psort, x -> length(x))), 6)
+        END AS dup_para_char_frac,
+        length(norm) AS nchars,
+        regexp_split_to_array(trim(norm), ' ') AS tok,
+        CASE WHEN trim(norm) = '' THEN 0
+             ELSE len(regexp_split_to_array(trim(norm), ' '))
+        END AS n_tokens,
+        coalesce(list_sum(list_transform(
+          regexp_split_to_array(trim(norm), ' '), x -> length(x))), 0)
+          AS tokchars
+      FROM l),
+g AS ({gram_legs}),
+c AS (SELECT doc_id, n, gram, count(*) AS cnt, list(pos) AS ps
+      FROM g GROUP BY 1, 2, 3),
+tm AS (SELECT doc_id, n, cnt * length(gram) AS mass FROM c
+       WHERE n <= {max(top_ns)} AND cnt >= 2
+       QUALIFY row_number() OVER (PARTITION BY doc_id, n
+                                  ORDER BY cnt DESC, gram DESC) = 1),
+t AS (SELECT doc_id,
+{top_cols}
+      FROM tm GROUP BY doc_id),
+cov AS (SELECT DISTINCT doc_id, n, tp
+        FROM (SELECT doc_id, n, unnest(ps) AS p FROM c
+              WHERE n >= {min(dup_ns)} AND cnt > 1),
+             unnest(range(p, p + n)) AS u(tp)),
+dm AS (SELECT cov.doc_id, cov.n,
+         sum(length(s.tok[cov.tp::int])) AS dupchars
+       FROM cov JOIN s ON s.doc_id = cov.doc_id GROUP BY 1, 2),
+v AS (SELECT doc_id,
+{dup_cols}
+      FROM dm GROUP BY doc_id),
+o AS (SELECT s.doc_id, s.n_tokens, s.dup_line_frac,
+  s.dup_line_char_frac, s.dup_para_frac, s.dup_para_char_frac,
+{top_out},
+{dup_out}
+  FROM s LEFT JOIN t ON s.doc_id = t.doc_id
+  LEFT JOIN v ON s.doc_id = v.doc_id)
+SELECT *,
+  (dup_line_frac <= {textstats.GOPHER_MAX_DUP_LINE_FRAC}
+   AND dup_para_frac <= {textstats.GOPHER_MAX_DUP_PARA_FRAC}
+   AND dup_line_char_frac <= {textstats.GOPHER_MAX_DUP_LINE_CHAR_FRAC}
+   AND dup_para_char_frac <= {textstats.GOPHER_MAX_DUP_PARA_CHAR_FRAC}
+   AND (n_tokens < {textstats.GOPHER_MIN_TOKENS_FOR_BIGRAM_GATE}
+        OR ({top_gate} AND {dup_gate}))) AS keep
+FROM o ORDER BY doc_id
+"""
+
+
 def q_line_dedup(spark, sf_dir):
     """Corpus-level boilerplate line removal (CCNet-style, Wenzek et
     al. 2020): every doc gets a shared cookie banner above and a
@@ -3847,6 +3992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stopword_ratio": q_stopword_ratio,
         "lang_id": q_lang_id,
         "repetition_stats": q_repetition_stats,
+        "repetition_full": q_repetition_full,
         "line_dedup": q_line_dedup,
         "pii_stats": q_pii_stats,
         "clean_text": q_clean_text,
@@ -3910,6 +4056,7 @@ def oracle_sql() -> dict[str, str]:
         "stopword_ratio": _sql_stopword_ratio(),
         "lang_id": _sql_lang_id(),
         "repetition_stats": _sql_repetition_stats(),
+        "repetition_full": _sql_repetition_full(),
         "line_dedup": _sql_line_dedup(),
         "pii_stats": _sql_pii_stats(),
         "clean_text": _sql_clean_text(),

@@ -265,8 +265,14 @@ GOPHER_MIN_TOKENS_FOR_BIGRAM_GATE = 20
 
 
 def line_array(c: Column) -> Column:
-    """Trimmed non-empty lines (expression)."""
-    return F.filter(F.transform(F.split(c, "\n"), F.trim),
+    """Trimmed non-empty lines (expression).
+
+    The trim MUST be a single-arg lambda: F.transform inspects the
+    callable's parameter count and F.trim's optional second parameter
+    (the trim-character set) would receive the element INDEX — 'line 0'
+    at index 0 silently loses its '0' (latent until the char-fraction
+    signals; same fix in paragraph_array / c4_kept_lines)."""
+    return F.filter(F.transform(F.split(c, "\n"), lambda x: F.trim(x)),
                     lambda x: x != "")
 
 
@@ -365,6 +371,224 @@ def gopher_quality_filter(df: DataFrame, text_col: str = "text",
     thresholds (left-semi join against the keep set — ids only ride
     the shuffle)."""
     keep = repetition_stats(df, text_col, id_col).filter("keep")\
+        .select(F.col(id_col))
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# The FULL Gopher repetition table (Rae et al. 2021, Table A1): the
+# two signals above plus duplicate paragraphs, the character-mass
+# variants of both, top {2,3,4}-gram character mass, and duplicate
+# {5..10}-gram character coverage — 12 gates total. Thresholds are the
+# published Table A1 values verbatim.
+# ---------------------------------------------------------------------------
+
+GOPHER_MAX_DUP_PARA_FRAC = 0.30
+GOPHER_MAX_DUP_LINE_CHAR_FRAC = 0.20
+GOPHER_MAX_DUP_PARA_CHAR_FRAC = 0.20
+# Table A1 gives the top-n-gram gate per n; the legacy 2-signal
+# repetition_stats keeps its original 0.18 bigram constant (that one
+# predates the full table and its oracle pins it), the full suite uses
+# the published per-n values.
+GOPHER_MAX_TOP_NGRAM_FRAC = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_MAX_DUP_NGRAM_FRAC = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12,
+                             9: 0.11, 10: 0.10}
+_TOP_NS = sorted(GOPHER_MAX_TOP_NGRAM_FRAC)
+_DUP_NS = sorted(GOPHER_MAX_DUP_NGRAM_FRAC)
+
+
+def paragraph_array(c: Column) -> Column:
+    """Trimmed non-empty paragraphs: blank-line-separated blocks
+    (expression). CRLF-normalized input assumed (clean_text upstream
+    folds it); a lone newline does NOT split a paragraph. Single-arg
+    trim lambda: see line_array."""
+    return F.filter(F.transform(F.split(c, r"\n[ \t]*\n+"),
+                                lambda x: F.trim(x)),
+                    lambda x: x != "")
+
+
+def _dup_frac(arr: Column) -> Column:
+    """Fraction of elements that repeat an earlier element."""
+    n = F.size(arr)
+    return F.when(n <= 0, F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct(arr)).cast("double") / n)
+
+
+def _dup_char_frac(sorted_arr: Column) -> Column:
+    """Fraction of element CHARACTERS sitting in occurrences beyond
+    the first (Gopher's 'duplicate line/paragraph character fraction';
+    denominator = total element characters, so an all-duplicate doc
+    approaches 1.0). Takes a PRE-SORTED array column (sort groups
+    equal elements adjacently — any total order works, only adjacency
+    of equals matters, so Spark's and DuckDB's string orders may
+    disagree without changing the value). Pass a real column
+    reference, not an expression: a captured expression would be
+    inlined into the per-element lambda (the bigram_array pathology)
+    and re-sort per element."""
+    marks = F.transform(
+        sorted_arr,
+        lambda x, i: F.when(x == F.get(sorted_arr, i - 1), F.length(x))
+        .otherwise(F.lit(0)))
+    dup = F.aggregate(marks, F.lit(0), lambda a, x: a + x)
+    total = F.aggregate(F.transform(sorted_arr, F.length), F.lit(0),
+                        lambda a, x: a + x)
+    return F.when(total <= 0, F.lit(0.0)).otherwise(
+        dup.cast("double") / total)
+
+
+def _ngram_stack(tok_df: DataFrame, id_col: str, ns) -> DataFrame:
+    """(id, n, pos, gram): one row per (document, n, token position)
+    for every n in ``ns`` — ONE positions explode feeding every n
+    (the token array lands in `_tok`, a real column, so per-row work
+    above the Generate is O(n) slice+concat, not a re-tokenize; see
+    _bigram_rows). pos is 1-based."""
+    min_n = min(ns)
+    base = tok_df.select(
+        F.col(id_col), F.col("_tok"), F.size("_tok").alias("_ntok"),
+        F.explode(
+            F.when(F.size("_tok") >= min_n,
+                   F.sequence(F.lit(1), F.size("_tok")))
+            .otherwise(F.array().cast("array<int>"))).alias("pos"))
+    grams = F.array(*[
+        F.struct(
+            F.lit(n).alias("n"),
+            F.when(F.col("pos") + (n - 1) <= F.col("_ntok"),
+                   F.concat_ws(" ", F.slice("_tok", F.col("pos"), n)))
+            .alias("gram"))
+        for n in ns])
+    return (base.select(F.col(id_col), "pos", F.explode(grams).alias("g"))
+            .select(F.col(id_col), "pos", F.col("g.n").alias("n"),
+                    F.col("g.gram").alias("gram"))
+            .filter(F.col("gram").isNotNull()))
+
+
+def repetition_stats_full(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Per-document FULL Gopher repetition table (12 signals + keep):
+
+      * dup_line_frac / dup_para_frac — fraction of lines/paragraphs
+        repeating an earlier one (pure expressions).
+      * dup_line_char_frac / dup_para_char_frac — fraction of
+        line/paragraph characters in occurrences beyond the first
+        (sorted-array adjacency scan, pure expressions).
+      * top_{2,3,4}gram_frac — character mass of the most frequent
+        word n-gram: count × len(gram) / len(normalized text) (same
+        convention the legacy bigram signal pins).
+      * dup_{5..10}gram_char_frac — fraction of TOKEN characters
+        covered by at least one n-gram that occurs more than once.
+        Gopher's prose ('characters contained within all duplicate
+        n-grams, not counting characters more than once') is realized
+        declaratively as the UNION of covered token positions —
+        order-free, so both Spark and the DuckDB oracle can replay it
+        set-wise. Denominator = total token characters (spaces
+        excluded from both sides, so full coverage = 1.0).
+
+    Scale shape: one positions explode feeds all nine n values; the
+    top-n side is two hash aggregations (map-side partial on
+    (id, n, gram)); the dup-n side is hash-agg → position-range
+    explode → distinct → an id-join against the per-doc token-length
+    array → pivot with pinned n values (no extra distinct-scan job).
+    Shuffles are on (id, n, gram) / (id, n, pos) ids+smalls only —
+    the document text never rides a shuffle."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    tok_df = df.select(F.col(id_col), tokens(c).alias("_tok"))
+
+    # Scalar (array-expression) signals: land arrays in real columns
+    # first so sorts/aggregates are not inlined per element.
+    arrs = df.select(
+        F.col(id_col),
+        F.length(normalize_text(c)).alias("_nchars"),
+        token_count(c).alias("n_tokens"),
+        F.array_sort(line_array(c)).alias("_lsort"),
+        F.array_sort(paragraph_array(c)).alias("_psort"))
+    base = arrs.select(
+        F.col(id_col), "_nchars", "n_tokens",
+        F.round(_dup_frac(F.col("_lsort")), 6).alias("dup_line_frac"),
+        F.round(_dup_char_frac(F.col("_lsort")), 6)
+        .alias("dup_line_char_frac"),
+        F.round(_dup_frac(F.col("_psort")), 6).alias("dup_para_frac"),
+        F.round(_dup_char_frac(F.col("_psort")), 6)
+        .alias("dup_para_char_frac"))
+
+    stack = _ngram_stack(tok_df, id_col, _TOP_NS + _DUP_NS)
+    counts = (stack.groupBy(id_col, "n", "gram")
+              .agg(F.count("*").alias("cnt"),
+                   F.collect_list("pos").alias("_ps")))
+
+    # Top-n-gram character mass (n = 2, 3, 4). A gram seen ONCE is not
+    # repetition — without the cnt >= 2 floor any short document trips
+    # the 4-gram gate on a single occurrence (at 25 tokens one 4-gram
+    # is ~0.17 of the chars; Gopher's 50-word length prefilter hides
+    # that regime, this operator must stand without it). Overlapping
+    # occurrences make the mass a gate score, not a probability — a
+    # looped trigram can exceed 1.0 by construction.
+    top = (counts.filter(F.col("n").isin(_TOP_NS) & (F.col("cnt") >= 2))
+           .groupBy(id_col, "n")
+           .agg(F.max(F.struct(F.col("cnt"), F.col("gram"))).alias("t"))
+           .select(F.col(id_col), "n",
+                   (F.col("t.cnt") * F.length("t.gram")).alias("_mass"))
+           .groupBy(id_col).pivot("n", _TOP_NS).sum("_mass"))
+
+    # Duplicate-n-gram coverage (n = 5..10): union of covered token
+    # positions, then chars looked up from the per-doc length array.
+    toklens = tok_df.select(
+        F.col(id_col), F.transform("_tok", F.length).alias("_tl"))
+    covered = (counts.filter(F.col("n").isin(_DUP_NS) & (F.col("cnt") > 1))
+               .select(F.col(id_col), "n", F.explode("_ps").alias("p"))
+               .select(F.col(id_col), "n",
+                       F.explode(F.sequence(
+                           F.col("p"), F.col("p") + F.col("n") - 1))
+                       .alias("tp"))
+               .distinct())
+    dupmass = (covered.join(toklens, on=id_col)
+               .select(F.col(id_col), "n",
+                       F.element_at("_tl", F.col("tp")).alias("_l"))
+               .groupBy(id_col).pivot("n", _DUP_NS).sum("_l"))
+    tokchars = toklens.select(
+        F.col(id_col),
+        F.aggregate("_tl", F.lit(0), lambda a, x: a + x).alias("_tokchars"))
+
+    out = (base.join(top, on=id_col, how="left")
+           .join(dupmass, on=id_col, how="left")
+           .join(tokchars, on=id_col, how="left"))
+    for n in _TOP_NS:
+        out = out.withColumn(
+            f"top_{n}gram_frac",
+            F.when((F.col("_nchars") == 0) | F.col(str(n)).isNull(),
+                   F.lit(0.0))
+            .otherwise(F.round(F.col(str(n)) / F.col("_nchars"), 6)))
+    for n in _DUP_NS:
+        out = out.withColumn(
+            f"dup_{n}gram_char_frac",
+            F.when((F.coalesce(F.col("_tokchars"), F.lit(0)) == 0)
+                   | F.col(str(n)).isNull(), F.lit(0.0))
+            .otherwise(F.round(F.col(str(n)) / F.col("_tokchars"), 6)))
+
+    gate = (
+        (F.col("dup_line_frac") <= GOPHER_MAX_DUP_LINE_FRAC)
+        & (F.col("dup_para_frac") <= GOPHER_MAX_DUP_PARA_FRAC)
+        & (F.col("dup_line_char_frac") <= GOPHER_MAX_DUP_LINE_CHAR_FRAC)
+        & (F.col("dup_para_char_frac") <= GOPHER_MAX_DUP_PARA_CHAR_FRAC))
+    ngate = F.lit(True)
+    for n, thr in GOPHER_MAX_TOP_NGRAM_FRAC.items():
+        ngate = ngate & (F.col(f"top_{n}gram_frac") <= thr)
+    for n, thr in GOPHER_MAX_DUP_NGRAM_FRAC.items():
+        ngate = ngate & (F.col(f"dup_{n}gram_char_frac") <= thr)
+    keep = gate & (
+        (F.col("n_tokens") < GOPHER_MIN_TOKENS_FOR_BIGRAM_GATE) | ngate)
+
+    cols = [id_col, "n_tokens", "dup_line_frac", "dup_line_char_frac",
+            "dup_para_frac", "dup_para_char_frac"]
+    cols += [f"top_{n}gram_frac" for n in _TOP_NS]
+    cols += [f"dup_{n}gram_char_frac" for n in _DUP_NS]
+    return out.select(*cols, keep.alias("keep"))
+
+
+def gopher_repetition_filter_full(df: DataFrame, text_col: str = "text",
+                                  id_col: str = "doc_id") -> DataFrame:
+    """Corpus filtered through ALL 12 Gopher repetition gates
+    (left-semi against the keep ids)."""
+    keep = repetition_stats_full(df, text_col, id_col).filter("keep")\
         .select(F.col(id_col))
     return df.join(keep, on=id_col, how="left_semi")
 
@@ -482,7 +706,8 @@ def c4_kept_lines(c: Column) -> Column:
     punctuation, has >= 3 whitespace words, does not mention
     "javascript" (case-insensitive) — as an array expression."""
     return F.filter(
-        F.transform(F.split(F.coalesce(c, F.lit("")), "\n"), F.trim),
+        F.transform(F.split(F.coalesce(c, F.lit("")), "\n"),
+                    lambda x: F.trim(x)),  # single-arg: see line_array
         lambda line: line.rlike(_C4_TERMINAL_RE)
         & (F.size(F.split(line, r"\s+")) >= C4_MIN_WORDS_PER_LINE)
         & ~F.lower(line).contains("javascript"))

@@ -740,6 +740,62 @@ class TestTextStats:
         assert out[2]["top_bigram"] == "a b"
         assert all(out[i]["keep"] for i in range(3))
 
+    def test_repetition_full_gates_and_values(self, spark):
+        """The FULL Gopher Table A1 suite: each planted pathology
+        fails exactly its own gate family, with hand-computed
+        fractions; clean prose and short ordinary docs pass."""
+        line_spam = "a line\na line\na line\nunique tail"
+        para_dup = "para one x\n\npara one x\n\nother paragraph"
+        gram_loop = ("one two three four five six seven eight " * 4).strip()
+        prose = ("the quick brown fox jumps over the lazy dog while "
+                 "a calm river flows past the old stone bridge and "
+                 "birds sing in bright morning air above green fields")
+        # 25 varied tokens: a SINGLETON 4-gram here is ~0.17 of the
+        # chars — must not trip the 0.16 gate (cnt >= 2 floor).
+        short_ok = ("this is a perfectly ordinary document with varied "
+                    "words and no repetition at all spanning enough "
+                    "tokens to reach the gate floor")
+        df = spark.createDataFrame(
+            [(0, line_spam), (1, para_dup), (2, gram_loop), (3, prose),
+             (4, short_ok), (5, ""), (6, None)],
+            "doc_id long, text string")
+        out = {r["doc_id"]: r
+               for r in textstats.repetition_stats_full(df).collect()}
+        # lines: 'a line'(6) x3 + 'unique tail'(11): dup chars 12/29.
+        assert out[0]["dup_line_frac"] == 0.5
+        assert out[0]["dup_line_char_frac"] == round(12 / 29, 6)
+        assert not out[0]["keep"]
+        # paragraphs: 'para one x'(10) x2 + 'other paragraph'(15).
+        assert out[1]["dup_para_frac"] == round(1 / 3, 6)
+        assert out[1]["dup_para_char_frac"] == round(10 / 35, 6)
+        assert not out[1]["keep"]
+        # 32-token loop of an 8-word phrase: every token is covered by
+        # a duplicated n-gram for all n in 5..10.
+        for n in range(5, 11):
+            assert out[2][f"dup_{n}gram_char_frac"] == 1.0
+        assert out[2]["top_2gram_frac"] > 0.20 and not out[2]["keep"]
+        assert out[3]["keep"]
+        assert out[4]["top_4gram_frac"] == 0.0 and out[4]["keep"]
+        assert out[5]["keep"] and out[6]["keep"]  # empty/null: totality
+        kept = textstats.gopher_repetition_filter_full(df).collect()
+        assert sorted(r["doc_id"] for r in kept) == [3, 4, 5, 6]
+
+    def test_repetition_full_overlap_union_coverage(self, spark):
+        """Duplicate-n-gram coverage is the UNION of covered token
+        positions — overlapping duplicate occurrences never count a
+        character twice, and partial coverage is exact."""
+        # 'alpha beta gamma delta epsilon' repeated twice with a
+        # unique tail: the 5-gram dup covers tokens 1..10 only.
+        txt = ("alpha beta gamma delta epsilon "
+               "alpha beta gamma delta epsilon zulu")
+        df = spark.createDataFrame([(0, txt)], "doc_id long, text string")
+        r = textstats.repetition_stats_full(df).collect()[0]
+        covered = len("alphabetagammadeltaepsilon") * 2
+        total = covered + len("zulu")
+        assert r["dup_5gram_char_frac"] == round(covered / total, 6)
+        # No 6-gram repeats (the tail breaks the second window).
+        assert r["dup_6gram_char_frac"] == 0.0
+
     def test_line_dedup_removes_corpus_boilerplate(self, spark):
         """A line shared by more than max_doc_freq documents vanishes
         from every document; unique lines and sub-floor short lines
