@@ -250,7 +250,12 @@ def main():
         resolved = dedup.dedup_resolve(mh_pairs, docs=docs)
         dedup.dedup_apply(docs, resolved).count()
 
-    # Gopher repetition signals + filter (r4).
+    # Gopher repetition signals + filter (r4). The _full variant runs
+    # all 12 Table A1 gates (one extra stacked n-gram explode).
+    @timed("repetition_full")
+    def _repf():
+        textstats.repetition_stats_full(docs).count()
+
     @timed("repetition_stats")
     def _rs():
         textstats.repetition_stats(docs).count()

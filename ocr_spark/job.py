@@ -142,6 +142,12 @@ def _parse(argv):
                         "committed snapshot's extracted_text; persist "
                         "the per-url signals + the filtered corpus "
                         "under DIR and report kept/dropped counts")
+    p.add_argument("--gopher-full", action="store_true",
+                   help="with --quality-filter: use the FULL Gopher "
+                        "Table A1 suite (12 gates — dup line/para "
+                        "count+char fractions, top 2/3/4-gram mass, "
+                        "dup 5..10-gram coverage) instead of the "
+                        "2-signal gate")
     p.add_argument("--lang-filter", default=None, metavar="DIR",
                    help="keep only documents whose detected language "
                         "(textstats.lang_id over the extracted text: "
@@ -570,7 +576,9 @@ def main(argv=None, spark=None) -> dict:
         from ocr_spark.operators import textstats
         committed = table.read(spark)
         if committed is not None:
-            stats = textstats.repetition_stats(
+            rep = (textstats.repetition_stats_full if args.gopher_full
+                   else textstats.repetition_stats)
+            stats = rep(
                 committed.select("url", "extracted_text"),
                 text_col="extracted_text", id_col="url")
             stats.write.mode("overwrite").parquet(

@@ -206,6 +206,36 @@ def test_job_quality_filter_reports_counts(spark, tmp_path):
     assert sig.filter("NOT keep").count() == 3
 
 
+def test_job_quality_filter_gopher_full(spark, tmp_path):
+    """--quality-filter --gopher-full applies all 12 Table A1 gates:
+    a 16-word phrase repeated twice slips the 2-signal gate (no dup
+    lines, every bigram count 2 — top-2-gram mass ~0.08 < 0.18) but
+    fails the full suite's dup-5..10-gram coverage at 1.0."""
+    inp = str(tmp_path / "in.parquet")
+    loop = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi " * 2).strip()
+    prose = ("the quick brown fox jumps over the lazy dog while a calm "
+             "river flows past the old stone bridge in the morning sun")
+    spark.createDataFrame(
+        [(f"https://cc.synth.local/app{i}/salary_slip/{i}.png", None,
+          None, loop if i % 2 == 0 else prose, "en", None)
+         for i in range(6)], schema=schemas.INPUT_SCHEMA).write.parquet(inp)
+
+    table = str(tmp_path / "table")
+    r = job.main(["--input", inp, "--table", table, "--partitions", "2",
+                  "--quality-filter", str(tmp_path / "qf2")], spark=spark)
+    assert r["quality_filter"]["kept"] == 6  # 2-signal gate: all pass
+
+    r = job.main(["--input", inp, "--table", str(tmp_path / "table2"),
+                  "--partitions", "2", "--gopher-full",
+                  "--quality-filter", str(tmp_path / "qf")], spark=spark)
+    assert r["quality_filter"] == {"docs": 6, "kept": 3, "dropped": 3}
+    sig = spark.read.parquet(str(tmp_path / "qf") + "/signals")
+    bad = sig.filter("NOT keep").collect()
+    assert len(bad) == 3
+    assert all(row["dup_5gram_char_frac"] == 1.0 for row in bad)
+
+
 def test_job_full_curation_chain(spark, tmp_path):
     """The whole curation chain in one run: extraction -> near-dup
     pairs -> resolve/apply -> Gopher quality filter, every stage's
