@@ -317,3 +317,87 @@ def test_warc_rows_extract_identically_to_direct_rows(spark, warc_dir):
          for r in run_extraction(spark, direct_in, run_id="direct").collect()}
     assert a == b
     assert sum(1 for v in a.values() if v) == len(rows)
+
+
+# ---------------- Python Data Source (format("warc")) ----------------
+
+def test_warc_datasource_matches_mapinpandas(spark, warc_dir):
+    """spark.read.format('warc') returns the same rows as the
+    mapInPandas path — same values, same lineage offsets, same skip
+    accounting; only the segment path spelling differs (binaryFile
+    reports a file: URI)."""
+    import os
+    from ocr_spark.sources import warc_datasource
+    warc_datasource.register(spark)
+    d, rows = warc_dir
+
+    def norm(df):
+        return sorted(
+            ((r["url"], r["warc_ts"],
+              bytes(r["html"]) if r["html"] is not None else None,
+              r["text"], r["lang"],
+              os.path.basename(r["_warc_segment"]),
+              r["_warc_offset"], r["_warc_skipped"])
+             for r in df.collect()))
+
+    via_ds = spark.read.format("warc").load(d)
+    assert via_ds.schema == warc.read_warc(spark, d).schema
+    assert norm(via_ds) == norm(warc.read_warc(spark, d))
+
+
+def test_warc_datasource_partition_per_segment(spark, warc_dir):
+    """Partition planning is segment=task: one input partition per
+    file, no shuffle, matching Common Crawl's ~90k-segment layout."""
+    from ocr_spark.sources import warc_datasource
+    warc_datasource.register(spark)
+    d, _ = warc_dir
+    df = spark.read.format("warc").load(d)
+    assert df.rdd.getNumPartitions() == 2  # warc_dir writes 2 segments
+
+
+def test_warc_datasource_skip_bookkeeping(spark, tmp_path):
+    """A lossy segment yields exactly one NULL-url bookkeeping row so
+    SUM(_warc_skipped) is the casualty total, same as read_warc."""
+    from pyspark.sql import functions as F
+    from ocr_spark.sources import warc_datasource
+    warc_datasource.register(spark)
+    good = warc.build_warc_bytes(_rows(3), False)
+    bad = warc.build_warc_bytes([_rows(4)[3]], False).replace(
+        b"WARC/1.0", b"GARBAGE!", 1)
+    (tmp_path / "a.warc").write_bytes(good)
+    (tmp_path / "b.warc").write_bytes(bad)
+    df = spark.read.format("warc").load(str(tmp_path))
+    assert df.filter("url IS NOT NULL").count() == 3
+    assert df.agg(F.sum("_warc_skipped")).collect()[0][0] >= 1
+    assert df.filter("url IS NULL").count() == 1
+
+
+def test_warc_datasource_streaming_incremental(spark, tmp_path):
+    """readStream.format('warc'): the offset cursor walks the sorted
+    segment listing, so a restart after new segments arrive reads
+    exactly the new files (micro-batch = new segments only)."""
+    from ocr_spark.sources import warc_datasource
+    warc_datasource.register(spark)
+    seg_dir = tmp_path / "segs"
+    seg_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    (seg_dir / "seg-00000.warc").write_bytes(
+        warc.build_warc_bytes(_rows(6)[:3], False))
+
+    def drain():
+        q = (spark.readStream.format("warc").load(str(seg_dir))
+             .select("url", "text")
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return {r["url"] for r in spark.read.parquet(out).collect()}
+
+    first = drain()
+    assert len(first) == 3
+    (seg_dir / "seg-00001.warc").write_bytes(
+        warc.build_warc_bytes(_rows(6)[3:], False))
+    second = drain()
+    # The restart appended exactly the NEW segment's rows.
+    assert len(second) == 6 and first < second
