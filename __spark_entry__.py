@@ -623,6 +623,25 @@ def q_repetition_full(spark, sf_dir):
 
 
 def _sql_repetition_full():
+    """Planted-pathology corpus through the reusable stats chain."""
+    return _sql_repetition_full_chain(f"""SELECT doc_id,
+  CASE WHEN doc_id % 5 = 0 THEN 'intro line ' || cast(doc_id AS varchar)
+         || repeat(chr(10) || '{_REP_BOILER}', 3)
+       WHEN doc_id % 5 = 1 THEN '{_REP_PARA}' || chr(10) || chr(10)
+         || '{_REP_PARA}' || chr(10) || chr(10)
+         || 'tail para ' || cast(doc_id AS varchar)
+       WHEN doc_id % 5 = 2 THEN repeat('{_REP_LOOP8}', 4)
+         || 'tag ' || cast(doc_id AS varchar)
+       WHEN doc_id % 5 = 3 THEN repeat('{_REP_CLICK}', 10)
+         || 'unique ' || cast(doc_id AS varchar)
+       ELSE text END AS t
+  FROM documents""")
+
+
+def _sql_repetition_full_chain(source_sql: str):
+    """The full-Gopher DuckDB replay over any ``SELECT doc_id, ... AS
+    t`` source (generated; also driven directly by the cross-engine
+    fuzz in tests/test_scrub.py)."""
     top_ns = sorted(textstats.GOPHER_MAX_TOP_NGRAM_FRAC)
     dup_ns = sorted(textstats.GOPHER_MAX_DUP_NGRAM_FRAC)
     # One positions-CTE per n, stacked by UNION ALL (generated, like
@@ -655,18 +674,7 @@ def _sql_repetition_full():
                "CASE WHEN i > 1 AND x = {L}[i - 1] THEN length(x) "
                "ELSE 0 END)), 0)")
     return f"""
-WITH d AS (SELECT doc_id,
-  CASE WHEN doc_id % 5 = 0 THEN 'intro line ' || cast(doc_id AS varchar)
-         || repeat(chr(10) || '{_REP_BOILER}', 3)
-       WHEN doc_id % 5 = 1 THEN '{_REP_PARA}' || chr(10) || chr(10)
-         || '{_REP_PARA}' || chr(10) || chr(10)
-         || 'tail para ' || cast(doc_id AS varchar)
-       WHEN doc_id % 5 = 2 THEN repeat('{_REP_LOOP8}', 4)
-         || 'tag ' || cast(doc_id AS varchar)
-       WHEN doc_id % 5 = 3 THEN repeat('{_REP_CLICK}', 10)
-         || 'unique ' || cast(doc_id AS varchar)
-       ELSE text END AS t
-  FROM documents),
+WITH d AS ({source_sql}),
 l AS (SELECT doc_id, t,
         list_sort(list_filter(list_transform(string_split(t, chr(10)),
                               x -> trim(x)), x -> x <> '')) AS lsort,

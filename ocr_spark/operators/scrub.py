@@ -75,11 +75,25 @@ def _occurrences(c: Column, token: str) -> Column:
             / len(token)).cast("int")
 
 
+def _email_pass(t: Column) -> Column:
+    """The email redaction pass gated by a memory-speed contains('@')
+    probe. Exact: every EMAIL_RE match contains '@', so skipping
+    '@'-free text changes nothing — and it changes EVERYTHING for the
+    wall: EMAIL_RE's leading class matches at almost every position,
+    so Java's scanner re-walks alnum runs quadratically (measured
+    6.1s for this one pass over 160k x 8.6 KB docs vs 2s for the
+    digit-anchored IP/phone passes; gated: 0.76s — 8x). The IP/phone
+    passes stay ungated: a digit-presence probe is itself a regex scan
+    that costs as much as it saves (measured 1.7 vs 2.0). The DuckDB
+    twins keep the ungated spelling — identical values, fuzz-pinned."""
+    return F.when(t.contains("@"),
+                  F.regexp_replace(t, EMAIL_RE, EMAIL_TOKEN)).otherwise(t)
+
+
 def redact_pii(c: Column) -> Column:
     """Text with every email, then IP, then phone replaced by its
     Dolma-style token (pure expression)."""
-    t = F.coalesce(c, F.lit(""))
-    t = F.regexp_replace(t, EMAIL_RE, EMAIL_TOKEN)
+    t = _email_pass(F.coalesce(c, F.lit("")))
     t = F.regexp_replace(t, IPV4_RE, IP_TOKEN)
     return F.regexp_replace(t, PHONE_RE, PHONE_TOKEN)
 
@@ -89,7 +103,7 @@ def pii_stats(df: DataFrame, text_col: str = "text",
     """Per-document PII counts (stage-wise, = redactions performed)
     plus the redacted text. One codegen projection, no shuffle."""
     raw = F.coalesce(F.col(text_col), F.lit(""))
-    after_email = F.regexp_replace(raw, EMAIL_RE, EMAIL_TOKEN)
+    after_email = _email_pass(raw)
     after_ip = F.regexp_replace(after_email, IPV4_RE, IP_TOKEN)
     after_phone = F.regexp_replace(after_ip, PHONE_RE, PHONE_TOKEN)
     out = df.select(
@@ -111,7 +125,7 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     ``n_pii_redacted`` counter column (schema otherwise preserved, so
     curation stages chain over it)."""
     raw = F.coalesce(F.col(text_col), F.lit(""))
-    after_email = F.regexp_replace(raw, EMAIL_RE, EMAIL_TOKEN)
+    after_email = _email_pass(raw)
     after_ip = F.regexp_replace(after_email, IPV4_RE, IP_TOKEN)
     final = F.regexp_replace(after_ip, PHONE_RE, PHONE_TOKEN)
     n = ((_occurrences(after_email, EMAIL_TOKEN)

@@ -211,3 +211,44 @@ class TestCrossEngineFuzz:
             assert cleaned[doc_id] == expect, (doc_id,
                                                repr(cleaned[doc_id]),
                                                repr(expect))
+
+    def test_repetition_full_matches_duckdb(self, spark):
+        """Full-Gopher fuzz: multi-line compositions (digit-edged
+        lines — the transform-arity trim-bug shape — repeated blocks,
+        blank-run paragraph boundaries, unicode, n-gram loops) through
+        repetition_stats_full vs the generated DuckDB chain."""
+        import random
+
+        import duckdb
+
+        import __spark_entry__ as entry
+        from ocr_spark.operators import textstats
+
+        rng = random.Random(0xFEED)
+        lines = ["0 line 0", "7.", "repeated boiler line", "word",
+                 "Café naïve é", "日本語 テキスト", "a  b\tc",
+                 "one two three four five six", "9 ends with 9",
+                 "click here click here", "", "   ", "\t"]
+        rows = []
+        for i in range(200):
+            n = rng.randint(0, 10)
+            parts = []
+            for _ in range(n):
+                ln = rng.choice(lines)
+                if rng.random() < 0.3:
+                    ln = ln + "\n" + ln          # in-doc repeats
+                parts.append(ln)
+            sep = "\n\n" if rng.random() < 0.4 else "\n"
+            rows.append((i, sep.join(parts)))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: tuple(r)[1:]
+               for r in textstats.repetition_stats_full(df).collect()}
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE fuzz_docs (doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO fuzz_docs VALUES (?, ?)", rows)
+        sql = entry._sql_repetition_full_chain(
+            "SELECT doc_id, text AS t FROM fuzz_docs")
+        for rec in con.execute(sql).fetchall():
+            doc_id, expect = rec[0], tuple(rec[1:])
+            assert got[doc_id] == expect, (doc_id, got[doc_id], expect)
