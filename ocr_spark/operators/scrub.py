@@ -98,23 +98,46 @@ def redact_pii(c: Column) -> Column:
     return F.regexp_replace(t, PHONE_RE, PHONE_TOKEN)
 
 
+def _pii_staged(df: DataFrame, text_col: str):
+    """The redaction chain with each stage landed in a REAL column.
+
+    The counter deltas reference every intermediate several times; as
+    bare expressions Catalyst's codegen subexpression elimination does
+    NOT reliably dedupe them across the conditional email gate, and
+    the regex chain re-evaluates per reference (measured: 9.8s for
+    counters+chain vs 3.8s for the bare chain on 160k x 8.6 KB docs).
+    Landed as aliased columns in stacked Projects, CollapseProject
+    refuses to inline a non-cheap expression referenced more than
+    once, so each stage is evaluated exactly once (the _bigram_rows
+    trick). Columns: _pii_raw -> _pii_ae -> _pii_ai -> _pii_fin."""
+    return (df
+            .withColumn("_pii_raw",
+                        F.coalesce(F.col(text_col), F.lit("")))
+            .withColumn("_pii_ae", _email_pass(F.col("_pii_raw")))
+            .withColumn("_pii_ai", F.regexp_replace(
+                F.col("_pii_ae"), IPV4_RE, IP_TOKEN))
+            .withColumn("_pii_fin", F.regexp_replace(
+                F.col("_pii_ai"), PHONE_RE, PHONE_TOKEN)))
+
+
+_PII_TMP = ("_pii_raw", "_pii_ae", "_pii_ai", "_pii_fin")
+
+
 def pii_stats(df: DataFrame, text_col: str = "text",
               id_col: str = "doc_id") -> DataFrame:
     """Per-document PII counts (stage-wise, = redactions performed)
-    plus the redacted text. One codegen projection, no shuffle."""
-    raw = F.coalesce(F.col(text_col), F.lit(""))
-    after_email = _email_pass(raw)
-    after_ip = F.regexp_replace(after_email, IPV4_RE, IP_TOKEN)
-    after_phone = F.regexp_replace(after_ip, PHONE_RE, PHONE_TOKEN)
-    out = df.select(
+    plus the redacted text. Stacked codegen projections (each regex
+    stage evaluated once — see _pii_staged), no shuffle."""
+    s = _pii_staged(df, text_col)
+    out = s.select(
         F.col(id_col),
-        (_occurrences(after_email, EMAIL_TOKEN)
-         - _occurrences(raw, EMAIL_TOKEN)).alias("n_emails"),
-        (_occurrences(after_ip, IP_TOKEN)
-         - _occurrences(after_email, IP_TOKEN)).alias("n_ips"),
-        (_occurrences(after_phone, PHONE_TOKEN)
-         - _occurrences(after_ip, PHONE_TOKEN)).alias("n_phones"),
-        after_phone.alias("redacted_text"))
+        (_occurrences(F.col("_pii_ae"), EMAIL_TOKEN)
+         - _occurrences(F.col("_pii_raw"), EMAIL_TOKEN)).alias("n_emails"),
+        (_occurrences(F.col("_pii_ai"), IP_TOKEN)
+         - _occurrences(F.col("_pii_ae"), IP_TOKEN)).alias("n_ips"),
+        (_occurrences(F.col("_pii_fin"), PHONE_TOKEN)
+         - _occurrences(F.col("_pii_ai"), PHONE_TOKEN)).alias("n_phones"),
+        F.col("_pii_fin").alias("redacted_text"))
     return out.withColumn(
         "has_pii",
         (F.col("n_emails") + F.col("n_ips") + F.col("n_phones")) > 0)
@@ -124,21 +147,19 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     """The corpus with ``text_col`` redacted in place plus an
     ``n_pii_redacted`` counter column (schema otherwise preserved, so
     curation stages chain over it)."""
-    raw = F.coalesce(F.col(text_col), F.lit(""))
-    after_email = _email_pass(raw)
-    after_ip = F.regexp_replace(after_email, IPV4_RE, IP_TOKEN)
-    final = F.regexp_replace(after_ip, PHONE_RE, PHONE_TOKEN)
-    n = ((_occurrences(after_email, EMAIL_TOKEN)
-          - _occurrences(raw, EMAIL_TOKEN))
-         + (_occurrences(after_ip, IP_TOKEN)
-            - _occurrences(after_email, IP_TOKEN))
-         + (_occurrences(final, PHONE_TOKEN)
-            - _occurrences(after_ip, PHONE_TOKEN)))
+    s = _pii_staged(df, text_col)
+    n = ((_occurrences(F.col("_pii_ae"), EMAIL_TOKEN)
+          - _occurrences(F.col("_pii_raw"), EMAIL_TOKEN))
+         + (_occurrences(F.col("_pii_ai"), IP_TOKEN)
+            - _occurrences(F.col("_pii_ae"), IP_TOKEN))
+         + (_occurrences(F.col("_pii_fin"), PHONE_TOKEN)
+            - _occurrences(F.col("_pii_ai"), PHONE_TOKEN)))
     # Counter BEFORE the text swap: expressions bind by column name, so
     # counting after withColumn(text_col, ...) would scan the already-
     # redacted text and always report 0.
-    return (df.withColumn("n_pii_redacted", n)
-              .withColumn(text_col, final))
+    return (s.withColumn("n_pii_redacted", n)
+            .withColumn(text_col, F.col("_pii_fin"))
+            .drop(*_PII_TMP))
 
 
 # --------------------------------------------------------------------------

@@ -168,6 +168,18 @@ def main() -> None:
           and "ArrowEvalPython" not in p,
           f"HashAggregate={'HashAggregate' in p}")
 
+    # 9a2. r4 continuation: the FULL Gopher suite — one Generate pair
+    #     (positions, then the 9-entry gram stack) feeds every n; the
+    #     top/dup sides are hash aggregations; document text never
+    #     rides past the Generate (ids + grams only); no Python.
+    p = plans["repetition_full"]
+    check("repetition_full",
+          "stacked-explode -> hash aggs, no Python, no cartesian",
+          "HashAggregate" in p and "Generate" in p
+          and "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+          and "CartesianProduct" not in p,
+          f"Generates={p.count('Generate explode')}")
+
     # 9b. r4: the five new `_sql` doc-type legs ride the same Arrow
     #     cascade as the flagship — MapInArrow, no row-at-a-time Python.
     for name in ("extract_itr_sql", "extract_aadhaar_sql",
