@@ -3982,6 +3982,36 @@ ORDER BY doc_id
 """
 
 
+def q_token_shards(spark, sf_dir):
+    """Deterministic fixed-token training shards: every document gets
+    shard = floor(preceding token mass / 5000) in global salted-hash
+    order — through the REAL bucketed sharder (per-bucket local
+    windows + driver prefix, never a one-partition global window);
+    the oracle replays the global-window definition, which the
+    bucketed plan must match bit-for-bit."""
+    from ocr_spark.operators import sampling
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    out = sampling.token_shards(d, 5_000, hash_mode="md5")
+    return out.select("doc_id", "shard").orderBy("doc_id")
+
+
+def _sql_token_shards():
+    tok = ("CASE WHEN trim(regexp_replace(lower(trim(text)), '[\\s\\v]+',"
+           " ' ', 'g')) = '' THEN 0 ELSE len(regexp_split_to_array("
+           "trim(regexp_replace(lower(trim(text)), '[\\s\\v]+', ' ', "
+           "'g')), ' ')) END")
+    return f"""
+WITH t AS (SELECT doc_id, {tok} AS n,
+                  md5(doc_id || '#0') AS key FROM documents),
+w AS (SELECT doc_id,
+        coalesce(sum(n) OVER (ORDER BY key, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+      FROM t)
+SELECT doc_id, CAST(before // 5000 AS int) AS shard FROM w
+ORDER BY doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "salary_amount": q_salary_amount,
@@ -4007,6 +4037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_stats": q_c4_stats,
         "lm_quality": q_lm_quality,
         "token_sample": q_token_sample,
+        "token_shards": q_token_shards,
         "ngram_jaccard": q_ngram_jaccard,
         "decontam": q_decontam,
         "substring_dup": q_substring_dup,
@@ -4071,6 +4102,7 @@ def oracle_sql() -> dict[str, str]:
         "c4_stats": _sql_c4_stats(),
         "lm_quality": _sql_lm_quality(),
         "token_sample": _sql_token_sample(),
+        "token_shards": _sql_token_shards(),
         "ngram_jaccard": _sql_ngram_jaccard(),
         "decontam": _sql_decontam(),
         "substring_dup": _sql_substring_dup(),

@@ -148,6 +148,17 @@ def _parse(argv):
                         "count+char fractions, top 2/3/4-gram mass, "
                         "dup 5..10-gram coverage) instead of the "
                         "2-signal gate")
+    p.add_argument("--shard", default=None, metavar="DIR",
+                   help="assign every committed document to a "
+                        "deterministic fixed-token training shard "
+                        "(global salted-hash order, bucketed cumsum — "
+                        "no one-partition window) and persist "
+                        "Hive-partitioned shard=K/ dirs plus a "
+                        "per-shard (docs, tokens) manifest under DIR")
+    p.add_argument("--shard-tokens", type=int, default=1_000_000,
+                   metavar="N",
+                   help="token budget per shard for --shard "
+                        "(default 1M)")
     p.add_argument("--lang-filter", default=None, metavar="DIR",
                    help="keep only documents whose detected language "
                         "(textstats.lang_id over the extracted text: "
@@ -626,6 +637,25 @@ def main(argv=None, spark=None) -> dict:
             summary["lang_filter"] = {
                 "keep": keep_langs, "docs": n_docs, "kept": n_kept,
                 "dropped": n_docs - n_kept}
+
+    if args.shard:
+        # Deterministic fixed-token training shards (the layout
+        # training loaders consume): Hive-partitioned shard=K/ dirs +
+        # a per-shard (docs, tokens) manifest. Reproducible from
+        # (--shard-tokens, salt=0) alone.
+        from ocr_spark.operators import sampling
+        committed = table.read(spark)
+        if committed is not None:
+            sampling.write_token_shards(
+                committed, args.shard, args.shard_tokens,
+                text_col="extracted_text", id_col="url")
+            man = spark.read.parquet(f"{args.shard}/_manifest")
+            agg = man.count(), [r for r in man.orderBy("shard").collect()]
+            summary["shard"] = {
+                "tokens_per_shard": args.shard_tokens,
+                "n_shards": agg[0],
+                "total_tokens": sum(int(r["tokens"]) for r in agg[1]),
+                "total_docs": sum(int(r["docs"]) for r in agg[1])}
 
     if args.decontam:
         # Benchmark decontamination (Brown et al. 2020 Appendix C):

@@ -47,6 +47,94 @@ def _rank_key(id_col: str, salt: int, hash_mode: str):
     return F.xxhash64(sid)
 
 
+def _staged(df: DataFrame, text_col: str, id_col: str, salt: int,
+            hash_mode: str) -> DataFrame:
+    """df + (_key, _n_tok, _bucket): the rank key, token count, and
+    the order-preserving bucket (bucket asc == key asc) the sampler
+    and the sharder both scan by."""
+    key = _rank_key(id_col, salt, hash_mode)
+    staged = df.withColumn("_key", key)\
+        .withColumn("_n_tok", token_count(F.col(text_col)))
+    if hash_mode == "md5":
+        # First 3 hex chars: 4096 buckets, ordered like the string.
+        return staged.withColumn("_bucket", F.substring("_key", 1, 3))
+    # Arithmetic shift keeps signed order: bucket asc == key asc.
+    return staged.withColumn(
+        "_bucket", F.shiftright("_key", 64 - N_BUCKETS_BITS))
+
+
+def token_shards(df: DataFrame, tokens_per_shard: int,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 salt: int = 0, hash_mode: str = "xxhash64",
+                 return_manifest: bool = False):
+    """Deterministic training-shard assignment: a ``shard`` column such
+    that shard k holds exactly the documents whose PRECEDING token
+    mass (global salted-hash order, ties by id) lies in
+    [k*S, (k+1)*S) — the fixed-token-shard layout training pipelines
+    publish (C4/Pile/Dolma ship fixed-token subsets/shards), fully
+    reproducible from (salt, tokens_per_shard).
+
+    Scale shape — the definition is a GLOBAL ordered cumsum, but the
+    plan never runs a one-partition window: documents bucket by the
+    top key bits (bucket order == key order), one tiny hash
+    aggregation gives per-bucket token sums, the <=4096-row prefix
+    runs driver-side, and each bucket's documents pay only a LOCAL
+    window cumsum (hash-partitioned by bucket) offset by its bucket's
+    prefix. Bit-identical to the global definition, which is what the
+    DuckDB oracle replays with a plain window at test scale.
+
+    ``return_manifest=True`` additionally returns the per-shard
+    manifest (shard, docs, tokens) — the sharding's own accounting
+    table (every shard carries ~tokens_per_shard except the last).
+    """
+    if tokens_per_shard <= 0:
+        raise ValueError("tokens_per_shard must be positive")
+    staged = _staged(df, text_col, id_col, salt, hash_mode)
+
+    per_bucket = (staged.groupBy("_bucket")
+                  .agg(F.sum("_n_tok").alias("_tok"))
+                  .orderBy("_bucket").collect())
+    prefix_rows, running = [], 0
+    for row in per_bucket:
+        prefix_rows.append((row["_bucket"], running))
+        running += int(row["_tok"] or 0)
+    spark = df.sparkSession
+    btype = "string" if hash_mode == "md5" else "long"
+    offsets = spark.createDataFrame(
+        prefix_rows or [(None, 0)], f"_bucket {btype}, _prefix long")
+
+    w = (Window.partitionBy("_bucket").orderBy("_key", id_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum_before = (F.col("_prefix")
+                  + F.coalesce(F.sum("_n_tok").over(w), F.lit(0)))
+    out = (staged.join(F.broadcast(offsets), on="_bucket")
+           .withColumn("shard",
+                       F.floor(cum_before / tokens_per_shard)
+                       .cast("int")))
+    assigned = out.drop("_key", "_bucket", "_n_tok", "_prefix")
+    if return_manifest:
+        manifest = (out.groupBy("shard")
+                    .agg(F.count("*").alias("docs"),
+                         F.sum("_n_tok").alias("tokens"))
+                    .orderBy("shard"))
+        return assigned, manifest
+    return assigned
+
+
+def write_token_shards(df: DataFrame, path: str, tokens_per_shard: int,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       salt: int = 0, hash_mode: str = "xxhash64") -> None:
+    """Persist the corpus Hive-partitioned by shard (`shard=K/` dirs —
+    a training loader reads one directory per fixed-token shard) plus
+    the per-shard manifest under ``path/_manifest``."""
+    assigned, manifest = token_shards(
+        df, tokens_per_shard, text_col=text_col, id_col=id_col,
+        salt=salt, hash_mode=hash_mode, return_manifest=True)
+    assigned.write.mode("overwrite").partitionBy("shard")\
+        .parquet(f"{path}/shards")
+    manifest.write.mode("overwrite").parquet(f"{path}/_manifest")
+
+
 def token_budget_sample(df: DataFrame, budget_tokens: int,
                         text_col: str = "text", id_col: str = "doc_id",
                         salt: int = 0, hash_mode: str = "xxhash64",
@@ -59,16 +147,7 @@ def token_budget_sample(df: DataFrame, budget_tokens: int,
 
     With return_report=True also returns a one-row frame
     (total_docs, total_tokens, kept_docs, kept_tokens)."""
-    key = _rank_key(id_col, salt, hash_mode)
-    staged = df.withColumn("_key", key)\
-        .withColumn("_n_tok", token_count(F.col(text_col)))
-    if hash_mode == "md5":
-        # First 3 hex chars: 4096 buckets, ordered like the string.
-        staged = staged.withColumn("_bucket", F.substring("_key", 1, 3))
-    else:
-        # Arithmetic shift keeps signed order: bucket asc == key asc.
-        staged = staged.withColumn(
-            "_bucket", F.shiftright("_key", 64 - N_BUCKETS_BITS))
+    staged = _staged(df, text_col, id_col, salt, hash_mode)
 
     # One tiny aggregation; the prefix over <=4096 rows runs on the
     # driver (this is plan work, not data work).

@@ -949,3 +949,29 @@ def test_job_curate_funnel(spark, tmp_path):
     fun = {f["stage"]: f for f in
            spark.read.parquet(f"{cur}/funnel").collect()}
     assert fun["neardup"]["docs_out"] == len(surv)
+
+
+def test_job_shard_stage(spark, tmp_path):
+    """--shard persists Hive-partitioned fixed-token shards plus a
+    manifest whose totals account for every committed document."""
+    from pyspark.sql import functions as F
+    from ocr_spark.operators.textstats import token_count
+
+    inp = str(tmp_path / "in.parquet")
+    spark.createDataFrame(
+        [(f"https://cc.synth.local/app{i}/salary_slip/{i}.png", None,
+          None, " ".join(f"w{i}x{j}" for j in range(1 + i % 9)), "en",
+          None) for i in range(24)],
+        schema=schemas.INPUT_SCHEMA).write.parquet(inp)
+    table = str(tmp_path / "table")
+    out = str(tmp_path / "sh")
+    r = job.main(["--input", inp, "--table", table, "--partitions", "2",
+                  "--shard", out, "--shard-tokens", "40"], spark=spark)
+    assert r["shard"]["total_docs"] == 24
+    back = spark.read.parquet(f"{out}/shards")
+    assert back.count() == 24
+    # Manifest totals == the committed corpus's own token mass.
+    total = back.select(
+        F.sum(token_count(F.col("extracted_text")))).first()[0]
+    assert r["shard"]["total_tokens"] == total
+    assert r["shard"]["n_shards"] == back.select("shard").distinct().count()

@@ -83,3 +83,71 @@ class TestTokenBudgetSample:
         df = _corpus(spark)
         assert sampling.token_budget_sample(df, 0).count() == 0
         assert sampling.token_budget_sample(df, 10**9).count() == 60
+
+
+def _global_shards(df, per_shard, salt=0):
+    """The global-window shard definition the bucketed path must
+    match: shard = floor(preceding token mass / per_shard)."""
+    rows = df.select(
+        "doc_id", token_count(F.col("text")).alias("n")).collect()
+
+    def key(r):
+        return hashlib.md5(f"{r['doc_id']}#{salt}".encode()).hexdigest()
+
+    ordered = sorted(rows, key=lambda r: (key(r), r["doc_id"]))
+    out, before = {}, 0
+    for r in ordered:
+        out[r["doc_id"]] = before // per_shard
+        before += r["n"]
+    return out
+
+
+class TestTokenShards:
+    def test_matches_global_definition(self, spark):
+        df = _corpus(spark)
+        for per_shard in (1, 7, 40, 10_000):
+            got = {r["doc_id"]: r["shard"]
+                   for r in sampling.token_shards(
+                       df, per_shard, hash_mode="md5").collect()}
+            assert got == _global_shards(df, per_shard), per_shard
+
+    def test_partitioning_invariance(self, spark):
+        """Assignment is a pure function of (corpus, salt, S) — the
+        input's physical partitioning must not change any shard."""
+        df = _corpus(spark, n=80)
+        a = {r["doc_id"]: r["shard"] for r in sampling.token_shards(
+            df.repartition(1), 37, hash_mode="md5").collect()}
+        b = {r["doc_id"]: r["shard"] for r in sampling.token_shards(
+            df.repartition(16, "text"), 37, hash_mode="md5").collect()}
+        assert a == b
+
+    def test_manifest_accounts_every_token(self, spark):
+        df = _corpus(spark)
+        assigned, manifest = sampling.token_shards(
+            df, 50, return_manifest=True)
+        m = manifest.collect()
+        total = df.select(F.sum(token_count(F.col("text")))).first()[0]
+        assert sum(r["tokens"] for r in m) == total
+        assert sum(r["docs"] for r in m) == df.count()
+        # Contiguous shard ids from 0; every shard except possibly the
+        # last crosses its budget only via its final document.
+        ids = [r["shard"] for r in m]
+        assert ids == list(range(len(ids)))
+        # A shard's preceding mass is k*S by construction, so every
+        # non-final shard holds >= S - (max doc tokens - 1) tokens.
+        assert all(r["tokens"] > 0 for r in m)
+
+    def test_write_round_trip(self, spark, tmp_path):
+        df = _corpus(spark, n=40)
+        out = str(tmp_path / "shards")
+        sampling.write_token_shards(df, out, 60, hash_mode="md5")
+        back = spark.read.parquet(f"{out}/shards")
+        assert back.count() == 40
+        assert "shard" in back.columns  # partition column round-trips
+        man = spark.read.parquet(f"{out}/_manifest")
+        assert man.count() == back.select("shard").distinct().count()
+
+    def test_rejects_nonpositive_budget(self, spark):
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            sampling.token_shards(_corpus(spark, 3), 0)
