@@ -130,7 +130,8 @@ def stream_curate(spark: SparkSession, input_dir: str, table_root: str,
                   checkpoint_dir: str, keep_langs=("en",),
                   scrub_pii: bool = False,
                   available_now: bool = True,
-                  max_files_per_trigger: int = 8):
+                  max_files_per_trigger: int = 8,
+                  source: str = "parquet"):
     """Curation-on-ingest: each micro-batch of raw pages flows through
     the SAME batch gates the job CLI applies post-hoc — the Gopher
     repetition thresholds (textstats.gopher_quality_filter), the
@@ -229,11 +230,26 @@ def stream_curate(spark: SparkSession, input_dir: str, table_root: str,
         finally:
             staged.unpersist()
 
-    stream = (
-        spark.readStream.schema(schemas.INPUT_SCHEMA)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(input_dir)
-    )
+    if source == "warc":
+        # Crawl segments curate AS THEY ARRIVE: the registered warc
+        # stream source's offset cursors the sorted segment listing,
+        # so a micro-batch is exactly the new segments. Bookkeeping
+        # rows (NULL url, the per-segment skip count) are not pages —
+        # drop them here; the skip counts stay observable through the
+        # batch reader. The source has no maxFilesPerTrigger knob (a
+        # catch-up batch is all new segments).
+        from ..sources.warc_datasource import register
+        register(spark)
+        stream = (spark.readStream.format("warc").load(input_dir)
+                  .filter(F.col("url").isNotNull())
+                  .select("url", "warc_ts", "html", "text", "lang",
+                          F.lit(None).cast("string").alias("meta")))
+    else:
+        stream = (
+            spark.readStream.schema(schemas.INPUT_SCHEMA)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(input_dir)
+        )
     writer = (
         stream.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_dir)

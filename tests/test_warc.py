@@ -401,3 +401,45 @@ def test_warc_datasource_streaming_incremental(spark, tmp_path):
     second = drain()
     # The restart appended exactly the NEW segment's rows.
     assert len(second) == 6 and first < second
+
+
+def test_stream_curate_over_warc_source(spark, tmp_path):
+    """Crawl segments curate AS THEY ARRIVE: stream_curate(source=
+    'warc') drains WET segments through the quality/lang/dedup gates
+    incrementally — the second drain sees only the new segment, and
+    bookkeeping rows never reach the gates."""
+    import datetime as dt
+
+    from ocr_spark.sources.snapshot import SnapshotTable  # noqa: F401
+    from ocr_spark.streaming.jobs import stream_curate
+
+    seg_dir = tmp_path / "segs"
+    seg_dir.mkdir()
+    ckpt = str(tmp_path / "ck")
+    root = str(tmp_path / "tbl")
+    ts = dt.datetime(2026, 3, 1)
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "walks away into the quiet evening field with no fuss")
+    spam = "\n".join(["buy cheap widgets now"] * 30)
+
+    def seg(name, rows):
+        (seg_dir / name).write_bytes(warc.build_warc_bytes(
+            [{"url": u, "warc_ts": ts, "html": b"", "text": t,
+              "lang": "en"} for u, t in rows], False))
+
+    seg("seg-00000.warc", [("https://w.local/d0", good),
+                           ("https://w.local/d1", spam),
+                           ("https://w.local/d2", good)])  # in-seg dup
+    table = stream_curate(spark, str(seg_dir), root, ckpt,
+                          keep_langs=("en",), source="warc")
+    assert table.read(spark).count() == 1  # spam gated, dup dropped
+
+    good2 = ("a second perfectly ordinary english document that is "
+             "not a duplicate of the first one in any way at all")
+    seg("seg-00001.warc", [("https://w.local/d3", good),   # x-seg dup
+                           ("https://w.local/d4", good2)])
+    table = stream_curate(spark, str(seg_dir), root, ckpt,
+                          keep_langs=("en",), source="warc")
+    out = table.read(spark)
+    assert out.count() == 2
+    assert {r["text"] for r in out.collect()} == {good, good2}
