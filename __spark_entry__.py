@@ -746,6 +746,45 @@ FROM o ORDER BY doc_id
 """
 
 
+def q_dedup_lines_doc(spark, sf_dir):
+    """In-document duplicate-line removal (the repair mode for the
+    Gopher dup-line gate; cross-doc removal is `line_dedup`): every
+    doc gets a long boiler line repeated at head/middle/tail and a
+    SHORT repeated marker ('--'), wrapped around its own text — the
+    long repeats collapse to the first occurrence, the short marker
+    and blank structure survive the min-chars floor."""
+    d = _docs(spark, sf_dir)
+    boiler = "subscribe to our newsletter for updates"
+    txt = F.concat(
+        F.lit(boiler + "\n--\n"), F.col("text"),
+        F.lit("\n" + boiler + "\n\n--\n" + boiler))
+    out = textstats.dedup_lines_in_doc(
+        d.select("doc_id", txt.alias("text")))
+    return out.select("doc_id", F.col("text").alias("deduped_text"),
+                      "n_lines_removed").orderBy("doc_id")
+
+
+def _sql_dedup_lines_doc():
+    from ocr_spark.operators.textstats import LINE_DEDUP_MIN_CHARS
+    boiler = "subscribe to our newsletter for updates"
+    return f"""
+WITH d AS (SELECT doc_id,
+    '{boiler}' || chr(10) || '--' || chr(10) || text || chr(10)
+      || '{boiler}' || chr(10) || chr(10) || '--' || chr(10)
+      || '{boiler}' AS t
+  FROM documents),
+l AS (SELECT doc_id, string_split(t, chr(10)) AS lines FROM d),
+k AS (SELECT doc_id, lines,
+        list_filter(lines, (x, i) ->
+          length(trim(x)) < {LINE_DEDUP_MIN_CHARS}
+          OR list_position(lines, x) = i) AS kept
+      FROM l)
+SELECT doc_id, array_to_string(kept, chr(10)) AS deduped_text,
+       len(lines) - len(kept) AS n_lines_removed
+FROM k ORDER BY doc_id
+"""
+
+
 def q_line_dedup(spark, sf_dir):
     """Corpus-level boilerplate line removal (CCNet-style, Wenzek et
     al. 2020): every doc gets a shared cookie banner above and a
@@ -4032,6 +4071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "repetition_full": q_repetition_full,
         "line_dedup": q_line_dedup,
+        "dedup_lines_doc": q_dedup_lines_doc,
         "pii_stats": q_pii_stats,
         "clean_text": q_clean_text,
         "c4_stats": q_c4_stats,
@@ -4097,6 +4137,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": _sql_repetition_stats(),
         "repetition_full": _sql_repetition_full(),
         "line_dedup": _sql_line_dedup(),
+        "dedup_lines_doc": _sql_dedup_lines_doc(),
         "pii_stats": _sql_pii_stats(),
         "clean_text": _sql_clean_text(),
         "c4_stats": _sql_c4_stats(),

@@ -681,6 +681,35 @@ def line_dedup(df: DataFrame, text_col: str = "text",
     return out
 
 
+def dedup_lines_in_doc(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       min_chars: int = LINE_DEDUP_MIN_CHARS) -> DataFrame:
+    """Remove every repeat of an earlier line WITHIN a document (keep
+    the first occurrence) — the repair mode for what the Gopher
+    dup-line gate detects (trafilatura's per-document dedup option is
+    the public precedent; `line_dedup` above is the CROSS-document
+    variant). Identity is the raw line string; lines whose trimmed
+    length is under ``min_chars`` are kept unconditionally (blank
+    lines are structure, short lines collide by chance — same floor as
+    line_dedup).
+
+    Pure expression, no shuffle: lines -> first-occurrence filter
+    (array_position == own position) -> rejoin. array_position makes
+    it O(L^2) per document in the worst case, where L is lines per
+    document — a bounded per-row cost, never corpus-dimensional.
+    Returns (id, text, n_lines_removed)."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    base = df.select(F.col(id_col), F.split(c, "\n").alias("_lines"))
+    kept = F.filter(
+        F.col("_lines"),
+        lambda x, i: (F.length(F.trim(x)) < min_chars)
+        | (F.array_position(F.col("_lines"), x) == i + 1))
+    return base.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias(text_col),
+        (F.size("_lines") - F.size(kept)).alias("n_lines_removed"))
+
+
 # ---------------------------------------------------------------------------
 # C4 heuristic cleanup (public rules: Raffel et al. 2020, "Exploring
 # the Limits of Transfer Learning with a Unified Text-to-Text

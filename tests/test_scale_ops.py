@@ -796,6 +796,23 @@ class TestTextStats:
         # No 6-gram repeats (the tail breaks the second window).
         assert r["dup_6gram_char_frac"] == 0.0
 
+    def test_dedup_lines_in_doc(self, spark):
+        """In-document repeats collapse to the first occurrence; blank
+        structure and sub-floor short lines are exempt; cross-document
+        sharing is NOT touched (that's line_dedup's job)."""
+        boiler = "subscribe to our newsletter for updates"
+        d0 = f"{boiler}\nunique first body line\n\n{boiler}\n--\n--"
+        d1 = f"{boiler}\nanother document body"  # no in-doc repeat
+        df = spark.createDataFrame([(0, d0), (1, d1), (2, None)],
+                                   "doc_id long, text string")
+        out = {r["doc_id"]: r
+               for r in textstats.dedup_lines_in_doc(df).collect()}
+        assert out[0]["text"] == \
+            f"{boiler}\nunique first body line\n\n--\n--"
+        assert out[0]["n_lines_removed"] == 1
+        assert out[1]["text"] == d1 and out[1]["n_lines_removed"] == 0
+        assert out[2]["text"] == "" and out[2]["n_lines_removed"] == 0
+
     def test_line_dedup_removes_corpus_boilerplate(self, spark):
         """A line shared by more than max_doc_freq documents vanishes
         from every document; unique lines and sub-floor short lines
