@@ -4004,18 +4004,26 @@ def q_token_sample(spark, sf_dir):
         textstats.token_count(F.col("text")).alias("n_tokens"))
 
 
-def _sql_token_sample():
-    tok = ("CASE WHEN trim(regexp_replace(lower(trim(text)), '[\\s\\v]+',"
-           " ' ', 'g')) = '' THEN 0 ELSE len(regexp_split_to_array("
-           "trim(regexp_replace(lower(trim(text)), '[\\s\\v]+', ' ', "
-           "'g')), ' ')) END")
-    return f"""
-WITH t AS (SELECT doc_id, {tok} AS n,
+# Shared by the token_sample / token_shards oracles: the token-count
+# expression (token_stats convention) and the global-window cumsum of
+# preceding token mass in (md5 rank key, doc_id) order — ONE spelling,
+# so the two oracles can never drift.
+_SQL_TOK_EXPR = (
+    "CASE WHEN trim(regexp_replace(lower(trim(text)), '[\\s\\v]+',"
+    " ' ', 'g')) = '' THEN 0 ELSE len(regexp_split_to_array("
+    "trim(regexp_replace(lower(trim(text)), '[\\s\\v]+', ' ', "
+    "'g')), ' ')) END")
+_SQL_RANK_CUMSUM_CTE = f"""t AS (SELECT doc_id, {_SQL_TOK_EXPR} AS n,
                   md5(doc_id || '#0') AS key FROM documents),
 w AS (SELECT doc_id, n,
         coalesce(sum(n) OVER (ORDER BY key, doc_id
           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
-      FROM t)
+      FROM t)"""
+
+
+def _sql_token_sample():
+    return f"""
+WITH {_SQL_RANK_CUMSUM_CTE}
 SELECT doc_id, n AS n_tokens FROM w WHERE before < 10000
 ORDER BY doc_id
 """
@@ -4035,17 +4043,8 @@ def q_token_shards(spark, sf_dir):
 
 
 def _sql_token_shards():
-    tok = ("CASE WHEN trim(regexp_replace(lower(trim(text)), '[\\s\\v]+',"
-           " ' ', 'g')) = '' THEN 0 ELSE len(regexp_split_to_array("
-           "trim(regexp_replace(lower(trim(text)), '[\\s\\v]+', ' ', "
-           "'g')), ' ')) END")
     return f"""
-WITH t AS (SELECT doc_id, {tok} AS n,
-                  md5(doc_id || '#0') AS key FROM documents),
-w AS (SELECT doc_id,
-        coalesce(sum(n) OVER (ORDER BY key, doc_id
-          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
-      FROM t)
+WITH {_SQL_RANK_CUMSUM_CTE}
 SELECT doc_id, CAST(before // 5000 AS int) AS shard FROM w
 ORDER BY doc_id
 """

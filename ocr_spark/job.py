@@ -649,13 +649,13 @@ def main(argv=None, spark=None) -> dict:
             sampling.write_token_shards(
                 committed, args.shard, args.shard_tokens,
                 text_col="extracted_text", id_col="url")
-            man = spark.read.parquet(f"{args.shard}/_manifest")
-            agg = man.count(), [r for r in man.orderBy("shard").collect()]
+            rows = spark.read.parquet(f"{args.shard}/_manifest")\
+                .orderBy("shard").collect()
             summary["shard"] = {
                 "tokens_per_shard": args.shard_tokens,
-                "n_shards": agg[0],
-                "total_tokens": sum(int(r["tokens"]) for r in agg[1]),
-                "total_docs": sum(int(r["docs"]) for r in agg[1])}
+                "n_shards": len(rows),
+                "total_tokens": sum(int(r["tokens"]) for r in rows),
+                "total_docs": sum(int(r["docs"]) for r in rows)}
 
     if args.decontam:
         # Benchmark decontamination (Brown et al. 2020 Appendix C):

@@ -126,12 +126,25 @@ def write_token_shards(df: DataFrame, path: str, tokens_per_shard: int,
                        salt: int = 0, hash_mode: str = "xxhash64") -> None:
     """Persist the corpus Hive-partitioned by shard (`shard=K/` dirs —
     a training loader reads one directory per fixed-token shard) plus
-    the per-shard manifest under ``path/_manifest``."""
-    assigned, manifest = token_shards(
+    the per-shard manifest under ``path/_manifest``.
+
+    The manifest derives from the WRITTEN shards (one cheap aggregation
+    over the landed parquet), not from re-running the assignment plan —
+    return_manifest=True would recompute the full scan + window a
+    second time, and at the corpus sizes this module designs for that
+    is a whole redundant pass. Reading back what was written also makes
+    the manifest an audit of the actual output, not of the plan."""
+    assigned = token_shards(
         df, tokens_per_shard, text_col=text_col, id_col=id_col,
-        salt=salt, hash_mode=hash_mode, return_manifest=True)
+        salt=salt, hash_mode=hash_mode)
     assigned.write.mode("overwrite").partitionBy("shard")\
         .parquet(f"{path}/shards")
+    spark = df.sparkSession
+    manifest = (spark.read.parquet(f"{path}/shards")
+                .groupBy("shard")
+                .agg(F.count("*").alias("docs"),
+                     F.sum(token_count(F.col(text_col))).alias("tokens"))
+                .orderBy("shard"))
     manifest.write.mode("overwrite").parquet(f"{path}/_manifest")
 
 

@@ -7,7 +7,7 @@ codegen over the documents table and are DuckDB-oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import normalize_text
@@ -511,9 +511,14 @@ def repetition_stats_full(df: DataFrame, text_col: str = "text",
         .alias("dup_para_char_frac"))
 
     stack = _ngram_stack(tok_df, id_col, _TOP_NS + _DUP_NS)
+    # Positions are only consumed by the dup-5..10 coverage branch;
+    # collect_list drops nulls, so the when() sheds the dead position
+    # payload for n=2,3,4 from the hottest shuffle + agg buffers.
     counts = (stack.groupBy(id_col, "n", "gram")
               .agg(F.count("*").alias("cnt"),
-                   F.collect_list("pos").alias("_ps")))
+                   F.collect_list(
+                       F.when(F.col("n") >= min(_DUP_NS), F.col("pos")))
+                   .alias("_ps")))
 
     # Top-n-gram character mass (n = 2, 3, 4). A gram seen ONCE is not
     # repetition — without the cnt >= 2 floor any short document trips
@@ -693,21 +698,31 @@ def dedup_lines_in_doc(df: DataFrame, text_col: str = "text",
     lines are structure, short lines collide by chance — same floor as
     line_dedup).
 
-    Pure expression, no shuffle: lines -> first-occurrence filter
-    (array_position == own position) -> rejoin. array_position makes
-    it O(L^2) per document in the worst case, where L is lines per
-    document — a bounded per-row cost, never corpus-dimensional.
-    Returns (id, text, n_lines_removed)."""
+    Scale shape: posexplode -> first-occurrence mark (row_number over
+    (id, line) by position — O(L log L) per doc; an in-array
+    array_position filter would be O(L^2) exactly on the line-spam
+    documents this operator targets) -> ordered reassembly, the same
+    collect/sort shape as line_dedup. Exempt lines skip the window
+    (they keep every occurrence). Returns (id, text,
+    n_lines_removed)."""
     c = F.coalesce(F.col(text_col), F.lit(""))
-    base = df.select(F.col(id_col), F.split(c, "\n").alias("_lines"))
-    kept = F.filter(
-        F.col("_lines"),
-        lambda x, i: (F.length(F.trim(x)) < min_chars)
-        | (F.array_position(F.col("_lines"), x) == i + 1))
-    return base.select(
+    lines = df.select(
         F.col(id_col),
-        F.array_join(kept, "\n").alias(text_col),
-        (F.size("_lines") - F.size(kept)).alias("n_lines_removed"))
+        F.posexplode(F.split(c, "\n")).alias("pos", "line"))
+    exempt = F.length(F.trim(F.col("line"))) < min_chars
+    w = Window.partitionBy(id_col, "line").orderBy("pos")
+    marked = lines.withColumn(
+        "_drop",
+        ~exempt & (F.row_number().over(w) > 1))
+    return (marked.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.when(~F.col("_drop"),
+                           F.struct(F.col("pos"), F.col("line"))))),
+                lambda s: s["line"]),
+            "\n").alias(text_col),
+        F.sum(F.col("_drop").cast("int")).alias("n_lines_removed")))
 
 
 # ---------------------------------------------------------------------------

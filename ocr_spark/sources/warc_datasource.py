@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import glob as _glob
 import os
+import re
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -53,7 +54,19 @@ WARC_DDL = ("url string, warc_ts timestamp, html binary, text string, "
 def _list_segments(path: str) -> list[str]:
     """Deterministic (sorted) segment listing for a directory, a glob,
     or a single file — the order is the streaming offset space, so it
-    must be stable across calls."""
+    must be stable across calls.
+
+    LOCAL-FILESYSTEM ONLY (posix listdir/glob driver-side, open()
+    executor-side): on a multi-node cluster the path must be a shared
+    mount, and object-store URIs (s3a://, hdfs://) are not supported —
+    the Python Data Source API has no Hadoop FS bridge; use
+    ``warc.read_warc`` (binaryFile-based) for those. Rejected loudly
+    here rather than failing as an empty listing."""
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", path):
+        raise ValueError(
+            f"format('warc') reads local/shared-mount paths only; got "
+            f"{path!r} — use ocr_spark.sources.warc.read_warc for "
+            f"object-store / HDFS URIs (binaryFile handles them)")
     if os.path.isdir(path):
         names = [os.path.join(path, n) for n in sorted(os.listdir(path))]
         return [p for p in names if os.path.isfile(p)]
@@ -105,7 +118,10 @@ class WarcStreamReader(DataSourceStreamReader):
     """Micro-batch reader over a growing segment directory. The offset
     is ``{"pos": N}`` — the first N entries of the SORTED listing have
     been emitted. Segments must be immutable once present (the Common
-    Crawl layout: a segment is written elsewhere and moved in); files
+    Crawl layout: a segment is written elsewhere and moved in —
+    write-then-RENAME, never cp-in-place: a mid-copy file would be
+    admitted truncated, its casualties counted, and its tail never
+    re-read because the positional cursor does not revisit); files
     that sort BEFORE already-committed ones are never re-listed into a
     batch, so producers must use monotonic names (CC segment names
     are).
@@ -127,7 +143,19 @@ class WarcStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         segs = _list_segments(self._path)
-        lo, hi = int(start["pos"]), min(int(end["pos"]), len(segs))
+        lo, hi = int(start["pos"]), int(end["pos"])
+        if len(segs) < hi:
+            # The listing SHRANK inside an already-planned offset range
+            # (a segment was deleted, or a non-atomic writer's temp
+            # file vanished). Clamping would silently skip data the
+            # offset log says was admitted — fail loudly instead; the
+            # fix is producer-side (write-then-rename, monotonic
+            # names), not reader-side guessing.
+            raise RuntimeError(
+                f"warc stream source: segment listing under "
+                f"{self._path!r} shrank to {len(segs)} entries inside "
+                f"the planned offset range [{lo}, {hi}) — segments "
+                f"must be immutable and move-in only")
         return [_SegmentPartition(p) for p in segs[lo:hi]]
 
     def read(self, partition: _SegmentPartition):

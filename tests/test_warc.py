@@ -443,3 +443,16 @@ def test_stream_curate_over_warc_source(spark, tmp_path):
     out = table.read(spark)
     assert out.count() == 2
     assert {r["text"] for r in out.collect()} == {good, good2}
+
+
+def test_warc_datasource_rejects_object_store_uris():
+    """The Python Data Source reads local/shared-mount paths only —
+    an object-store URI fails loudly with a pointer at read_warc
+    instead of planning an empty listing."""
+    import pytest as _pt
+
+    from ocr_spark.sources.warc_datasource import _list_segments
+    for bad in ("s3a://commoncrawl/crawl-data/seg-*.warc.gz",
+                "hdfs://nn:8020/warc", "file://host/x"):
+        with _pt.raises(ValueError, match="read_warc"):
+            _list_segments(bad)
