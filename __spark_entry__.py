@@ -1386,15 +1386,43 @@ def q_curate_funnel(spark, sf_dir):
     return _run_funnel(spark, sf_dir)["funnel"].orderBy("stage_idx")
 
 
-def _sql_funnel_chain() -> str:
+def q_curate_repair(spark, sf_dir):
+    """The same funnel with the in-document duplicate-line REPAIR
+    stage on (curate(repair_lines=True), trafilatura-style): the
+    class-4 line-spam documents lose their repeated boiler lines,
+    PASS the Gopher gate they died at in `curate_decisions`, and flow
+    through the dedup stages — the DuckDB twin replays the whole
+    repaired chain including the per-document removal counter."""
+    from ocr_spark.operators import curate as curate_ops
+    res = curate_ops.curate(_funnel_docs(spark, sf_dir),
+                            neardup_threshold=0.5, hash_mode="md5",
+                            repair_lines=True)
+    return (res["decisions"].select(
+        "doc_id", "n_pii_redacted", "n_chars_removed",
+        "n_dup_lines_removed", "lang_guess", "lang_ok", "gopher_ok",
+        "c4_ok",
+        F.coalesce(F.col("exact_ok").cast("int"), F.lit(-1))
+        .alias("exact_ok"),
+        F.coalesce(F.col("neardup_ok").cast("int"), F.lit(-1))
+        .alias("neardup_ok"),
+        "final_keep",
+        F.md5(F.col("curated_text").cast("binary")).alias("curated_fp"))
+        .orderBy("doc_id"))
+
+
+def _sql_funnel_chain(repair: bool = False) -> str:
     """The whole funnel as one WITH RECURSIVE chain of CTEs (prefix
     f_*; the embedded _sql_minhash_cte chain keeps its own d/dn/../j
-    names). Ends with f_out = the per-document decisions relation."""
+    names). Ends with f_out = the per-document decisions relation.
+    ``repair=True`` inserts the in-document duplicate-line repair
+    stage (the dedup_lines_in_doc twin) between clean and the gates,
+    mirroring curate(repair_lines=True)."""
     from ocr_spark.operators import scrub
     from ocr_spark.operators.textstats import (
         C4_MIN_SENTENCES, GOPHER_MAX_DUP_LINE_FRAC,
         GOPHER_MAX_TOP_BIGRAM_FRAC, GOPHER_MIN_TOKENS_FOR_BIGRAM_GATE,
-        SCRIPT_ORDER, SCRIPT_RANGES, script_threshold)
+        LINE_DEDUP_MIN_CHARS, SCRIPT_ORDER, SCRIPT_RANGES,
+        script_threshold)
 
     # ---- derive (must match _funnel_docs expression for expression)
     def w_sql(s, i):
@@ -1463,6 +1491,26 @@ f_clean AS MATERIALIZED (SELECT doc_id, n_pii_redacted, length(text) AS orig_len
     '^[ \\n]+|[ \\n]+$', '', 'g') AS text
   FROM f_scrub)"""
 
+    # ---- the cleaned-text relation every gate reads: either the
+    # clean output verbatim, or the duplicate-line-repaired text
+    # (dedup_lines_in_doc twin: keep first occurrence of each
+    # >= min-chars line, short/blank lines exempt)
+    keep_lines = (f"list_filter(lines, (x, i) -> length(trim(x)) < "
+                  f"{LINE_DEDUP_MIN_CHARS} OR list_position(lines, x) = i)")
+    if repair:
+        repair_sql = f"""f_cc AS MATERIALIZED (SELECT doc_id, n_pii_redacted,
+    (orig_len - length(text)) AS n_chars_removed,
+    string_split(text, chr(10)) AS lines FROM f_clean),
+f_ct AS MATERIALIZED (SELECT doc_id, n_pii_redacted, n_chars_removed,
+    (len(lines) - len({keep_lines}))::BIGINT AS n_dup_lines_removed,
+    array_to_string({keep_lines}, chr(10)) AS text
+  FROM f_cc)"""
+    else:
+        repair_sql = """f_ct AS MATERIALIZED (SELECT doc_id, n_pii_redacted,
+    (orig_len - length(text)) AS n_chars_removed,
+    CAST(NULL AS BIGINT) AS n_dup_lines_removed, text
+  FROM f_clean)"""
+
     # ---- C4 gate on the cleaned text (c4_stats twin shape, no bad words)
     c4 = f"""f_c4 AS MATERIALIZED (SELECT doc_id,
   array_to_string(
@@ -1473,7 +1521,7 @@ f_clean AS MATERIALIZED (SELECT doc_id, n_pii_redacted, length(text) AS orig_len
     chr(10)) AS c4_text,
   contains(lower(text), 'lorem ipsum') AS has_lorem,
   contains(text, '{{') AS has_brace
-  FROM f_clean),
+  FROM f_ct),
 f_c4k AS MATERIALIZED (SELECT doc_id, c4_text,
   (length(regexp_replace(c4_text, '[^.!?]', '', 'g')) >= {C4_MIN_SENTENCES}
    AND NOT has_lorem AND NOT has_brace) AS c4_ok
@@ -1499,7 +1547,7 @@ f_c4k AS MATERIALIZED (SELECT doc_id, c4_text,
     {script_cols},
     regexp_split_to_array(trim(regexp_replace(lower(trim(text)),
       '[\\s\\v]+', ' ', 'g')), ' ') AS tok
-  FROM f_clean),
+  FROM f_ct),
 f_lh AS MATERIALIZED (SELECT doc_id, nw,
     {", ".join("sc_" + s for s in SCRIPT_ORDER)},
     {hit_cols} FROM f_lt),
@@ -1515,7 +1563,7 @@ f_lang AS MATERIALIZED (SELECT doc_id, CASE
     list_filter(list_transform(string_split(text, chr(10)),
                                x -> trim(x)), x -> x <> '') AS lines,
     regexp_replace(lower(trim(text)), '[\\s\\v]+', ' ', 'g') AS norm
-  FROM f_clean),
+  FROM f_ct),
 f_r2 AS MATERIALIZED (SELECT doc_id,
     CASE WHEN len(lines) = 0 THEN 0.0
          ELSE round(1.0 - len(list_distinct(lines))::double
@@ -1542,10 +1590,10 @@ f_rep AS MATERIALIZED (SELECT r.doc_id,
 
     # ---- combine scalar verdicts, exact dedup among scalar survivors
     combine = """f_dec AS MATERIALIZED (SELECT c.doc_id, c.n_pii_redacted,
-    (c.orig_len - length(c.text)) AS n_chars_removed,
+    c.n_chars_removed, c.n_dup_lines_removed,
     lg.lang_guess, (lg.lang_guess = 'en') AS lang_ok,
     rp.gopher_ok, k.c4_ok, k.c4_text
-  FROM f_clean c
+  FROM f_ct c
   JOIN f_lang lg USING (doc_id)
   JOIN f_rep rp USING (doc_id)
   JOIN f_c4k k USING (doc_id)),
@@ -1572,6 +1620,7 @@ f_lbl AS MATERIALIZED (SELECT id, min(comp) AS comp FROM f_reach GROUP BY id),
 f_nd AS MATERIALIZED (SELECT d.doc_id, coalesce(l.id = l.comp, TRUE) AS neardup_ok
   FROM d LEFT JOIN f_lbl l ON l.id = d.doc_id),
 f_out AS MATERIALIZED (SELECT dc.doc_id, dc.n_pii_redacted, dc.n_chars_removed,
+    dc.n_dup_lines_removed,
     dc.lang_guess, dc.lang_ok, dc.gopher_ok, dc.c4_ok,
     ex.exact_ok, nd.neardup_ok,
     coalesce(nd.neardup_ok, FALSE) AS final_keep,
@@ -1580,8 +1629,8 @@ f_out AS MATERIALIZED (SELECT dc.doc_id, dc.n_pii_redacted, dc.n_chars_removed,
   LEFT JOIN f_exact ex USING (doc_id)
   LEFT JOIN f_nd nd USING (doc_id))"""
 
-    return ",\n".join([derive, scrub_clean, c4, lang_sql, gopher,
-                       combine, minhash, resolve])
+    return ",\n".join([derive, scrub_clean, repair_sql, c4, lang_sql,
+                       gopher, combine, minhash, resolve])
 
 
 def _sql_curate_decisions():
@@ -1589,6 +1638,18 @@ def _sql_curate_decisions():
 WITH RECURSIVE {_sql_funnel_chain()}
 SELECT doc_id, n_pii_redacted, n_chars_removed, lang_guess, lang_ok,
        gopher_ok, c4_ok,
+       coalesce(exact_ok::int, -1) AS exact_ok,
+       coalesce(neardup_ok::int, -1) AS neardup_ok,
+       final_keep, curated_fp
+FROM f_out ORDER BY doc_id
+"""
+
+
+def _sql_curate_repair():
+    return f"""
+WITH RECURSIVE {_sql_funnel_chain(repair=True)}
+SELECT doc_id, n_pii_redacted, n_chars_removed, n_dup_lines_removed,
+       lang_guess, lang_ok, gopher_ok, c4_ok,
        coalesce(exact_ok::int, -1) AS exact_ok,
        coalesce(neardup_ok::int, -1) AS neardup_ok,
        final_keep, curated_fp
@@ -4089,6 +4150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_resolve": q_dedup_resolve,
         "curate_decisions": q_curate_decisions,
         "curate_funnel": q_curate_funnel,
+        "curate_repair": q_curate_repair,
         "simhash_pairs": q_simhash_pairs,
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
@@ -4184,6 +4246,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_resolve": _sql_dedup_resolve(),
         "curate_decisions": _sql_curate_decisions(),
         "curate_funnel": _sql_curate_funnel(),
+        "curate_repair": _sql_curate_repair(),
         "simhash_pairs": _sql_simhash_pairs(),
         "lsh_ann": _sql_lsh_ann(),
         "ivf_ann": _sql_ivf_ann(),

@@ -335,15 +335,21 @@ def main():
 
     @timed("curate_funnel")
     def _cf():
+        # repair_lines: the synthetic filler is sliding-window line
+        # spam by construction (median dup_line_frac 0.80), so without
+        # the repair stage the Gopher gate drops the whole corpus and
+        # every downstream stage prices an empty frame.
         res = curate_ops.curate(curate_in, text_col="extracted_text",
-                                id_col="url", materialize=_cur_mat)
+                                id_col="url", repair_lines=True,
+                                materialize=_cur_mat)
         res["decisions"].write.mode("overwrite").parquet(
             f"{curate_path}/decisions")
 
     curate_funnel_rows = {
         r["stage"]: [r["docs_in"], r["docs_out"]]
         for r in curate_ops.funnel_counts(
-            spark.read.parquet(f"{curate_path}/decisions")).collect()}
+            spark.read.parquet(f"{curate_path}/decisions"),
+            with_repair=True).collect()}
 
     @timed("ann_bruteforce")
     def _ann():

@@ -291,6 +291,12 @@ def _parse(argv):
                         "given); persist per-document decisions, the "
                         "survivor corpus, and the per-stage funnel "
                         "table under DIR")
+    p.add_argument("--curate-repair", action="store_true",
+                   help="with --curate: remove in-document repeated "
+                        "lines (trafilatura-style repair) between the "
+                        "clean stage and the quality gates, instead of "
+                        "letting the Gopher dup-line gate drop "
+                        "line-spam pages whole")
     p.add_argument("--rollback", type=int, default=None, metavar="SEQ",
                    help="before any ingest, move the table head back to "
                         "snapshot SEQ (publishes a new replicating "
@@ -1004,6 +1010,7 @@ def main(argv=None, spark=None) -> dict:
             res = curate_ops.curate(
                 committed, text_col="extracted_text", id_col="url",
                 keep_langs=keep_langs, c4_bad_words=bad_words,
+                repair_lines=args.curate_repair,
                 max_bucket=args.neardup_max_bucket,
                 benchmark=bench, decontam_ngram=args.decontam_ngram,
                 decontam_min_hits=args.decontam_min_hits,
@@ -1015,7 +1022,8 @@ def main(argv=None, spark=None) -> dict:
              .select("url", F.col("curated_text").alias("extracted_text"))
              .write.mode("overwrite").parquet(f"{args.curate}/survivors"))
             curate_ops.funnel_counts(
-                decisions, with_decontam=bench is not None)\
+                decisions, with_repair=args.curate_repair,
+                with_decontam=bench is not None)\
                 .write.mode("overwrite").parquet(f"{args.curate}/funnel")
             summary["curate"] = {
                 r["stage"]: {"in": r["docs_in"], "out": r["docs_out"]}

@@ -58,13 +58,15 @@ from .dedup import dedup_resolve, minhash_lsh_pairs, normalize_text
 from .textstats import (
     C4_MIN_SENTENCES,
     c4_kept_lines,
+    dedup_lines_in_doc,
     repetition_stats,
     with_lang_guess,
 )
 
-#: Funnel stages in published-pipeline order. `decontam` appears only
-#: when a benchmark frame is supplied.
-STAGES = ("input", "scrub", "clean", "lang", "gopher", "c4",
+#: Funnel stages in published-pipeline order. `repair` appears only
+#: with ``repair_lines=True``, `decontam` only when a benchmark frame
+#: is supplied.
+STAGES = ("input", "scrub", "clean", "repair", "lang", "gopher", "c4",
           "exact_dedup", "neardup", "decontam")
 
 
@@ -78,6 +80,7 @@ def _default_materialize(df: DataFrame, name: str) -> DataFrame:
 
 def curate(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
            *, keep_langs: tuple[str, ...] = ("en",),
+           repair_lines: bool = False,
            c4_bad_words: tuple[str, ...] = (),
            neardup_threshold: float = 0.5,
            hash_mode: str = "xxhash64", max_bucket: int = 1000,
@@ -88,9 +91,17 @@ def curate(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     """Run the full funnel. Returns {"decisions": DataFrame,
     "survivors": DataFrame, "funnel": DataFrame}.
 
+    ``repair_lines=True`` inserts the in-document duplicate-line
+    REPAIR stage (``textstats.dedup_lines_in_doc`` — trafilatura's
+    per-document dedup option) between clean and the gates: instead of
+    the Gopher dup-line gate DROPPING a line-spam page, the repeats are
+    removed and the page is re-judged on what remains. The per-doc
+    removal count lands in ``n_dup_lines_removed`` (NULL when the
+    stage is off).
+
     decisions — one row per input document:
-      (id_col, n_pii_redacted, n_chars_removed, lang_guess,
-       lang_ok, gopher_ok, c4_ok, exact_ok, neardup_ok,
+      (id_col, n_pii_redacted, n_chars_removed, n_dup_lines_removed,
+       lang_guess, lang_ok, gopher_ok, c4_ok, exact_ok, neardup_ok,
        decontam_ok, final_keep, curated_text)
       Verdicts are NULL for stages the document never reached;
       ``curated_text`` is the scrubbed/cleaned/C4-line-filtered text
@@ -109,6 +120,25 @@ def curate(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     cleaned = materialize(scrub.clean_text(scrubbed, text_col=text_col),
                           "cleaned")
 
+    # -- optional repair: strip in-document repeated lines so the
+    #    Gopher dup-line gate judges the page on its non-boilerplate
+    #    remainder. Materialized: the repair's (id, line) window
+    #    shuffle would otherwise re-run under both the scalar-gate
+    #    projection and the Gopher aggregation below.
+    if repair_lines:
+        repaired = dedup_lines_in_doc(
+            cleaned.select(id_col, text_col),
+            text_col=text_col, id_col=id_col)
+        cleaned = materialize(
+            cleaned.drop(text_col).join(
+                repaired.withColumnRenamed(
+                    "n_lines_removed", "n_dup_lines_removed"),
+                on=id_col),
+            "repaired")
+    else:
+        cleaned = cleaned.withColumn(
+            "n_dup_lines_removed", F.lit(None).cast("bigint"))
+
     # -- scalar gates in ONE projection over the cleaned text
     c = F.coalesce(F.col(text_col), F.lit(""))
     kept_text = F.array_join(c4_kept_lines(c), "\n")
@@ -120,7 +150,8 @@ def curate(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     else:
         has_bad = F.lit(False)
     scalar = (with_lang_guess(cleaned, text_col).select(
-        F.col(id_col), "n_pii_redacted", "n_chars_removed", "lang_guess",
+        F.col(id_col), "n_pii_redacted", "n_chars_removed",
+        "n_dup_lines_removed", "lang_guess",
         kept_text.alias("_c4_text"),
         (F.lower(c).contains("lorem ipsum") | c.contains("{") | has_bad)
         .alias("_c4_page_flag"))
@@ -195,17 +226,19 @@ def curate(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                          F.col("curated_text").alias(text_col)))
     return {"decisions": decisions, "survivors": survivors,
             "funnel": funnel_counts(decisions,
+                                    with_repair=repair_lines,
                                     with_decontam=benchmark is not None)}
 
 
 def funnel_counts(decisions: DataFrame,
+                  with_repair: bool = False,
                   with_decontam: bool = False) -> DataFrame:
     """(stage_idx, stage, docs_in, docs_out, docs_dropped) from the
     decisions frame: ONE aggregation computes every stage's survivor
     count as a conjunction of verdict columns (NULL never counts), and
     a pure-expression explode turns the single row into stage rows —
-    no per-stage jobs, no window. scrub/clean are transforms (drop
-    nothing) and carry the input count through."""
+    no per-stage jobs, no window. scrub/clean/repair are transforms
+    (drop nothing) and carry the input count through."""
     lang = F.col("lang_ok")
     goph = lang & F.col("gopher_ok")
     c4 = goph & F.col("c4_ok")
@@ -217,9 +250,13 @@ def funnel_counts(decisions: DataFrame,
         F.count_if(F.col("exact_ok")).alias("n_exact"),
         F.count_if(F.col("neardup_ok")).alias("n_neardup"),
         F.count_if(F.col("final_keep")).alias("n_final"))
-    outs = ["n_input", "n_input", "n_input", "n_lang", "n_gopher",
-            "n_c4", "n_exact", "n_neardup"]
-    names = list(STAGES[:8])
+    names = ["input", "scrub", "clean"]
+    outs = ["n_input", "n_input", "n_input"]
+    if with_repair:
+        names.append("repair")
+        outs.append("n_input")
+    names += ["lang", "gopher", "c4", "exact_dedup", "neardup"]
+    outs += ["n_lang", "n_gopher", "n_c4", "n_exact", "n_neardup"]
     if with_decontam:
         names.append("decontam")
         outs.append("n_final")

@@ -195,12 +195,55 @@ _FILLER_WORDS = (
     "catalog", "digest")
 
 
+#: Shared boilerplate sentences (cookie/footer-style): each cc doc
+#: repeats ONE of these every 6th filler line — realistic in-document
+#: boilerplate (dup_line_frac ~0.14, under the 0.30 Gopher gate, and
+#: exactly what curate's repair stage strips), shared across docs the
+#: way real site chrome is.
+_BOILER_LINES = (
+    "Subscribe to our newsletter for the latest updates.",
+    "All rights reserved by the site operator and its partners.",
+    "This page was generated for archival and review purposes.",
+)
+
+
+def _hash_word(h: int) -> str:
+    """Six lowercase letters from a hash — a digit-free pseudo-word.
+    These give the filler an effectively unbounded vocabulary so the
+    char-8-gram shingle sets of UNRELATED docs stay disjoint (a tiny
+    fixed vocabulary saturates the shingle space and drives every
+    pairwise Jaccard toward 1 as docs grow)."""
+    s = []
+    for _ in range(6):
+        s.append(chr(97 + h % 26))
+        h //= 26
+    return "".join(s)
+
+
 def filler_block(i: int, n_lines: int) -> str:
-    """Deterministic neutral filler: pure function of (i, line, word)."""
+    """Deterministic web-page-shaped filler: pure function of (i, j).
+
+    Each content line is an English SENTENCE (terminal period, >= 3
+    words, stopword-framed — so the C4 line rule keeps it and the
+    stopword lang vote reads 'en'), dominated by per-(i,j) hash words
+    (no digits, no extractor label keywords, near-zero cross-doc
+    shingle overlap). Every 6th line is the doc's boiler sentence."""
     k = len(_FILLER_WORDS)
-    return "\n".join(
-        " ".join(_FILLER_WORDS[(i * 7 + j * 3 + w) % k] for w in range(8))
-        for j in range(n_lines))
+    lines = []
+    x = (i * 6364136223846793005 + 1442695040888963407) % 2**64
+    for j in range(n_lines):
+        if j % 6 == 5:
+            lines.append(_BOILER_LINES[i % len(_BOILER_LINES)])
+            continue
+        ws = []
+        for _ in range(5):
+            x = (x * 6364136223846793005 + 1442695040888963407) % 2**64
+            ws.append(_hash_word(x >> 33))
+        lines.append(
+            f"The {ws[0]} {_FILLER_WORDS[(i + j) % k]} and the {ws[1]} "
+            f"{ws[2]} are near the {ws[3]} "
+            f"{_FILLER_WORDS[(i * 7 + j) % k]} {ws[4]}.")
+    return "\n".join(lines)
 
 
 # Cascade-branch variants, cycled by row index:

@@ -116,6 +116,50 @@ class TestFunnel:
             assert cur["docs_dropped"] == cur["docs_in"] - cur["docs_out"]
 
 
+class TestRepairStage:
+    @pytest.fixture(scope="class")
+    def repaired(self, spark):
+        rows = [
+            (0, good(0)),
+            (3, RU),                                              # lang
+            # line spam: WITHOUT repair the Gopher dup-line gate
+            # drops this doc whole; WITH repair the 5 repeats go and
+            # the remainder passes every gate.
+            (4, "Repeated boiler line for the gate.\n" * 6 + good(4)),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        return curate.curate(df, neardup_threshold=0.5,
+                             repair_lines=True)
+
+    def test_spam_doc_survives_after_repair(self, repaired):
+        got = {r["doc_id"] for r in repaired["survivors"].collect()}
+        assert got == {0, 4}
+        d = {r["doc_id"]: r for r in repaired["decisions"].collect()}
+        assert d[4]["gopher_ok"] is True
+        assert d[4]["n_dup_lines_removed"] == 5
+        assert d[0]["n_dup_lines_removed"] == 0
+        # the repair edits the curated text, not just the verdict
+        assert d[4]["curated_text"].count(
+            "Repeated boiler line for the gate.") == 1
+
+    def test_funnel_has_repair_row(self, repaired):
+        rows = sorted(repaired["funnel"].collect(),
+                      key=lambda r: r["stage_idx"])
+        assert [r["stage"] for r in rows] == [
+            "input", "scrub", "clean", "repair", "lang", "gopher",
+            "c4", "exact_dedup", "neardup"]
+        by = {r["stage"]: r for r in rows}
+        assert by["repair"]["docs_dropped"] == 0   # a transform stage
+        assert by["lang"]["docs_out"] == 2
+        assert by["gopher"]["docs_out"] == 2
+        for prev, cur in zip(rows, rows[1:]):
+            assert cur["docs_in"] == prev["docs_out"]
+
+    def test_off_by_default_column_is_null(self, result):
+        assert all(r["n_dup_lines_removed"] is None
+                   for r in result["decisions"].collect())
+
+
 class TestDecontamStage:
     def test_benchmark_drops_overlap(self, spark):
         # doc 0's curated text is planted INTO the benchmark; with
