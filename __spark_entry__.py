@@ -2030,6 +2030,185 @@ FROM h GROUP BY host ORDER BY host
 """
 
 
+# ---------------------------------------------------------------------------
+# Web graph: WAT-style outlink extraction + PageRank host centrality
+# (operators/webgraph.py). The outlinks fixture plants every
+# resolution branch the extractor owns — absolute href, page-relative,
+# root-relative, an in-document <base href> that re-roots both
+# relative forms, rel/nofollow variants, and skipped mailto/fragment
+# anchors — and the oracle replays RFC 3986 resolution by
+# construction. host_rank runs the REAL power iteration (weights,
+# dangling redistribution, damping) and DuckDB replays three unrolled
+# iterations over the identical derived graph.
+# ---------------------------------------------------------------------------
+
+
+def q_outlinks(spark, sf_dir):
+    """Expression-built HTML pages through the REAL link extractor
+    (webgraph.extract_outlinks -> textlib/weblinks.py). Per page:
+    one absolute anchor (rel cycling none/nofollow/noopener), one
+    page-relative and one root-relative anchor (both re-rooted by
+    <base href> on the doc_id%3==0 pages), plus a mailto and a
+    fragment anchor that must NOT appear in the output."""
+    from ocr_spark.operators import webgraph
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 400)
+    i, sid = F.col("doc_id"), F.col("doc_id").cast("string")
+    page_url = F.concat(F.lit("https://site"), (i % 40).cast("string"),
+                        F.lit(".synth.local/dir/p"), sid, F.lit(".html"))
+    base_tag = F.when(
+        i % 3 == 0,
+        F.concat(F.lit('<base href="https://base'),
+                 (i % 5).cast("string"),
+                 F.lit('.synth.local/bdir/">'))).otherwise(F.lit(""))
+    rel_attr = (F.when(i % 4 == 0, F.lit(' rel="nofollow"'))
+                .when(i % 4 == 1, F.lit(' rel="noopener"'))
+                .otherwise(F.lit("")))
+    html = F.concat(
+        F.lit("<html><head>"), base_tag, F.lit("</head><body>"),
+        F.lit('<a href="https://ext'), ((i * 7 + 1) % 40).cast("string"),
+        F.lit(".synth.local/x/a"), sid, F.lit('.html"'), rel_attr,
+        F.lit(">Anchor A "), sid, F.lit("</a>"),
+        F.lit('<a href="sub/b'), sid, F.lit('.html">B '), sid,
+        F.lit("</a>"),
+        F.lit('<a href="/top/c'), sid, F.lit('.html">C</a>'),
+        F.lit('<a href="mailto:x@synth.local">mail</a>'),
+        F.lit('<a href="#frag">frag</a>'),
+        F.lit("</body></html>"))
+    inp = docs.select(page_url.alias("url"),
+                      html.cast("binary").alias("html"))
+    return (webgraph.extract_outlinks(inp, num_partitions=8)
+            .select("src_url", "dst_url", "anchor_text", "rel",
+                    "nofollow")
+            .orderBy("src_url", "dst_url"))
+
+
+def _sql_outlinks() -> str:
+    return """
+WITH d AS (SELECT doc_id, cast(doc_id AS varchar) AS sid,
+  'https://site' || cast(doc_id % 40 AS varchar)
+    || '.synth.local/dir/p' || cast(doc_id AS varchar) || '.html' AS src_url,
+  CASE WHEN doc_id % 3 = 0
+       THEN 'https://base' || cast(doc_id % 5 AS varchar)
+            || '.synth.local/bdir/'
+       ELSE 'https://site' || cast(doc_id % 40 AS varchar)
+            || '.synth.local/dir/' END AS eff_base,
+  CASE WHEN doc_id % 3 = 0
+       THEN 'https://base' || cast(doc_id % 5 AS varchar) || '.synth.local'
+       ELSE 'https://site' || cast(doc_id % 40 AS varchar)
+            || '.synth.local' END AS eff_root
+  FROM documents WHERE doc_id < 400)
+SELECT src_url,
+  'https://ext' || cast((doc_id * 7 + 1) % 40 AS varchar)
+    || '.synth.local/x/a' || sid || '.html' AS dst_url,
+  'Anchor A ' || sid AS anchor_text,
+  CASE WHEN doc_id % 4 = 0 THEN 'nofollow'
+       WHEN doc_id % 4 = 1 THEN 'noopener' ELSE NULL END AS rel,
+  (doc_id % 4 = 0) AS nofollow
+FROM d
+UNION ALL
+SELECT src_url, eff_base || 'sub/b' || sid || '.html',
+       'B ' || sid, NULL, FALSE FROM d
+UNION ALL
+SELECT src_url, eff_root || '/top/c' || sid || '.html',
+       'C', NULL, FALSE FROM d
+ORDER BY src_url, dst_url
+"""
+
+
+_HOST_SQL_CHAIN = r"""lower(regexp_replace(
+      regexp_extract(
+        regexp_extract({col}, '^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]+)', 1),
+        '([^@]*)$', 1),
+      ':[0-9]+$', ''))"""
+
+
+def _host_rank_links(spark, sf_dir):
+    """Derived link rows (two outlinks per document; hosts h0..h34 as
+    sources, h0..h39 as destinations — h35..h39 dangle) shared by the
+    Spark query and, shape-for-shape, the oracle SQL."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 600)
+    i = F.col("doc_id")
+
+    def url(prefix, expr, path):
+        return F.concat(F.lit(prefix), expr.cast("string"),
+                        F.lit(".synth.local" + path))
+    src = url("https://h", i % 35, "/p")
+    l1 = docs.select(src.alias("src_url"),
+                     url("https://h", (i * 7 + 3) % 40, "/q")
+                     .alias("dst_url"),
+                     F.lit(False).alias("nofollow"))
+    l2 = docs.select(src.alias("src_url"),
+                     url("https://h", (i * 3 + 11) % 40, "/r")
+                     .alias("dst_url"),
+                     (i % 5 == 0).alias("nofollow"))
+    return l1.union(l2)
+
+
+def q_host_rank(spark, sf_dir):
+    """REAL host graph + PageRank at the driver gate: derived link
+    rows -> webgraph.host_edges (url_host keys, self-edge removal,
+    nofollow drop, n_links weights) -> webgraph.host_rank (3 power
+    iterations, damping 0.85, weighted transitions, dangling-mass
+    redistribution). DuckDB replays the aggregation and the three
+    iterations unrolled; ranks rounded to 6 places on both engines."""
+    from ocr_spark.operators import webgraph
+    edges = webgraph.host_edges(_host_rank_links(spark, sf_dir))
+    ranks = webgraph.host_rank(edges, iters=3, damping=0.85)
+    return (ranks.select("host", F.round("rank", 6).alias("rank"))
+            .orderBy("host"))
+
+
+def _sql_host_rank() -> str:
+    src_h = _HOST_SQL_CHAIN.format(col="src_url")
+    dst_h = _HOST_SQL_CHAIN.format(col="dst_url")
+    damping, iters = 0.85, 3
+    it = []
+    for k in range(1, iters + 1):
+        p = k - 1
+        it.append(f"""c{k} AS (SELECT g.dst_host AS host,
+    sum(r.rank * g.w) AS c
+  FROM g JOIN r{p} r ON r.host = g.src_host GROUP BY g.dst_host),
+d{k} AS (SELECT coalesce(sum(rank), 0.0) AS dm FROM r{p}
+  WHERE host NOT IN (SELECT DISTINCT src_host FROM g)),
+r{k} AS (SELECT n.host,
+    (1.0 - {damping}) / nn.n
+      + {damping} * (coalesce(c.c, 0.0) + d.dm / nn.n) AS rank
+  FROM nodes n CROSS JOIN nn CROSS JOIN d{k} d
+  LEFT JOIN c{k} c ON c.host = n.host)""")
+    iter_sql = ",\n".join(it)
+    return f"""
+WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < 600),
+links AS (
+  SELECT 'https://h' || cast(doc_id % 35 AS varchar)
+           || '.synth.local/p' AS src_url,
+         'https://h' || cast((doc_id * 7 + 3) % 40 AS varchar)
+           || '.synth.local/q' AS dst_url,
+         FALSE AS nofollow FROM docs
+  UNION ALL
+  SELECT 'https://h' || cast(doc_id % 35 AS varchar)
+           || '.synth.local/p',
+         'https://h' || cast((doc_id * 3 + 11) % 40 AS varchar)
+           || '.synth.local/r',
+         (doc_id % 5 = 0) FROM docs),
+hosted AS (SELECT {src_h} AS src_host, {dst_h} AS dst_host
+  FROM links WHERE NOT nofollow),
+e AS (SELECT src_host, dst_host, count(*)::bigint AS n_links
+  FROM hosted
+  WHERE src_host <> '' AND dst_host <> '' AND src_host <> dst_host
+  GROUP BY src_host, dst_host),
+tot AS (SELECT src_host, sum(n_links)::double AS t FROM e
+  GROUP BY src_host),
+g AS (SELECT e.src_host, e.dst_host, e.n_links::double / tot.t AS w
+  FROM e JOIN tot USING (src_host)),
+nodes AS (SELECT src_host AS host FROM e
+  UNION SELECT dst_host FROM e),
+nn AS (SELECT count(*)::double AS n FROM nodes),
+r0 AS (SELECT host, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+{iter_sql}
+SELECT host, round(rank, 6) AS rank FROM r{iters} ORDER BY host
+"""
+
+
 def q_audio_decode(spark, sf_dir):
     """REAL audio decode at the driver gate: expression-derived RIFF
     WAV payloads (fixed PCM header + 48 md5-derived bytes = 24 mono
@@ -4159,6 +4338,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pixel_decode": q_pixel_decode,
         "audio_decode": q_audio_decode,
         "domain_stats": q_domain_stats,
+        "outlinks": q_outlinks,
+        "host_rank": q_host_rank,
         "extract_pipeline_sql": q_extract_pipeline_sql,
         "extract_bank_sql": q_extract_bank_sql,
         "extract_itr_sql": q_extract_itr_sql,
@@ -4257,6 +4438,8 @@ def oracle_sql() -> dict[str, str]:
         "pixel_decode": _sql_pixel_decode(),
         "audio_decode": _sql_audio_decode(),
         "domain_stats": _sql_domain_stats(),
+        "outlinks": _sql_outlinks(),
+        "host_rank": _sql_host_rank(),
         # extract_pipeline / crosscheck_pipeline: non-SQL cascade +
         # pandas-UDF semantics -> rows-only (byte-identical correctness
         # is enforced by the pytest goldens instead).

@@ -202,6 +202,30 @@ def main():
         multimodal.extract_pixel_features(
             png_df, num_partitions=cpus * 2).count()
 
+    # WAT-style link layer (operators/webgraph.py). Timed: (a) the
+    # corpus-sized outlink-extraction pass over the same html corpus
+    # the extraction bench reads, and (b) the host-sized graph math —
+    # host_edges aggregation + 5 PageRank iterations — over an
+    # expression-derived 256-host link table (the bench pages
+    # interlink only their own host, so real outlinks would collapse
+    # to self-edges and the graph leg would price an empty frame).
+    from ocr_spark.operators import webgraph
+    _h1 = F.pmod(F.xxhash64("url"), F.lit(256))
+    _h2 = F.pmod(_h1 * 7 + 3, F.lit(256))
+    link_rows = html_df.select(
+        F.concat(F.lit("https://h"), _h1.cast("string"),
+                 F.lit(".synth.local/p")).alias("src_url"),
+        F.concat(F.lit("https://h"), _h2.cast("string"),
+                 F.lit(".synth.local/q")).alias("dst_url"))
+    web_graph_counts = {}
+
+    @timed("web_graph")
+    def _wg():
+        web_graph_counts["links"] = webgraph.extract_outlinks(
+            html_df, num_partitions=cpus * 2).count()
+        web_graph_counts["hosts"] = webgraph.host_rank(
+            webgraph.host_edges(link_rows), iters=5).count()
+
     @timed("crosscheck")
     def _cc():
         crosscheck.cross_check(extracted).count()
@@ -616,6 +640,8 @@ def main():
         "html_docs_per_sec": round(n_docs / timings["html_extract"], 1),
         "png_images_decoded": n_img,
         "png_decode_per_sec": round(n_img / timings["pixel_decode"], 1),
+        "web_links_extracted": web_graph_counts.get("links"),
+        "web_hosts_ranked": web_graph_counts.get("hosts"),
     }))
     spark.stop()
 

@@ -297,6 +297,16 @@ def _parse(argv):
                         "clean stage and the quality gates, instead of "
                         "letting the Gopher dup-line gate drop "
                         "line-spam pages whole")
+    p.add_argument("--outlinks", default=None, metavar="DIR",
+                   help="extract the WAT-style link table from the "
+                        "INPUT pages' html column (operators/"
+                        "webgraph.py) and persist links/, host_edges/ "
+                        "and host_rank/ under DIR; requires an input "
+                        "source whose rows carry html payloads")
+    p.add_argument("--host-rank-iters", type=int, default=10,
+                   metavar="N",
+                   help="PageRank power iterations for --outlinks "
+                        "host_rank (default 10)")
     p.add_argument("--rollback", type=int, default=None, metavar="SEQ",
                    help="before any ingest, move the table head back to "
                         "snapshot SEQ (publishes a new replicating "
@@ -358,6 +368,13 @@ def _parse(argv):
         p.error("--domain-block/--domain-cap require --domain-filter")
     if args.c4_bad_words is not None and not args.c4_filter:
         p.error("--c4-bad-words requires --c4-filter")
+    if args.outlinks and not has_source:
+        p.error("--outlinks reads the INPUT pages' html and needs an "
+                "input source (--input/--warc/--synth)")
+    if args.host_rank_iters != 10 and not args.outlinks:
+        p.error("--host-rank-iters requires --outlinks")
+    if args.host_rank_iters < 1:
+        p.error("--host-rank-iters must be >= 1")
     if (args.lm_ref or args.lm_max_bits is not None) and not args.lm_score:
         p.error("--lm-ref/--lm-max-bits require --lm-score")
     if args.token_sample and args.token_budget is None:
@@ -482,6 +499,35 @@ def main(argv=None, spark=None) -> dict:
         "committed_rows", 0)
     if args.warc:
         summary["warc_records_skipped"] = int(warc_skips.value)
+
+    if args.outlinks:
+        # WAT-style link layer next to the text extraction: the link
+        # table comes from the INPUT pages (html never reaches the
+        # committed text table), the host graph and rank from the
+        # persisted links — so host_rank reads parquet, not a
+        # re-extraction.
+        from ocr_spark.operators import webgraph
+        if "html" not in input_df.columns or "url" not in input_df.columns:
+            raise ValueError(
+                "--outlinks needs (url, html) on the input source; "
+                f"got columns {input_df.columns}")
+        links = webgraph.extract_outlinks(
+            input_df.select("url", "html"),
+            num_partitions=args.partitions)
+        links.write.mode("overwrite").parquet(f"{args.outlinks}/links")
+        links = spark.read.parquet(f"{args.outlinks}/links")
+        edges = webgraph.host_edges(links)
+        edges.write.mode("overwrite").parquet(
+            f"{args.outlinks}/host_edges")
+        edges = spark.read.parquet(f"{args.outlinks}/host_edges")
+        webgraph.host_rank(edges, iters=args.host_rank_iters)\
+            .write.mode("overwrite").parquet(f"{args.outlinks}/host_rank")
+        summary["outlinks"] = {
+            "links": links.count(),
+            "nofollow_links": links.filter("nofollow").count(),
+            "host_edges": edges.count(),
+            "hosts_ranked": spark.read.parquet(
+                f"{args.outlinks}/host_rank").count()}
 
     if args.neardup:
         # Optional curation stage over the whole committed table. The

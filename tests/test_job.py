@@ -975,3 +975,55 @@ def test_job_shard_stage(spark, tmp_path):
         F.sum(token_count(F.col("extracted_text")))).first()[0]
     assert r["shard"]["total_tokens"] == total
     assert r["shard"]["n_shards"] == back.select("shard").distinct().count()
+
+
+def test_job_outlinks_persists_link_layer(spark, tmp_path):
+    """--outlinks extracts the WAT-style link table from the INPUT
+    pages' html, aggregates the host graph (nofollow + self-edges
+    out), and persists PageRank host centrality, with counters in the
+    summary."""
+    inp = str(tmp_path / "in.parquet")
+    rows = []
+    for i in range(6):
+        page = (f'<a href="https://h{(i + 1) % 3}.org/x">next</a>'
+                f'<a href="/self">self page</a>'
+                f'<a href="https://spam.org/" rel="nofollow">ad</a>')
+        rows.append((f"https://h{i % 3}.org/app{i}/salary_slip/{i}.png",
+                     None, page.encode(), f"Document {i} body text.",
+                     "en", None))
+    spark.createDataFrame(rows, schema=schemas.INPUT_SCHEMA)\
+        .write.parquet(inp)
+
+    ol = str(tmp_path / "ol")
+    r = job.main(["--input", inp, "--table", str(tmp_path / "t"),
+                  "--partitions", "2", "--outlinks", ol,
+                  "--host-rank-iters", "3"], spark=spark)
+    assert r["outlinks"] == {"links": 18, "nofollow_links": 6,
+                             "host_edges": 3, "hosts_ranked": 3}
+
+    links = spark.read.parquet(f"{ol}/links")
+    assert {"src_url", "dst_url", "anchor_text", "rel",
+            "nofollow"} <= set(links.columns)
+    # /self resolved against the page host -> self-edge, removed.
+    edges = {(e["src_host"], e["dst_host"]): e["n_links"]
+             for e in spark.read.parquet(f"{ol}/host_edges").collect()}
+    assert edges == {("h0.org", "h1.org"): 2, ("h1.org", "h2.org"): 2,
+                     ("h2.org", "h0.org"): 2}
+    # The 3-cycle is symmetric: every host ranks exactly 1/3.
+    for row in spark.read.parquet(f"{ol}/host_rank").collect():
+        assert row["rank"] == pytest.approx(1 / 3, abs=1e-9)
+
+
+def test_job_outlinks_flag_validation(tmp_path):
+    """--outlinks without a source and orphaned --host-rank-iters are
+    parse-time usage errors; a source without html fails loudly."""
+    with pytest.raises(SystemExit):
+        job._parse(["--compact", "--table", str(tmp_path / "t"),
+                    "--outlinks", str(tmp_path / "ol")])
+    with pytest.raises(SystemExit):
+        job._parse(["--synth", "4", "--table", str(tmp_path / "t"),
+                    "--host-rank-iters", "5"])
+    with pytest.raises(SystemExit):
+        job._parse(["--synth", "4", "--table", str(tmp_path / "t"),
+                    "--outlinks", str(tmp_path / "ol"),
+                    "--host-rank-iters", "0"])

@@ -346,6 +346,23 @@ def main() -> None:
           and "ExistingRDD" in p,
           f"ExistingRDD={'ExistingRDD' in p}")
 
+    # 8f. Web graph (operators/webgraph.py): the outlink extraction is
+    #    one Arrow pass (MapInPandas, no row UDF); host_rank's power
+    #    iteration keeps every host-sized join keyed — the ONLY
+    #    nested-loop join is the 1-row dangling-mass crossJoin, which
+    #    must be broadcast.
+    p = plans["outlinks"]
+    check("outlinks", "Arrow link extraction (MapInPandas, no row UDF)",
+          "MapInPandas" in p and "BatchEvalPython" not in p,
+          f"MapInPandas={'MapInPandas' in p}")
+    p = plans["host_rank"]
+    check("host_rank",
+          "keyed iteration joins; dangling mass via broadcast 1-row join",
+          "BroadcastNestedLoopJoin" in p and "CartesianProduct" not in p
+          and ("SortMergeJoin" in p or "BroadcastHashJoin" in p
+               or "ShuffledHashJoin" in p),
+          f"BNLJ={'BroadcastNestedLoopJoin' in p}")
+
     # 9. No CartesianProduct anywhere: every join is keyed or broadcast
     #    (the brute-force oracle baselines use broadcast nested loop,
     #    which bounds the big side to one scan).
