@@ -2209,6 +2209,122 @@ SELECT host, round(rank, 6) AS rank FROM r{iters} ORDER BY host
 """
 
 
+def q_anchor_stats(spark, sf_dir):
+    """Inlink anchor-text profiles through the REAL two-level
+    aggregation (webgraph.anchor_stats): per-target inlink count,
+    distinct source hosts, and the k=2 most frequent anchors with
+    the deterministic (count desc, text asc) tie-break; one target
+    (t7) receives only NULL anchors and must carry a NULL top list."""
+    from ocr_spark.operators import webgraph
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 500)
+    i, sid = F.col("doc_id"), F.col("doc_id").cast("string")
+    links = docs.select(
+        F.concat(F.lit("https://s"), (i % 13).cast("string"),
+                 F.lit(".synth.local/p"), sid).alias("src_url"),
+        F.concat(F.lit("https://t"), (i % 25).cast("string"),
+                 F.lit(".synth.local/page")).alias("dst_url"),
+        F.when(i % 25 == 7, F.lit(None).cast("string"))
+        .when(i % 3 == 0, F.lit("Read more"))
+        .when(i % 3 == 1, F.concat(F.lit("Details "),
+                                   (i % 4).cast("string")))
+        .otherwise(F.lit("Home page")).alias("anchor_text"))
+    # NULL top list -> [] for the gate: pandas renders a NULL LIST as
+    # NaN on the DuckDB side, which the value compare can't equate.
+    return (webgraph.anchor_stats(links, k=2)
+            .withColumn("top_anchors",
+                        F.coalesce(F.col("top_anchors"),
+                                   F.array().cast("array<string>")))
+            .orderBy("dst_url"))
+
+
+def _sql_anchor_stats() -> str:
+    return """
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 500),
+links AS (SELECT
+  'https://s' || cast(doc_id % 13 AS varchar) || '.synth.local/p'
+    || cast(doc_id AS varchar) AS src_url,
+  doc_id % 13 AS src_host_key,
+  'https://t' || cast(doc_id % 25 AS varchar)
+    || '.synth.local/page' AS dst_url,
+  CASE WHEN doc_id % 25 = 7 THEN NULL
+       WHEN doc_id % 3 = 0 THEN 'Read more'
+       WHEN doc_id % 3 = 1 THEN 'Details ' || cast(doc_id % 4 AS varchar)
+       ELSE 'Home page' END AS anchor_text
+  FROM d),
+base AS (SELECT dst_url, count(*)::bigint AS n_inlinks,
+    count(DISTINCT src_host_key)::bigint AS n_src_hosts
+  FROM links GROUP BY dst_url),
+per AS (SELECT dst_url, anchor_text, count(*) AS n FROM links
+  WHERE anchor_text IS NOT NULL GROUP BY dst_url, anchor_text),
+rk AS (SELECT dst_url, anchor_text,
+    row_number() OVER (PARTITION BY dst_url
+                       ORDER BY n DESC, anchor_text ASC) AS rn
+  FROM per),
+top AS (SELECT dst_url, list(anchor_text ORDER BY rn) AS top_anchors
+  FROM rk WHERE rn <= 2 GROUP BY dst_url)
+SELECT b.dst_url, b.n_inlinks, b.n_src_hosts,
+       coalesce(t.top_anchors, []) AS top_anchors
+FROM base b LEFT JOIN top t USING (dst_url) ORDER BY dst_url
+"""
+
+
+def q_recrawl_dedup(spark, sf_dir):
+    """Keep-latest recrawl collapse through the REAL operator
+    (dedup.recrawl_dedup): four url spellings per page — tracking
+    param + mixed-case host, explicit default port, fragment, plain —
+    normalize to ONE canonical key via the pure-expression
+    url_normalize; the newest ts wins, and the planted ts tie
+    (canon < 10) exercises the raw-url-ascending tie-break."""
+    from ocr_spark.operators import dedup
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 480)
+    i = F.col("doc_id")
+    c, v = (i % 120).cast("string"), F.floor(i / 120).cast("long")
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://Site"), c,
+                                F.lit(".Example.org/a/"), c,
+                                F.lit("?utm_source=x&k=1")))
+        .when(v == 1, F.concat(F.lit("https://site"), c,
+                               F.lit(".example.org:443/a/"), c,
+                               F.lit("?k=1")))
+        .when(v == 2, F.concat(F.lit("https://site"), c,
+                               F.lit(".example.org/a/"), c,
+                               F.lit("?k=1#frag")))
+        .otherwise(F.concat(F.lit("https://site"), c,
+                            F.lit(".example.org/a/"), c, F.lit("?k=1"))))
+    ts = (F.when((i % 120 < 10) & ((v == 0) | (v == 3)), F.lit(3))
+          .otherwise(v)).cast("long")
+    inp = docs.select(url.alias("url"), ts.alias("ts"))
+    return (dedup.recrawl_dedup(inp, url_col="url", ts_col="ts")
+            .select("canonical_url", F.col("url").alias("kept_url"), "ts")
+            .orderBy("canonical_url"))
+
+
+def _sql_recrawl_dedup() -> str:
+    return """
+WITH d AS (SELECT doc_id, doc_id % 120 AS c, doc_id // 120 AS v
+  FROM documents WHERE doc_id < 480),
+rows_ AS (SELECT
+  CASE WHEN v = 0 THEN 'https://Site' || cast(c AS varchar)
+         || '.Example.org/a/' || cast(c AS varchar) || '?utm_source=x&k=1'
+       WHEN v = 1 THEN 'https://site' || cast(c AS varchar)
+         || '.example.org:443/a/' || cast(c AS varchar) || '?k=1'
+       WHEN v = 2 THEN 'https://site' || cast(c AS varchar)
+         || '.example.org/a/' || cast(c AS varchar) || '?k=1#frag'
+       ELSE 'https://site' || cast(c AS varchar)
+         || '.example.org/a/' || cast(c AS varchar) || '?k=1'
+  END AS url,
+  (CASE WHEN c < 10 AND (v = 0 OR v = 3) THEN 3 ELSE v END)::bigint AS ts,
+  'https://site' || cast(c AS varchar) || '.example.org/a/'
+    || cast(c AS varchar) || '?k=1' AS canonical_url
+  FROM d),
+rk AS (SELECT *, row_number() OVER (PARTITION BY canonical_url
+                                    ORDER BY ts DESC, url ASC) AS rn
+  FROM rows_)
+SELECT canonical_url, url AS kept_url, ts
+FROM rk WHERE rn = 1 ORDER BY canonical_url
+"""
+
+
 def q_audio_decode(spark, sf_dir):
     """REAL audio decode at the driver gate: expression-derived RIFF
     WAV payloads (fixed PCM header + 48 md5-derived bytes = 24 mono
@@ -4340,6 +4456,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": q_domain_stats,
         "outlinks": q_outlinks,
         "host_rank": q_host_rank,
+        "anchor_stats": q_anchor_stats,
+        "recrawl_dedup": q_recrawl_dedup,
         "extract_pipeline_sql": q_extract_pipeline_sql,
         "extract_bank_sql": q_extract_bank_sql,
         "extract_itr_sql": q_extract_itr_sql,
@@ -4440,6 +4558,8 @@ def oracle_sql() -> dict[str, str]:
         "domain_stats": _sql_domain_stats(),
         "outlinks": _sql_outlinks(),
         "host_rank": _sql_host_rank(),
+        "anchor_stats": _sql_anchor_stats(),
+        "recrawl_dedup": _sql_recrawl_dedup(),
         # extract_pipeline / crosscheck_pipeline: non-SQL cascade +
         # pandas-UDF semantics -> rows-only (byte-identical correctness
         # is enforced by the pytest goldens instead).

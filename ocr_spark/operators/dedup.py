@@ -915,3 +915,30 @@ def dedup_apply(docs: DataFrame, resolved: DataFrame,
     the corpus, so the anti-join's build side stays light)."""
     losers = resolved.filter(~F.col("keep")).select(F.col(id_col))
     return docs.join(losers, on=id_col, how="left_anti")
+
+
+def recrawl_dedup(docs: DataFrame, url_col: str = "url",
+                  ts_col: str = "warc_ts") -> DataFrame:
+    """Collapse recrawls: keep ONE row per canonical URL — the most
+    recent by ``ts_col`` (any orderable recency column), ties broken
+    by raw url ascending (deterministic across engines). The
+    canonical key is the pure-expression ``url_normalize`` (fragment
+    strip, case/port fold, tracking-param strip, param sort), so the
+    four spellings a crawler sees for one page group together.
+
+    Output = the kept input rows + a ``canonical_url`` column.
+
+    Scale: ONE shuffle on the canonical key; per-key group size is
+    the recrawl count of a page (bounded small in practice — crawl
+    snapshots revisit a URL a handful of times), so the ranking
+    window never sees corpus-dimensional partitions. This is the
+    standard keep-latest collapse every Common-Crawl-derived corpus
+    applies before content-level dedup."""
+    from ..functions.expressions import url_normalize
+    w = (Window.partitionBy("canonical_url")
+         .orderBy(F.desc_nulls_last(ts_col), F.asc(url_col)))
+    return (docs
+            .withColumn("canonical_url", url_normalize(F.col(url_col)))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn"))

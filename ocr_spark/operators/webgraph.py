@@ -98,6 +98,43 @@ def host_edges(links: DataFrame, *, drop_nofollow: bool = True,
             .agg(F.count(F.lit(1)).alias("n_links")))
 
 
+def anchor_stats(links: DataFrame, *, k: int = 5, min_count: int = 1,
+                 by: str = "dst_url") -> DataFrame:
+    """Inlink anchor-text profile per target (the classic web-IR
+    relevance signal: what the REST of the web calls a page): one row
+    per ``by`` value with (n_inlinks, n_src_hosts, top_anchors) where
+    top_anchors is the up-to-k most frequent non-null anchor texts,
+    ties broken by text ascending (deterministic). ``min_count``
+    drops sub-threshold anchors BEFORE the ranking window.
+
+    Scale: two-level aggregation — the (target, anchor) pre-agg
+    shrinks the window input to distinct-anchor cardinality per
+    target, so a hot page with 10⁸ inlinks but few distinct anchors
+    costs one partial-agg shuffle; a target with pathologically many
+    DISTINCT anchors is the residual skew, bounded by ``min_count``.
+    top_anchors is NULL for targets whose every anchor is null/below
+    threshold."""
+    from pyspark.sql import Window
+    from ..functions.expressions import url_host
+    base = links.groupBy(by).agg(
+        F.count(F.lit(1)).alias("n_inlinks"),
+        F.countDistinct(url_host(F.col("src_url"))).alias("n_src_hosts"))
+    per = (links.filter(F.col("anchor_text").isNotNull())
+           .groupBy(by, "anchor_text")
+           .agg(F.count(F.lit(1)).alias("_n"))
+           .filter(F.col("_n") >= min_count))
+    w = Window.partitionBy(by).orderBy(F.desc("_n"),
+                                       F.asc("anchor_text"))
+    top = (per.withColumn("_rn", F.row_number().over(w))
+           .filter(F.col("_rn") <= k)
+           .groupBy(by)
+           .agg(F.array_sort(F.collect_list(F.struct("_rn", "anchor_text")))
+                .alias("_s"))
+           .select(by, F.transform("_s", lambda x: x["anchor_text"])
+                   .alias("top_anchors")))
+    return base.join(top, by, "left")
+
+
 def host_rank(edges: DataFrame, *, iters: int = 10,
               damping: float = 0.85, weighted: bool = True,
               checkpoint_every: int = 6) -> DataFrame:

@@ -207,3 +207,67 @@ class TestHostRank:
         # and must rank far below the 8-in-edge hub.
         assert got["hub.org"] > 3 * max(
             v for h, v in got.items() if h not in ("hub.org", "leaf0.org"))
+
+
+class TestAnchorStats:
+    def _links(self, spark):
+        rows = [
+            ("https://s1.org/a", "https://t.org/p", "Click here"),
+            ("https://s2.org/b", "https://t.org/p", "Click here"),
+            ("https://s2.org/c", "https://t.org/p", "Docs"),
+            ("https://s3.org/d", "https://t.org/p", "Apple"),
+            ("https://s1.org/e", "https://t.org/p", None),
+            ("https://s1.org/f", "https://u.org/q", None),
+        ]
+        return spark.createDataFrame(
+            rows, "src_url string, dst_url string, anchor_text string")
+
+    def test_profile_and_tiebreak(self, spark):
+        got = {r["dst_url"]: r
+               for r in webgraph.anchor_stats(self._links(spark), k=2)
+               .collect()}
+        p = got["https://t.org/p"]
+        assert p["n_inlinks"] == 5
+        assert p["n_src_hosts"] == 3
+        # count desc then text asc: Click here (2), then Apple|Docs
+        # tie at 1 -> Apple wins the k=2 cut alphabetically.
+        assert p["top_anchors"] == ["Click here", "Apple"]
+        q = got["https://u.org/q"]
+        assert q["n_inlinks"] == 1 and q["top_anchors"] is None
+
+    def test_min_count_prunes_tail(self, spark):
+        got = {r["dst_url"]: r["top_anchors"]
+               for r in webgraph.anchor_stats(self._links(spark), k=5,
+                                              min_count=2).collect()}
+        assert got["https://t.org/p"] == ["Click here"]
+
+
+class TestRecrawlDedup:
+    def test_keep_latest_then_url_asc(self, spark):
+        from ocr_spark.operators import dedup
+        rows = [
+            ("https://Site.Example.org/a?utm_source=x&k=1", 1, "v0"),
+            ("https://site.example.org:443/a?k=1", 2, "v1"),
+            ("https://site.example.org/a?k=1#frag", 3, "v2"),
+            ("https://site.example.org/a?k=1", 3, "v3"),
+            ("https://other.org/b", 1, "w0"),
+        ]
+        df = spark.createDataFrame(
+            rows, "url string, warc_ts long, tag string")
+        kept = dedup.recrawl_dedup(df).collect()
+        got = {r["canonical_url"]: r["tag"] for r in kept}
+        # all four spellings share one canonical key; ts=3 ties between
+        # v2/v3 break by raw url ascending (no-#frag sorts first).
+        assert got == {"https://site.example.org/a?k=1": "v3",
+                       "https://other.org/b": "w0"}
+        assert all(set(r.asDict()) == {"url", "warc_ts", "tag",
+                                       "canonical_url"} for r in kept)
+
+    def test_null_ts_loses(self, spark):
+        from ocr_spark.operators import dedup
+        df = spark.createDataFrame(
+            [("https://a.org/x", None, "old"),
+             ("https://a.org/x?gclid=z", 1, "new")],
+            "url string, warc_ts long, tag string")
+        got = [r["tag"] for r in dedup.recrawl_dedup(df).collect()]
+        assert got == ["new"]
