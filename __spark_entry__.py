@@ -2325,6 +2325,115 @@ FROM rk WHERE rn = 1 ORDER BY canonical_url
 """
 
 
+# ---------------------------------------------------------------------------
+# Crawl-permission gate (RFC 9309 robots.txt): per-host robots bodies
+# parsed by the REAL textlib/robots.py grammar (group selection by
+# longest user-agent token, wildcard/'$' rules, longest-match verdict
+# with Allow winning ties), evaluated by the REAL
+# domains.robots_rules -> crawl_gate plan. The oracle hardcodes the
+# rule set each robots VARIANT must parse to (so a parse bug shifts
+# verdicts and hash-mismatches) and replays the regex longest-match
+# in SQL.
+# ---------------------------------------------------------------------------
+
+_ROBOTS_V0 = ("User-agent: *\n"
+              "Disallow: /private\n"
+              "Allow: /private/ok\n"
+              "Disallow: /*.pdf$\n")
+_ROBOTS_V1 = ("User-agent: crawler\n"       # not a match for synthbot
+              "Disallow: /\n"
+              "User-agent: *\n"
+              "Disallow: /tmp/\n"
+              "Disallow:\n"                  # empty pattern = no-op
+              "# comment line\n")
+_ROBOTS_V2 = ("User-agent: synth\n"          # longest match for synthbot
+              "Allow: /a\n"
+              "Disallow: /\n"
+              "User-agent: *\n"
+              "Disallow: /private\n")
+
+
+def _crawl_gate_inputs(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    i, sid = F.col("doc_id"), F.col("doc_id").cast("string")
+    host = F.concat(F.col("source"), F.lit(".example.org"))
+    path = (F.when(i % 7 == 1, F.concat(F.lit("/private/no"), sid))
+            .when(i % 7 == 2, F.concat(F.lit("/private/ok/p"), sid))
+            .when(i % 7 == 3, F.concat(F.lit("/f"), sid, F.lit(".pdf")))
+            .when(i % 7 == 4,
+                  F.concat(F.lit("/f"), sid, F.lit(".pdf?x=1")))
+            .when(i % 7 == 5, F.concat(F.lit("/tmp/t"), sid))
+            .when(i % 7 == 6, F.concat(F.lit("/a/x"), sid))
+            .otherwise(F.concat(F.lit("/pub/p"), sid)))
+    pages = docs.select(
+        F.concat(F.lit("https://"), host, path).alias("url"))
+    v = F.substring("source", 4, 10).cast("int") % 3
+    body = (F.when(v == 1, F.lit(_ROBOTS_V1))
+            .when(v == 2, F.lit(_ROBOTS_V2))
+            .otherwise(F.lit(_ROBOTS_V0)))
+    robots = docs.select(host.alias("host"),
+                         body.alias("robots_txt")).distinct()
+    return pages, robots
+
+
+def q_crawl_gate(spark, sf_dir):
+    """Three robots.txt variants across the synth hosts — wildcard +
+    '$' rules, an agent-specific group that must NOT apply, an
+    agent-specific group that MUST (token 'synth' ⊂ 'synthbot'), an
+    empty-Disallow no-op, and a comment — with seven path shapes per
+    host so every rule and the no-match default all decide at least
+    one url. Runs the REAL parse (robots_rules, Arrow-batched) and
+    the REAL verdict plan (crawl_gate: distinct-url regex match,
+    longest-match max, left-join-back)."""
+    from ocr_spark.operators import domains
+    pages, robots = _crawl_gate_inputs(spark, sf_dir)
+    rules = domains.robots_rules(robots, agent="synthbot")
+    return (domains.crawl_gate(pages, rules)
+            .select("url", "crawl_allowed")
+            .orderBy("url"))
+
+
+def _sql_crawl_gate() -> str:
+    return r"""
+WITH p AS (SELECT
+  'https://' || source || '.example.org' ||
+  CASE WHEN doc_id % 7 = 1 THEN '/private/no' || cast(doc_id AS varchar)
+       WHEN doc_id % 7 = 2 THEN '/private/ok/p' || cast(doc_id AS varchar)
+       WHEN doc_id % 7 = 3 THEN '/f' || cast(doc_id AS varchar) || '.pdf'
+       WHEN doc_id % 7 = 4 THEN '/f' || cast(doc_id AS varchar)
+            || '.pdf?x=1'
+       WHEN doc_id % 7 = 5 THEN '/tmp/t' || cast(doc_id AS varchar)
+       WHEN doc_id % 7 = 6 THEN '/a/x' || cast(doc_id AS varchar)
+       ELSE '/pub/p' || cast(doc_id AS varchar)
+  END AS url,
+  CASE WHEN doc_id % 7 = 1 THEN '/private/no' || cast(doc_id AS varchar)
+       WHEN doc_id % 7 = 2 THEN '/private/ok/p' || cast(doc_id AS varchar)
+       WHEN doc_id % 7 = 3 THEN '/f' || cast(doc_id AS varchar) || '.pdf'
+       WHEN doc_id % 7 = 4 THEN '/f' || cast(doc_id AS varchar)
+            || '.pdf?x=1'
+       WHEN doc_id % 7 = 5 THEN '/tmp/t' || cast(doc_id AS varchar)
+       WHEN doc_id % 7 = 6 THEN '/a/x' || cast(doc_id AS varchar)
+       ELSE '/pub/p' || cast(doc_id AS varchar)
+  END AS path,
+  cast(substring(source, 4) AS int) % 3 AS v
+  FROM documents),
+r AS (SELECT * FROM (VALUES
+  (0, false, 8, '^/private'),
+  (0, true, 11, '^/private/ok'),
+  (0, false, 7, '^/.*\.pdf$'),
+  (1, false, 5, '^/tmp/'),
+  (2, true, 2, '^/a'),
+  (2, false, 1, '^/')) t(v, allow, plen, rx)),
+g AS (SELECT url,
+  coalesce(max(CASE WHEN allow AND regexp_matches(path, rx)
+               THEN plen END), -1) AS al,
+  coalesce(max(CASE WHEN NOT allow AND regexp_matches(path, rx)
+               THEN plen END), -1) AS dl
+  FROM p LEFT JOIN r USING (v) GROUP BY url)
+SELECT url, al >= dl AS crawl_allowed FROM g ORDER BY url
+"""
+
+
 def q_audio_decode(spark, sf_dir):
     """REAL audio decode at the driver gate: expression-derived RIFF
     WAV payloads (fixed PCM header + 48 md5-derived bytes = 24 mono
@@ -4458,6 +4567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_rank": q_host_rank,
         "anchor_stats": q_anchor_stats,
         "recrawl_dedup": q_recrawl_dedup,
+        "crawl_gate": q_crawl_gate,
         "extract_pipeline_sql": q_extract_pipeline_sql,
         "extract_bank_sql": q_extract_bank_sql,
         "extract_itr_sql": q_extract_itr_sql,
@@ -4560,6 +4670,7 @@ def oracle_sql() -> dict[str, str]:
         "host_rank": _sql_host_rank(),
         "anchor_stats": _sql_anchor_stats(),
         "recrawl_dedup": _sql_recrawl_dedup(),
+        "crawl_gate": _sql_crawl_gate(),
         # extract_pipeline / crosscheck_pipeline: non-SQL cascade +
         # pandas-UDF semantics -> rows-only (byte-identical correctness
         # is enforced by the pytest goldens instead).

@@ -122,6 +122,18 @@ def url_host(c: Column) -> Column:
     return F.lower(F.regexp_replace(host, r":\d+$", ""))
 
 
+def url_path(c: Column) -> Column:
+    """Path-and-query of a URL — the string RFC 9309 robots rules are
+    matched against — as a pure codegen expression. Everything after
+    the authority with the fragment stripped; an empty path (bare
+    ``https://host``) is ``/`` per RFC 9309 §2.2.2. The DuckDB
+    driver-oracle replays the same three steps: after-authority
+    capture, '#...' strip, empty → '/'."""
+    rest = F.regexp_extract(
+        c, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*([^#]*)", 1)
+    return F.when(rest == "", F.lit("/")).otherwise(rest)
+
+
 def url_normalize(c: Column) -> Column:
     """Canonical URL key for web-scale dedup/grouping (RFC 3986
     syntax-based normalization + the de-facto web rules), as a pure

@@ -55,6 +55,12 @@ and the filtered corpus (retained lines only).
 gates it with --domain-block (exact-or-subdomain blocklist) and/or
 --domain-cap (max docs per host, deterministic survivors), persisting
 the per-host stats and the gated corpus.
+--robots-filter <dir> gates the corpus on the RFC 9309 crawl verdict:
+--robots-txt points at a (host, robots_txt) parquet, the rules that
+govern --robots-agent are parsed once per host (domains.robots_rules)
+and every url gets a longest-match allow/disallow verdict
+(domains.crawl_gate); the parsed rules and the allowed corpus persist,
+with kept/dropped counts in the summary.
 
 Catalog maintenance (each may run alone — no input source needed — or
 after an ingest pass in the same invocation):
@@ -180,6 +186,16 @@ def _parse(argv):
                         "--domain-filter; a host matches exactly or as "
                         "a subdomain (ads.example.com matches blocked "
                         "example.com)")
+    p.add_argument("--robots-filter", default=None, metavar="DIR",
+                   help="gate the committed corpus on the RFC 9309 "
+                        "crawl verdict; persists <dir>/rules and "
+                        "<dir>/filtered (allowed urls only)")
+    p.add_argument("--robots-txt", default=None, metavar="PATH",
+                   help="parquet of (host string, robots_txt string) "
+                        "for --robots-filter")
+    p.add_argument("--robots-agent", default="*", metavar="TOKEN",
+                   help="product token whose robots group applies "
+                        "(default: the '*' group)")
     p.add_argument("--domain-cap", type=int, default=None, metavar="N",
                    help="keep at most N docs per host (deterministic "
                         "survivor selection) for --domain-filter")
@@ -366,6 +382,13 @@ def _parse(argv):
                         f"(no scheme/port/path): {bad}")
     elif args.domain_block or args.domain_cap is not None:
         p.error("--domain-block/--domain-cap require --domain-filter")
+    if args.robots_filter and not args.robots_txt:
+        p.error("--robots-filter needs --robots-txt (the per-host "
+                "robots.txt parquet)")
+    if args.robots_txt and not args.robots_filter:
+        p.error("--robots-txt requires --robots-filter")
+    if args.robots_agent != "*" and not args.robots_filter:
+        p.error("--robots-agent requires --robots-filter")
     if args.c4_bad_words is not None and not args.c4_filter:
         p.error("--c4-bad-words requires --c4-filter")
     if args.outlinks and not has_source:
@@ -838,6 +861,36 @@ def main(argv=None, spark=None) -> dict:
             summary["domain_filter"] = {
                 "hosts": n_hosts, "blocked": blocked,
                 "cap": args.domain_cap, "docs": n_docs, "kept": n_kept,
+                "dropped": n_docs - n_kept}
+
+    if args.robots_filter:
+        # Crawl-permission gate (RFC 9309): the parsed rule table
+        # persists next to the allowed corpus so every dropped url is
+        # explainable by the rule row that blocked it — same
+        # never-silent contract as the other curation stages.
+        from pyspark.sql import functions as F
+
+        from ocr_spark.operators import domains
+        committed = table.read(spark)
+        if committed is not None:
+            robots = spark.read.parquet(args.robots_txt)
+            rules = domains.robots_rules(robots, agent=args.robots_agent)
+            rules.write.mode("overwrite").parquet(
+                f"{args.robots_filter}/rules")
+            rules = spark.read.parquet(f"{args.robots_filter}/rules")
+            gated = domains.crawl_gate(committed, rules)
+            (gated.filter(F.col("crawl_allowed"))
+             .drop("crawl_allowed")
+             .write.mode("overwrite")
+             .parquet(f"{args.robots_filter}/filtered"))
+            n_docs = committed.count()
+            n_kept = spark.read.parquet(
+                f"{args.robots_filter}/filtered").count()
+            summary["robots_filter"] = {
+                "agent": args.robots_agent,
+                "hosts_with_rules": rules.select("host").distinct().count(),
+                "rules": rules.count(),
+                "docs": n_docs, "kept": n_kept,
                 "dropped": n_docs - n_kept}
 
     if args.line_dedup:

@@ -102,6 +102,56 @@ def test_job_domain_filter_caps_and_blocks(spark, tmp_path):
                   out, "--domain-block", "http://x.com"], spark=spark)
 
 
+def test_job_robots_filter_gates_corpus(spark, tmp_path):
+    """--robots-filter drops the urls the host's robots.txt disallows
+    for the agent, persists the parsed rules, and reports the counts.
+    Hosts with no robots row stay crawl-by-default."""
+    inp = str(tmp_path / "in.parquet")
+    rows = []
+    for i in range(12):
+        host = "a.synth.local" if i % 2 == 0 else "b.synth.local"
+        path = f"/private/{i}.html" if i % 3 == 0 else f"/pub/{i}.html"
+        rows.append((f"https://{host}{path}", None, None,
+                     f"doc {i}", "en", None))
+    spark.createDataFrame(rows, schema=schemas.INPUT_SCHEMA) \
+        .write.parquet(inp)
+    robots = str(tmp_path / "robots.parquet")
+    spark.createDataFrame(
+        [("a.synth.local",
+          "User-agent: mybot\nDisallow: /private\n"
+          "User-agent: *\nDisallow: /")],
+        "host string, robots_txt string").write.parquet(robots)
+
+    table = str(tmp_path / "table")
+    out = str(tmp_path / "robots")
+    r = job.main(["--input", inp, "--table", table, "--partitions", "2",
+                  "--robots-filter", out, "--robots-txt", robots,
+                  "--robots-agent", "mybot"], spark=spark)
+    rf = r["robots_filter"]
+    # a.* has even i in 0..11 -> i in {0,6} are /private (blocked);
+    # b.* has no robots row -> all 6 allowed.
+    assert rf == {"agent": "mybot", "hosts_with_rules": 1, "rules": 1,
+                  "docs": 12, "kept": 10, "dropped": 2}
+    kept = spark.read.parquet(f"{out}/filtered")
+    assert kept.count() == 10
+    assert not [u for (u,) in kept.select("url").collect()
+                if "a.synth.local/private" in u]
+    rules = spark.read.parquet(f"{out}/rules").collect()
+    assert [(x["host"], x["allow"], x["pattern"]) for x in rules] == [
+        ("a.synth.local", False, "/private")]
+
+    # flag dependencies are usage errors
+    with pytest.raises(SystemExit):
+        job.main(["--synth", "4", "--table", table,
+                  "--robots-filter", out], spark=spark)
+    with pytest.raises(SystemExit):
+        job.main(["--synth", "4", "--table", table,
+                  "--robots-txt", robots], spark=spark)
+    with pytest.raises(SystemExit):
+        job.main(["--synth", "4", "--table", table,
+                  "--robots-agent", "mybot"], spark=spark)
+
+
 def test_job_neardup_reports_hot_bucket_drops(spark, tmp_path):
     """A planted degenerate corpus (identical docs) run through the job
     --neardup stage must persist + surface nonzero drop counters —
