@@ -226,6 +226,31 @@ def main():
         web_graph_counts["hosts"] = webgraph.host_rank(
             webgraph.host_edges(link_rows), iters=5).count()
 
+    # Crawl-permission gate (RFC 9309): per-host robots bodies over
+    # the same 256 synthetic hosts, parsed once per host, verdict per
+    # distinct url (the corpus-sized leg is the host join + regex
+    # longest-match; rules are host-sized).
+    from ocr_spark.operators import domains as _domains
+    from ocr_spark.functions.expressions import url_host as _url_host
+    robots_df = (html_df.select(_url_host(F.col("url")).alias("host"))
+        .distinct()
+        .withColumn(
+            "robots_txt",
+            F.when(F.pmod(F.xxhash64("host"), F.lit(2)) == 0,
+                   F.lit("User-agent: *\nDisallow: /*7.html$\n"
+                         "Allow: /p\n"))
+            .otherwise(F.lit("User-agent: benchbot\nDisallow: /q\n"
+                             "User-agent: *\nDisallow: /private\n"))))
+    crawl_counts = {}
+
+    @timed("crawl_gate")
+    def _cg():
+        rules = _domains.robots_rules(robots_df, agent="benchbot")
+        gated = _domains.crawl_gate(
+            html_df.select("url"), rules)
+        crawl_counts["allowed"] = gated.filter(
+            F.col("crawl_allowed")).count()
+
     @timed("crosscheck")
     def _cc():
         crosscheck.cross_check(extracted).count()
@@ -642,6 +667,7 @@ def main():
         "png_decode_per_sec": round(n_img / timings["pixel_decode"], 1),
         "web_links_extracted": web_graph_counts.get("links"),
         "web_hosts_ranked": web_graph_counts.get("hosts"),
+        "crawl_allowed": crawl_counts.get("allowed"),
     }))
     spark.stop()
 

@@ -363,6 +363,21 @@ def main() -> None:
                or "ShuffledHashJoin" in p),
           f"BNLJ={'BroadcastNestedLoopJoin' in p}")
 
+    # 8g. Crawl gate (domains.robots_rules -> crawl_gate): the robots
+    #    parse is one Arrow pass; both joins (url->rules on host,
+    #    verdict back onto docs on url) are keyed — never a nested
+    #    loop — and the rules side stays Arrow-fed (MapInPandas), so
+    #    the corpus-sized legs carry ids/urls only.
+    p = plans["crawl_gate"]
+    check("crawl_gate",
+          "Arrow robots parse + keyed host/url joins (no NLJ)",
+          "MapInPandas" in p and "BatchEvalPython" not in p
+          and "BroadcastNestedLoopJoin" not in p
+          and "CartesianProduct" not in p
+          and ("SortMergeJoin" in p or "BroadcastHashJoin" in p
+               or "ShuffledHashJoin" in p),
+          f"MapInPandas={'MapInPandas' in p}, NLJ absent")
+
     # 9. No CartesianProduct anywhere: every join is keyed or broadcast
     #    (the brute-force oracle baselines use broadcast nested loop,
     #    which bounds the big side to one scan).
