@@ -2434,6 +2434,48 @@ SELECT url, al >= dl AS crawl_allowed FROM g ORDER BY url
 """
 
 
+def q_wet_sink(spark, sf_dir):
+    """The distributed WET sink driven end to end: expression-derived
+    pages (url from source+doc_id, the corpus text, the corpus lang)
+    go through the REAL writer — content-addressed md5 segment
+    assignment, per-segment applyInPandas write with sorted rows and
+    mtime-0 gzip members, atomic tmp+replace install — and the query
+    returns the MANIFEST the executors reported. The oracle replays
+    the segment function (md5_hash31 % 8) and the per-segment record/
+    char accounting in SQL, so a bucketing or accounting bug in the
+    writer hash-mismatches. Byte-level round-trip identity and
+    cross-parallelism determinism are pinned by tests/test_warc.py."""
+    import tempfile
+
+    from ocr_spark.sources import warc as warc_mod
+
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("https://"), F.col("source"),
+                 F.lit(".example.org/d/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.to_timestamp(F.lit("2026-03-01 10:00:00")).alias("warc_ts"),
+        F.col("text"), F.col("lang"))
+    out = tempfile.mkdtemp(prefix="wet_sink_")
+    man = warc_mod.write_wet(pages, out, num_segments=8,
+                             bucket_mode="md5")
+    return (man.select("segment", "n_records", "n_chars", "n_skipped")
+            .orderBy("segment"))
+
+
+def _sql_wet_sink() -> str:
+    return r"""
+SELECT cast((('0x' || substr(md5('https://' || source
+         || '.example.org/d/' || cast(doc_id AS varchar)), 1, 8))::bigint
+         & 2147483647) % 8 AS int) AS segment,
+       count(*) FILTER (WHERE text IS NOT NULL)::bigint AS n_records,
+       coalesce(sum(length(text)) FILTER (WHERE text IS NOT NULL),
+                0)::bigint AS n_chars,
+       count(*) FILTER (WHERE text IS NULL)::bigint AS n_skipped
+FROM documents
+GROUP BY segment ORDER BY segment
+"""
+
+
 def q_audio_decode(spark, sf_dir):
     """REAL audio decode at the driver gate: expression-derived RIFF
     WAV payloads (fixed PCM header + 48 md5-derived bytes = 24 mono
@@ -4568,6 +4610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_stats": q_anchor_stats,
         "recrawl_dedup": q_recrawl_dedup,
         "crawl_gate": q_crawl_gate,
+        "wet_sink": q_wet_sink,
         "extract_pipeline_sql": q_extract_pipeline_sql,
         "extract_bank_sql": q_extract_bank_sql,
         "extract_itr_sql": q_extract_itr_sql,
@@ -4671,6 +4714,7 @@ def oracle_sql() -> dict[str, str]:
         "anchor_stats": _sql_anchor_stats(),
         "recrawl_dedup": _sql_recrawl_dedup(),
         "crawl_gate": _sql_crawl_gate(),
+        "wet_sink": _sql_wet_sink(),
         # extract_pipeline / crosscheck_pipeline: non-SQL cascade +
         # pandas-UDF semantics -> rows-only (byte-identical correctness
         # is enforced by the pytest goldens instead).

@@ -313,6 +313,18 @@ def _parse(argv):
                         "clean stage and the quality gates, instead of "
                         "letting the Gopher dup-line gate drop "
                         "line-spam pages whole")
+    p.add_argument("--write-wet", default=None, metavar="DIR",
+                   help="persist the committed snapshot's extracted "
+                        "text as WET segments under DIR/segments "
+                        "(gzip-per-record conversion records, content-"
+                        "addressed url-hash segment assignment, "
+                        "deterministic bytes — sources/warc.write_wet) "
+                        "plus the per-segment manifest parquet under "
+                        "DIR/manifest")
+    p.add_argument("--wet-segments", type=int, default=64, metavar="N",
+                   help="segment-file count for --write-wet (default "
+                        "64; size so one segment is ~1 GB at the "
+                        "target corpus scale)")
     p.add_argument("--outlinks", default=None, metavar="DIR",
                    help="extract the WAT-style link table from the "
                         "INPUT pages' html column (operators/"
@@ -398,6 +410,10 @@ def _parse(argv):
         p.error("--host-rank-iters requires --outlinks")
     if args.host_rank_iters < 1:
         p.error("--host-rank-iters must be >= 1")
+    if args.wet_segments < 1:
+        p.error("--wet-segments must be >= 1")
+    if args.wet_segments != 64 and not args.write_wet:
+        p.error("--wet-segments only applies with --write-wet")
     if (args.lm_ref or args.lm_max_bits is not None) and not args.lm_score:
         p.error("--lm-ref/--lm-max-bits require --lm-score")
     if args.token_sample and args.token_budget is None:
@@ -551,6 +567,38 @@ def main(argv=None, spark=None) -> dict:
             "host_edges": edges.count(),
             "hosts_ranked": spark.read.parquet(
                 f"{args.outlinks}/host_rank").count()}
+
+    if args.write_wet:
+        # Publish the extracted corpus back in the crawl's own
+        # container format: WET conversion records any downstream WET
+        # consumer (including this repo's --warc source) reads
+        # unchanged. Executors write the segment files; the driver
+        # only persists the num_segments-row manifest. Deterministic
+        # bytes (content-addressed segments, sorted rows, mtime-0
+        # gzip) make a re-run or task retry install identical files.
+        from pyspark.sql import functions as F
+
+        from ocr_spark.sources import warc as warc_mod
+        committed = table.read(spark)
+        if committed is not None:
+            pages = committed.select(
+                "url", "warc_ts",
+                F.col("extracted_text").alias("text"), "lang")
+            man = warc_mod.write_wet(pages, f"{args.write_wet}/segments",
+                                     num_segments=args.wet_segments)
+            man.write.mode("overwrite").parquet(
+                f"{args.write_wet}/manifest")
+            man = spark.read.parquet(f"{args.write_wet}/manifest")
+            agg = man.agg(
+                F.count("*").alias("segments"),
+                F.sum("n_records").alias("records"),
+                F.sum("n_bytes").alias("bytes"),
+                F.sum("n_skipped").alias("skipped")).first()
+            summary["write_wet"] = {
+                "segments": int(agg["segments"] or 0),
+                "records": int(agg["records"] or 0),
+                "bytes": int(agg["bytes"] or 0),
+                "skipped": int(agg["skipped"] or 0)}
 
     if args.neardup:
         # Optional curation stage over the whole committed table. The

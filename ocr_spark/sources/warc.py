@@ -385,3 +385,132 @@ def build_warc_bytes(rows: list[dict], gzip_per_record: bool = True) -> bytes:
             rec = _record_bytes(hdrs, r["text"].encode("utf-8"))
         out.append(gzip.compress(rec) if gzip_per_record else rec)
     return b"".join(out)
+
+
+# ---------------- distributed WET sink ----------------
+
+def _wet_record_bytes(url: str, date: str, text: str,
+                      lang: str | None) -> bytes:
+    hdrs = [("WARC-Type", "conversion"),
+            ("WARC-Target-URI", url),
+            ("WARC-Date", date),
+            ("Content-Type", "text/plain")]
+    if lang:
+        hdrs.append(("WARC-Identified-Content-Language", lang))
+    return _record_bytes(hdrs, text.encode("utf-8"))
+
+
+def _gzip_member(raw: bytes) -> bytes:
+    """One gzip member with mtime pinned to 0 and no FNAME field —
+    gzip.compress() stamps the wall clock into the header, which would
+    make two runs of the same job produce different bytes and break
+    the sink's determinism contract."""
+    import io
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+        gz.write(raw)
+    return buf.getvalue()
+
+
+WET_MANIFEST_SCHEMA = ("segment int, path string, n_records long, "
+                       "n_chars long, n_bytes long, n_skipped long, "
+                       "content_md5 string")
+
+
+def write_wet(df, out_dir: str, num_segments: int = 64,
+              bucket_mode: str = "xxhash64",
+              prefix: str = "part"):
+    """Persist the extracted corpus as WET segments — the sink twin of
+    ``read_warc``, closing the crawl round trip (read raw WARC ->
+    extract -> write WET that any WET consumer, including this repo's
+    own source, can read back).
+
+    Input: the north-rule frame (``url``, ``warc_ts``, ``text``,
+    optional ``lang``); every row becomes one ``conversion`` record,
+    each its own gzip member (the Common-Crawl layout ``read_warc``
+    splits on). Returns the MANIFEST DataFrame — one row per segment:
+    (segment, path, n_records, n_chars, n_bytes, n_skipped,
+    content_md5). Rows with a NULL url or NULL text can't be valid WET
+    records; they are counted per segment (``n_skipped``), never
+    silently dropped.
+
+    Scale/determinism design:
+
+      * Segment assignment is ``pmod(hash(url), num_segments)`` —
+        content-addressed, so WHICH file a url lands in is independent
+        of input partitioning, executor count, and task scheduling.
+        ``bucket_mode='md5'`` swaps xxhash64 for the DuckDB-expressible
+        md5_hash31 family so the driver oracle can replay the manifest.
+      * One ``groupBy(segment).applyInPandas`` writes each segment:
+        the shuffle is exactly the write amplification a distributed
+        writer must pay, rows are sorted (url, warc_ts, text) INSIDE
+        the group, and gzip members carry mtime=0 — so segment BYTES
+        are a pure function of corpus content. Re-running the job at
+        any parallelism reproduces identical files (asserted by md5 in
+        tests), which is what makes task retries harmless: writes go
+        to a unique tmp name and ``os.replace`` onto the target, so a
+        retried task atomically installs the same bytes.
+      * Executors write, the driver only collects the tiny manifest
+        (num_segments rows). Size ``num_segments`` so a segment is
+        ~1 GB at the target scale (Common Crawl's own sizing: a 100 TB
+        corpus -> ~10^5 segments), keeping one group ~executor-task
+        sized.
+    """
+    import os as _os
+    import uuid as _uuid
+
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import md5_hash31
+
+    if num_segments < 1:
+        raise ValueError("num_segments must be >= 1")
+    _os.makedirs(out_dir, exist_ok=True)
+    url_c = F.coalesce(F.col("url"), F.lit(""))
+    if bucket_mode == "md5":
+        seg = F.pmod(md5_hash31(url_c), F.lit(num_segments))
+    elif bucket_mode == "xxhash64":
+        seg = F.pmod(F.xxhash64(url_c), F.lit(num_segments))
+    else:
+        raise ValueError(f"unknown bucket_mode: {bucket_mode}")
+
+    cols = ["url", "warc_ts", "text"]
+    lang_col = (F.col("lang") if "lang" in df.columns
+                else F.lit(None).cast("string"))
+    rows = df.select(seg.cast("int").alias("_segment"),
+                     F.col("url"), F.col("warc_ts"),
+                     F.col("text"), lang_col.alias("lang"))
+
+    def write_one(pdf: pd.DataFrame):
+        seg_id = int(pdf["_segment"].iloc[0])
+        _os.makedirs(out_dir, exist_ok=True)  # executor-side (shared fs)
+        ok = pdf[pdf["url"].notna() & pdf["text"].notna()]
+        skipped = len(pdf) - len(ok)
+        ok = ok.sort_values(cols, kind="mergesort", na_position="last")
+        import hashlib
+        h = hashlib.md5()
+        n_chars = 0
+        path = _os.path.join(out_dir, f"{prefix}-{seg_id:05d}.wet.gz")
+        tmp = f"{path}.tmp-{_uuid.uuid4().hex}"
+        with open(tmp, "wb") as fh:
+            for url, ts, text, lang in zip(ok["url"], ok["warc_ts"],
+                                           ok["text"], ok["lang"]):
+                date = (ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+                        if ts is not None and not pd.isna(ts)
+                        else "2026-01-01T00:00:00Z")
+                member = _gzip_member(_wet_record_bytes(
+                    url, date, text,
+                    None if (lang is None or pd.isna(lang)) else lang))
+                fh.write(member)
+                h.update(member)
+                n_chars += len(text)
+        _os.replace(tmp, path)
+        return pd.DataFrame([{
+            "segment": seg_id, "path": path, "n_records": len(ok),
+            "n_chars": n_chars, "n_bytes": _os.path.getsize(path),
+            "n_skipped": skipped, "content_md5": h.hexdigest()}])
+
+    return (rows.groupBy("_segment")
+            .applyInPandas(write_one, schema=WET_MANIFEST_SCHEMA))

@@ -1077,3 +1077,40 @@ def test_job_outlinks_flag_validation(tmp_path):
         job._parse(["--synth", "4", "--table", str(tmp_path / "t"),
                     "--outlinks", str(tmp_path / "ol"),
                     "--host-rank-iters", "0"])
+
+
+def test_job_write_wet_round_trip(spark, tmp_path):
+    inp = str(tmp_path / "in.parquet")
+    rows = synth.generate_rows(24, profile="cc")
+    spark.createDataFrame(rows, schema=schemas.INPUT_SCHEMA) \
+        .repartition(2).write.parquet(inp)
+    table = str(tmp_path / "table")
+    wet = str(tmp_path / "wet")
+
+    r = job.main(["--input", inp, "--table", table, "--partitions", "2",
+                  "--write-wet", wet, "--wet-segments", "3"], spark=spark)
+    assert r["write_wet"]["segments"] == 3
+    assert (r["write_wet"]["records"] + r["write_wet"]["skipped"]
+            == r["committed_rows"])
+
+    # the manifest matches what's actually on disk, and the segments
+    # read back through the repo's own WET source with the committed
+    # extracted text intact
+    from ocr_spark.sources import snapshot as snap
+    from ocr_spark.sources import warc as warc_mod
+    man = spark.read.parquet(f"{wet}/manifest")
+    assert man.count() == 3
+    back = warc_mod.read_warc(spark, f"{wet}/segments") \
+        .filter("url is not null")
+    committed = snap.SnapshotTable(table).read(spark) \
+        .filter("extracted_text is not null")
+    got = {(r.url, r.text) for r in back.select("url", "text").collect()}
+    want = {(r.url, r.extracted_text)
+            for r in committed.collect()}
+    assert got == want
+
+
+def test_job_wet_segments_requires_write_wet(spark, tmp_path):
+    with pytest.raises(SystemExit):
+        job.main(["--synth", "4", "--table", str(tmp_path / "t"),
+                  "--wet-segments", "5"], spark=spark)

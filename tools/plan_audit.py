@@ -378,6 +378,22 @@ def main() -> None:
                or "ShuffledHashJoin" in p),
           f"MapInPandas={'MapInPandas' in p}, NLJ absent")
 
+    # 8h. WET sink (warc.write_wet manifest): exactly ONE exchange —
+    #    the hash partition on the content-addressed segment key, which
+    #    is the write amplification a distributed writer must pay —
+    #    feeding one grouped-Arrow write pass (FlatMapGroupsInPandas);
+    #    no row UDF, no second shuffle, no join.
+    p = plans["wet_sink"]
+    check("wet_sink",
+          "one segment-key exchange into one grouped-Arrow write pass",
+          "FlatMapGroupsInPandas" in p and "BatchEvalPython" not in p
+          # tree lines only (each node also repeats in the detail
+          # section): segment hash + the manifest orderBy, nothing else
+          and p.count("+- Exchange") <= 2
+          and "Join" not in p,
+          f"FlatMapGroupsInPandas={'FlatMapGroupsInPandas' in p}, "
+          f"exchanges={p.count('+- Exchange')}")
+
     # 9. No CartesianProduct anywhere: every join is keyed or broadcast
     #    (the brute-force oracle baselines use broadcast nested loop,
     #    which bounds the big side to one scan).
