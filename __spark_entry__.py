@@ -2476,6 +2476,208 @@ GROUP BY segment ORDER BY segment
 """
 
 
+# ---------------------------------------------------------------------------
+# Sitemap demand + crawl frontier. Three sitemap document shapes per
+# host variant — well-formed urlset (full fields, a clamped priority,
+# a loc-less block that must hit the skip counter), a sitemapindex
+# pointer, and a malformed document only the fallback scan recovers —
+# run through the REAL Arrow parse (domains.sitemap_urls); the oracle
+# hardcodes what each variant must parse to, so any parser drift
+# hash-mismatches. The frontier query replays the published scoring
+# formula (priority x staleness x rank boost) in SQL.
+# ---------------------------------------------------------------------------
+
+_SMAP_NS = 'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"'
+
+
+def _sitemap_inputs(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    host = F.concat(F.col("source"), F.lit(".example.net"))
+    h = F.col("host")
+    v0 = F.concat(
+        F.lit(f'<?xml version="1.0"?><urlset {_SMAP_NS}>'
+              "<url><loc>https://"), h,
+        F.lit("/p1</loc><lastmod>2026-02-10T08:30:00Z</lastmod>"
+              "<changefreq>daily</changefreq>"
+              "<priority>0.8</priority></url>"
+              "<url><loc>https://"), h,
+        F.lit("/p2</loc><priority>3.5</priority></url>"
+              "<url><lastmod>2026-01-01</lastmod></url></urlset>"))
+    v1 = F.concat(
+        F.lit(f"<sitemapindex {_SMAP_NS}><sitemap><loc>https://"), h,
+        F.lit("/s1.xml</loc><lastmod>2026-01-05</lastmod>"
+              "</sitemap></sitemapindex>"))
+    v2 = F.concat(                       # unclosed urlset: fallback path
+        F.lit("<urlset><url><loc>https://"), h,
+        F.lit("/a?x=1&amp;y=2</loc><changefreq>WEEKLY</changefreq>"
+              "</url><url><loc>https://"), h,
+        F.lit("/b</loc><priority>0.4</priority></url>"))
+    v = F.col("srcnum") % 3
+    return (docs.select(host.alias("host"),
+                        F.substring("source", 4, 10).cast("int")
+                        .alias("srcnum")).distinct()
+            .withColumn("sitemap_xml",
+                        F.when(v == 1, v1).when(v == 2, v2)
+                        .otherwise(v0))
+            .drop("srcnum"))
+
+
+def q_sitemap_urls(spark, sf_dir):
+    """sitemaps.org protocol parse over per-host documents through
+    the REAL operator (domains.sitemap_urls, Arrow-batched): urlset
+    field extraction + W3C lastmod + priority clamp, sitemapindex
+    pointers flagged not followed, the malformed-document fallback
+    scan with entity unescape, and the one-bookkeeping-row-per-lossy-
+    host skip counter."""
+    from ocr_spark.operators import domains
+    out = domains.sitemap_urls(_sitemap_inputs(spark, sf_dir))
+    # timestamps cross the compare as strings: a NULL lastmod must
+    # compare as None, and pandas NaT is never equal to itself
+    return (out.withColumn("lastmod",
+                           F.col("lastmod").cast("string"))
+            # NULL boolean surfaces as None vs NaN across engines;
+            # the bookkeeping row compares as false
+            .withColumn("is_index",
+                        F.coalesce(F.col("is_index"), F.lit(False)))
+            .orderBy("host", "loc"))
+
+
+def _sql_sitemap_urls() -> str:
+    return r"""
+WITH h AS (SELECT DISTINCT source || '.example.net' AS host,
+                  cast(substring(source, 4) AS int) % 3 AS v
+           FROM documents)
+SELECT host, loc, lastmod, changefreq, priority, is_index,
+       _sitemap_skipped
+FROM (
+  SELECT host, 'https://' || host || '/p1' AS loc,
+         CAST(TIMESTAMP '2026-02-10 08:30:00' AS varchar) AS lastmod,
+         'daily' AS changefreq, 0.8::double AS priority,
+         false AS is_index, 0 AS _sitemap_skipped
+  FROM h WHERE v = 0
+  UNION ALL
+  SELECT host, 'https://' || host || '/p2', NULL::varchar, NULL, 1.0::double,
+         false, 0 FROM h WHERE v = 0
+  UNION ALL
+  SELECT host, NULL, NULL::varchar, NULL, NULL::double, false, 1
+  FROM h WHERE v = 0
+  UNION ALL
+  SELECT host, 'https://' || host || '/s1.xml',
+         CAST(TIMESTAMP '2026-01-05 00:00:00' AS varchar), NULL, NULL,
+         true, 0
+  FROM h WHERE v = 1
+  UNION ALL
+  SELECT host, 'https://' || host || '/a?x=1&y=2', NULL::varchar,
+         'weekly',
+         NULL, false, 0 FROM h WHERE v = 2
+  UNION ALL
+  SELECT host, 'https://' || host || '/b', NULL, NULL, 0.4::double,
+         false, 0 FROM h WHERE v = 2
+) ORDER BY host, loc
+"""
+
+
+def _frontier_inputs(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    host = F.concat(F.col("source"), F.lit(".example.net"))
+    entries = docs.select(
+        host.alias("host"),
+        F.concat(F.lit("https://"), host, F.lit("/d/"),
+                 i.cast("string")).alias("loc"),
+        F.when(i % 4 == 1, F.to_timestamp(F.lit("2026-02-10 00:00:00")))
+         .when(i % 4 == 2, F.to_timestamp(F.lit("2026-01-01 00:00:00")))
+         .otherwise(F.lit(None).cast("timestamp")).alias("lastmod"),
+        F.when(i % 5 == 0, F.lit("daily"))
+         .when(i % 5 == 1, F.lit("yearly"))
+         .when(i % 5 == 3, F.lit("hourly"))
+         .when(i % 5 == 4, F.lit("never"))   # not in the hour table
+         .otherwise(F.lit(None).cast("string")).alias("changefreq"),
+        F.when(i % 3 == 1, F.lit(0.25))
+         .when(i % 3 == 2, F.lit(1.0))
+         .otherwise(F.lit(None).cast("double")).alias("priority"),
+        (i % 11 == 0).alias("is_index"))
+    state = (docs.filter(F.col("doc_id") % 3 != 0)
+             .select(F.concat(F.lit("https://"), host, F.lit("/d/"),
+                              i.cast("string")).alias("url"),
+                     F.when(i % 2 == 0,
+                            F.to_timestamp(F.lit("2026-02-01 00:00:00")))
+                     .otherwise(
+                         F.to_timestamp(F.lit("2026-01-20 00:00:00")))
+                     .alias("fetched_ts")))
+    ranks = (docs.select(host.alias("host"),
+                         F.substring("source", 4, 10).cast("int")
+                         .alias("srcnum")).distinct()
+             .select("host", ((F.col("srcnum") % 7) / F.lit(8.0))
+                     .alias("rank")))
+    return entries, state, ranks
+
+
+def q_crawl_frontier(spark, sf_dir):
+    """Refetch scheduling through the REAL operator
+    (domains.crawl_frontier): sitemap demand x crawl state x host
+    rank. Fixtures plant every staleness branch — never fetched,
+    lastmod-after-fetch, fresher-than-changefreq, staler-than-
+    changefreq, the 'never'/unknown fallback interval — plus index
+    rows that must be excluded and exact-binary priorities/ranks so
+    the score arithmetic is bit-replayable in SQL."""
+    from ocr_spark.operators import domains
+    entries, state, ranks = _frontier_inputs(spark, sf_dir)
+    out = domains.crawl_frontier(entries, state,
+                                 as_of="2026-02-02 00:00:00",
+                                 host_ranks=ranks)
+    # NULL timestamps compare as None-strings (pandas NaT != NaT)
+    return (out.withColumn("lastmod", F.col("lastmod").cast("string"))
+            .withColumn("fetched_ts", F.col("fetched_ts").cast("string"))
+            .orderBy("url"))
+
+
+def _sql_crawl_frontier() -> str:
+    return r"""
+WITH e AS (
+  SELECT source || '.example.net' AS host,
+    'https://' || source || '.example.net/d/' || cast(doc_id AS varchar)
+      AS url,
+    CASE WHEN doc_id % 4 = 1 THEN TIMESTAMP '2026-02-10 00:00:00'
+         WHEN doc_id % 4 = 2 THEN TIMESTAMP '2026-01-01 00:00:00'
+    END AS lastmod,
+    CASE WHEN doc_id % 5 = 0 THEN 'daily'
+         WHEN doc_id % 5 = 1 THEN 'yearly'
+         WHEN doc_id % 5 = 3 THEN 'hourly'
+         WHEN doc_id % 5 = 4 THEN 'never' END AS changefreq,
+    CASE WHEN doc_id % 3 = 1 THEN 0.25::double
+         WHEN doc_id % 3 = 2 THEN 1.0::double END AS priority,
+    CASE WHEN doc_id % 3 <> 0 THEN
+      CASE WHEN doc_id % 2 = 0 THEN TIMESTAMP '2026-02-01 00:00:00'
+           ELSE TIMESTAMP '2026-01-20 00:00:00' END
+    END AS fetched_ts,
+    (cast(substring(source, 4) AS int) % 7) / 8.0 AS rank
+  FROM documents WHERE doc_id % 11 <> 0),
+s AS (
+  SELECT *,
+    CASE WHEN changefreq = 'daily' THEN 24.0
+         WHEN changefreq = 'yearly' THEN 8760.0
+         WHEN changefreq = 'hourly' THEN 1.0
+         ELSE 720.0 END AS freq_h,
+    (date_diff('second', fetched_ts, TIMESTAMP '2026-02-02 00:00:00'))
+      / 3600.0 AS age_h
+  FROM e),
+t AS (
+  SELECT *,
+    CASE WHEN fetched_ts IS NULL THEN 1.0
+         WHEN lastmod IS NOT NULL AND lastmod > fetched_ts THEN 1.0
+         ELSE least(1.0, greatest(0.0, age_h / freq_h))
+    END AS staleness
+  FROM s)
+SELECT url, host, CAST(lastmod AS varchar) AS lastmod, changefreq,
+       priority, CAST(fetched_ts AS varchar) AS fetched_ts, staleness,
+       (coalesce(priority, 0.5) * staleness) * (1.0 + coalesce(rank, 0.0))
+         AS fetch_score,
+       staleness >= 1.0 AS needs_fetch
+FROM t ORDER BY url
+"""
+
+
 def q_audio_decode(spark, sf_dir):
     """REAL audio decode at the driver gate: expression-derived RIFF
     WAV payloads (fixed PCM header + 48 md5-derived bytes = 24 mono
@@ -4611,6 +4813,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_dedup": q_recrawl_dedup,
         "crawl_gate": q_crawl_gate,
         "wet_sink": q_wet_sink,
+        "sitemap_urls": q_sitemap_urls,
+        "crawl_frontier": q_crawl_frontier,
         "extract_pipeline_sql": q_extract_pipeline_sql,
         "extract_bank_sql": q_extract_bank_sql,
         "extract_itr_sql": q_extract_itr_sql,
@@ -4715,6 +4919,8 @@ def oracle_sql() -> dict[str, str]:
         "recrawl_dedup": _sql_recrawl_dedup(),
         "crawl_gate": _sql_crawl_gate(),
         "wet_sink": _sql_wet_sink(),
+        "sitemap_urls": _sql_sitemap_urls(),
+        "crawl_frontier": _sql_crawl_frontier(),
         # extract_pipeline / crosscheck_pipeline: non-SQL cascade +
         # pandas-UDF semantics -> rows-only (byte-identical correctness
         # is enforced by the pytest goldens instead).

@@ -251,6 +251,62 @@ def main():
         crawl_counts["allowed"] = gated.filter(
             F.col("crawl_allowed")).count()
 
+    # Refetch frontier: corpus-sized sitemap demand (one declared
+    # entry per bench page) joined to crawl state (keyed) + host
+    # ranks (broadcast), pure-expression scoring. The host-sized XML
+    # parse is priced by its own oracle/pytest; the leg that scales
+    # with the corpus is this join+score pass.
+    _u = F.xxhash64("url")
+    entries_df = html_df.select(
+        _url_host(F.col("url")).alias("host"),
+        F.col("url").alias("loc"),
+        F.when(F.pmod(_u, F.lit(4)) == 1,
+               F.to_timestamp(F.lit("2026-02-10 00:00:00")))
+         .otherwise(F.lit(None).cast("timestamp")).alias("lastmod"),
+        F.when(F.pmod(_u, F.lit(3)) == 0, F.lit("daily"))
+         .when(F.pmod(_u, F.lit(3)) == 1, F.lit("weekly"))
+         .otherwise(F.lit(None).cast("string")).alias("changefreq"),
+        F.when(F.pmod(_u, F.lit(2)) == 0, F.lit(0.75))
+         .otherwise(F.lit(None).cast("double")).alias("priority"),
+        F.lit(False).alias("is_index"))
+    state_df = (html_df.filter(F.pmod(F.xxhash64("url"), F.lit(3)) != 0)
+                .select(F.col("url"),
+                        F.to_timestamp(F.lit("2026-02-01 00:00:00"))
+                        .alias("fetched_ts")))
+    ranks_df = (html_df.select(_url_host(F.col("url")).alias("host"))
+                .distinct()
+                .withColumn("rank", (F.pmod(F.xxhash64("host"),
+                                            F.lit(64)) / 64.0)))
+    frontier_counts = {}
+
+    @timed("crawl_frontier")
+    def _cf():
+        frontier_counts["due"] = _domains.crawl_frontier(
+            entries_df, state_df, as_of="2026-02-02 00:00:00",
+            host_ranks=ranks_df).filter("needs_fetch").count()
+
+    # WET sink: the real extracted corpus written back in the crawl's
+    # container format (conversion records, gzip-per-record,
+    # content-addressed segments) on tmpfs scratch — the timed leg is
+    # the full distributed write including the segment-key shuffle.
+    from ocr_spark.sources import warc as _warc
+    wet_out = f"/dev/shm/ocr_spark_bench_{os.getpid()}_wet"
+    wet_counts = {}
+
+    @timed("wet_sink")
+    def _ws():
+        shutil.rmtree(wet_out, ignore_errors=True)
+        man = _warc.write_wet(
+            extracted.select("url", "warc_ts",
+                             F.col("extracted_text").alias("text"),
+                             "lang"),
+            wet_out, num_segments=cpus * 2)
+        agg = man.agg(F.sum("n_records").alias("r"),
+                      F.sum("n_bytes").alias("b")).first()
+        wet_counts["records"] = int(agg["r"] or 0)
+        wet_counts["bytes"] = int(agg["b"] or 0)
+    shutil.rmtree(wet_out, ignore_errors=True)
+
     @timed("crosscheck")
     def _cc():
         crosscheck.cross_check(extracted).count()
@@ -668,6 +724,11 @@ def main():
         "web_links_extracted": web_graph_counts.get("links"),
         "web_hosts_ranked": web_graph_counts.get("hosts"),
         "crawl_allowed": crawl_counts.get("allowed"),
+        "frontier_due": frontier_counts.get("due"),
+        "wet_records_written": wet_counts.get("records"),
+        "wet_mb_per_sec": round(
+            wet_counts.get("bytes", 0) / 1e6 / timings["wet_sink"], 1)
+        if timings.get("wet_sink") else None,
     }))
     spark.stop()
 

@@ -177,3 +177,127 @@ def crawl_gate(docs: DataFrame, rules: DataFrame,
                       "left")
             .withColumn(out_col, F.coalesce(verdict, F.lit(True)))
             .drop("_cg_url", "_al", "_dl"))
+
+
+SITEMAP_ENTRIES_SCHEMA = ("host string, loc string, lastmod timestamp, "
+                          "changefreq string, priority double, "
+                          "is_index boolean, _sitemap_skipped int")
+
+
+def sitemap_urls(sitemaps: DataFrame, host_col: str = "host",
+                 text_col: str = "sitemap_xml") -> DataFrame:
+    """Parse per-host sitemap documents (sitemaps.org protocol 0.9)
+    into one row per declared url — the DEMAND side of crawl
+    scheduling, joined against crawl state by ``crawl_frontier``.
+
+    Output: (host, loc, lastmod, changefreq, priority, is_index,
+    _sitemap_skipped). ``is_index`` rows are <sitemapindex> pointers a
+    fetcher must expand — emitted, never followed. Blocks the parser
+    had to drop (no <loc>) ride the same counter contract as the WARC
+    reader: document rows carry 0 and a host whose parse skipped
+    blocks emits ONE bookkeeping row (NULL loc, the count), so
+    SUM(_sitemap_skipped) is the corpus casualty count.
+
+    Arrow-batched mapInPandas, once per host document: sitemap tables
+    are host-sized (~10^7 rows) next to a 10^12-page corpus, the same
+    asymmetry robots_rules exploits."""
+    from ..textlib.sitemaps import parse_sitemap
+
+    cols = ["host", "loc", "lastmod", "changefreq", "priority",
+            "is_index", "_sitemap_skipped"]
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for host, txt in zip(pdf[host_col], pdf[text_col]):
+                if host is None or txt is None:
+                    continue
+                entries, skipped = parse_sitemap(str(txt))
+                if skipped:
+                    out.append((host, None, None, None, None, None,
+                                skipped))
+                for e in entries:
+                    out.append((host, e["loc"], e["lastmod"],
+                                e["changefreq"], e["priority"],
+                                e["is_index"], 0))
+            yield pd.DataFrame(out, columns=cols)
+
+    return sitemaps.select(host_col, text_col).mapInPandas(
+        _parse, schema=SITEMAP_ENTRIES_SCHEMA)
+
+
+# Expected change interval per changefreq, in hours (sitemaps.org
+# enum; 'never'/unknown fall back to monthly — a hint, not a command,
+# per the protocol).
+CHANGEFREQ_HOURS = {"always": 1, "hourly": 1, "daily": 24,
+                    "weekly": 168, "monthly": 720, "yearly": 8760}
+_DEFAULT_FREQ_HOURS = 720
+
+
+def crawl_frontier(entries: DataFrame, state: DataFrame | None,
+                   as_of, host_ranks: DataFrame | None = None) -> DataFrame:
+    """Refetch frontier from sitemap demand × crawl state × host
+    importance: one row per declared (non-index) url with
+    ``needs_fetch`` and a deterministic ``fetch_score`` to order the
+    queue by (Cho & Garcia-Molina 2000 freshness scheduling shape —
+    staleness-proportional refresh — with the site's own priority and
+    the link-graph rank as multipliers).
+
+      staleness  = 1.0 when never fetched, or when the sitemap says
+                   the page changed after the last fetch (lastmod >
+                   fetched_ts); else min(1, age_h / changefreq_h) —
+                   age measured at ``as_of`` (an explicit timestamp:
+                   a frontier must be reproducible, so wall-clock
+                   never enters the plan).
+      fetch_score = coalesce(priority, 0.5)   # sitemaps.org default
+                    * staleness
+                    * (1 + coalesce(host_rank, 0))
+      needs_fetch = staleness >= 1.0
+
+    ``state`` is (url, fetched_ts) — the last successful fetch per
+    url, e.g. max(warc_ts) of the committed snapshot; None = a cold
+    crawl. ``host_ranks`` is webgraph.host_rank's (host, rank).
+
+    Plan shape: two keyed equi-joins (state on url — both sides
+    corpus-keyed; ranks on host — host-sized, broadcastable) and pure
+    expressions; no Python, no window, no driver action."""
+    base = (entries.filter(~F.col("is_index"))
+            .filter(F.col("loc").isNotNull())
+            .select("host", F.col("loc").alias("url"), "lastmod",
+                    "changefreq", "priority"))
+    if state is not None:
+        base = base.join(
+            state.select(F.col("url"), F.col("fetched_ts")),
+            on="url", how="left")
+    else:
+        base = base.withColumn("fetched_ts",
+                               F.lit(None).cast("timestamp"))
+    if host_ranks is not None:
+        base = base.join(F.broadcast(host_ranks.select("host", "rank")),
+                         on="host", how="left")
+    else:
+        base = base.withColumn("rank", F.lit(None).cast("double"))
+
+    freq_h = F.coalesce(
+        *[F.when(F.col("changefreq") == k, F.lit(float(v)))
+          for k, v in CHANGEFREQ_HOURS.items()],
+        F.lit(float(_DEFAULT_FREQ_HOURS)))
+    age_h = (F.unix_timestamp(F.lit(as_of).cast("timestamp"))
+             - F.unix_timestamp(F.col("fetched_ts"))) / 3600.0
+    staleness = (F.when(F.col("fetched_ts").isNull(), F.lit(1.0))
+                 .when(F.col("lastmod").isNotNull()
+                       & (F.col("lastmod") > F.col("fetched_ts")),
+                       F.lit(1.0))
+                 .otherwise(F.least(F.lit(1.0),
+                                    F.greatest(F.lit(0.0),
+                                               age_h / freq_h))))
+    score = (F.coalesce(F.col("priority"), F.lit(0.5))
+             * staleness
+             * (F.lit(1.0) + F.coalesce(F.col("rank"), F.lit(0.0))))
+    return (base
+            .withColumn("staleness", staleness)
+            .withColumn("fetch_score", score)
+            .withColumn("needs_fetch", staleness >= 1.0)
+            .select("url", "host", "lastmod", "changefreq", "priority",
+                    "fetched_ts", "staleness", "fetch_score",
+                    "needs_fetch"))

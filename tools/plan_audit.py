@@ -394,6 +394,32 @@ def main() -> None:
           f"FlatMapGroupsInPandas={'FlatMapGroupsInPandas' in p}, "
           f"exchanges={p.count('+- Exchange')}")
 
+    # 8i. Sitemap parse (domains.sitemap_urls): one Arrow pass per
+    #    host document — never a row UDF — and nothing else: the
+    #    demand table is host-sized, so any join or exchange here
+    #    would be parasitic.
+    p = plans["sitemap_urls"]
+    check("sitemap_urls",
+          "single Arrow parse pass (MapInPandas, no row UDF, no join)",
+          "MapInPandas" in p and "BatchEvalPython" not in p
+          and "Join" not in p,
+          f"MapInPandas={'MapInPandas' in p}")
+
+    # 8j. Crawl frontier (domains.crawl_frontier): the corpus-sized
+    #    state join is keyed, the host-sized rank join broadcasts, the
+    #    scoring is pure codegen (no Python anywhere in the plan).
+    p = plans["crawl_frontier"]
+    check("crawl_frontier",
+          "keyed state join + broadcast rank join, pure-codegen score",
+          "BroadcastHashJoin" in p
+          and ("SortMergeJoin" in p or "ShuffledHashJoin" in p
+               or p.count("BroadcastHashJoin") >= 2)
+          and "BatchEvalPython" not in p and "MapInPandas" not in p
+          and "CartesianProduct" not in p
+          and "BroadcastNestedLoopJoin" not in p,
+          f"BHJ={p.count('BroadcastHashJoin')}, "
+          f"SMJ={'SortMergeJoin' in p}")
+
     # 9. No CartesianProduct anywhere: every join is keyed or broadcast
     #    (the brute-force oracle baselines use broadcast nested loop,
     #    which bounds the big side to one scan).

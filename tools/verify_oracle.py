@@ -41,6 +41,8 @@ def _norm_cell(v):
         return tuple(_norm_cell(x) for x in v)
     if isinstance(v, (list, tuple)):
         return tuple(_norm_cell(x) for x in v)
+    if v is pd.NaT:
+        return None  # NaT != NaT would fail every null-timestamp cell
     if isinstance(v, pd.Timestamp):
         return v.to_pydatetime()
     if isinstance(v, datetime.datetime):
