@@ -415,6 +415,46 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_tfidf_topk(spark, sf_dir):
+    """Per-document top-3 TF-IDF keywords through the REAL operator
+    (textstats.tfidf_topk): landed-token-array explode, (id, term)
+    hash aggregation, smoothed idf (ln((N+1)/(df+1))+1, the
+    scikit-learn formula) off a shared ReusedExchange, deterministic
+    term tiebreak. The oracle replays tokenization, counting, idf and
+    the row_number selection end to end; tfidf rounds to 6dp on both
+    sides so a cross-engine ln() ulp can't flake the compare."""
+    out = textstats.tfidf_topk(_docs(spark, sf_dir), k=3)
+    return (out.select("doc_id", "term", "tf",
+                       F.round("tfidf", 6).alias("tfidf"), "rank")
+            .orderBy("doc_id", "rank"))
+
+
+def _sql_tfidf_topk():
+    return r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(
+           trim(regexp_replace(lower(trim(text)), '[\s\v]+', ' ', 'g')),
+           ' ')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*)::bigint AS tf
+       FROM tok WHERE term <> '' GROUP BY doc_id, term),
+n AS (SELECT count(*) AS n FROM documents),
+idf AS (SELECT term, ln((n + 1)::double / (df + 1)) + 1.0 AS idf
+        FROM (SELECT term, count(*)::bigint AS df FROM tf
+              GROUP BY term), n),
+r AS (SELECT tf.doc_id, tf.term, tf.tf,
+             (tf.tf::double * idf.idf) AS tfidf,
+             row_number() OVER (PARTITION BY tf.doc_id
+                                ORDER BY (tf.tf::double * idf.idf) DESC,
+                                          tf.term) AS rank
+      FROM tf JOIN idf USING (term))
+SELECT doc_id, term, tf, round(tfidf, 6) AS tfidf, cast(rank AS int)
+         AS rank
+FROM r WHERE rank <= 3 ORDER BY doc_id, rank
+"""
+
+
 def q_token_stats(spark, sf_dir):
     """Token counting: whitespace tokens + BPE-ish regex tokens."""
     c = F.col("text")
@@ -4774,6 +4814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "fingerprint": q_fingerprint,
         "token_stats": q_token_stats,
+        "tfidf_topk": q_tfidf_topk,
         "stopword_ratio": q_stopword_ratio,
         "lang_id": q_lang_id,
         "repetition_stats": q_repetition_stats,
@@ -4849,6 +4890,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _sql_dedup_exact(),
         "fingerprint": _sql_fingerprint(),
         "token_stats": _sql_token_stats(),
+        "tfidf_topk": _sql_tfidf_topk(),
         "stopword_ratio": _sql_stopword_ratio(),
         "lang_id": _sql_lang_id(),
         "repetition_stats": _sql_repetition_stats(),

@@ -307,6 +307,13 @@ def main():
         wet_counts["bytes"] = int(agg["b"] or 0)
     shutil.rmtree(wet_out, ignore_errors=True)
 
+    # TF-IDF keywords: corpus-wide DF table + per-doc top-3 selection
+    # over the full bench corpus (the vocabulary explode + two hash
+    # aggregations + WindowGroupLimit top-k are the legs that scale).
+    @timed("tfidf_topk")
+    def _tk():
+        textstats.tfidf_topk(docs, k=3).count()
+
     @timed("crosscheck")
     def _cc():
         crosscheck.cross_check(extracted).count()

@@ -821,3 +821,88 @@ def document_stats(df: DataFrame, text_col: str = "text",
         lang_id(c).alias("lang_guess"),
         fingerprint(c).alias("fingerprint"),
     )
+
+
+def _term_rows(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, term): one row per token occurrence. Same landed-array
+    shape as _bigram_rows — the token array sits in a real column so
+    the normalize+split chain runs once per document, never once per
+    element (the bigram_array Catalyst-inlining pathology). Empty/
+    whitespace-only documents contribute no rows (split('') yields
+    [''], filtered here — the token_count(c)=0 convention)."""
+    return (df.select(F.col(id_col),
+                      tokens(F.col(text_col)).alias("_tok"))
+            .select(F.col(id_col), F.explode("_tok").alias("term"))
+            .filter(F.col("term") != ""))
+
+
+def doc_frequency(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", min_df: int = 1) -> DataFrame:
+    """Corpus document-frequency table: (term, df, idf) over the
+    whitespace tokens of the normalized text, idf smoothed the
+    standard way (scikit-learn TfidfTransformer, public):
+    ``idf = ln((N + 1) / (df + 1)) + 1`` with N = corpus document
+    count — never negative, never divides by zero, and a term in
+    every document still scores > 0.
+
+    Scale shape: one explode → one (term) hash aggregation (map-side
+    partial combine collapses each partition's occurrences first, so
+    the shuffle carries one row per distinct term per partition, not
+    one per token); N rides a 1-row broadcast crossJoin, the
+    host_rank dangling-mass pattern — no driver action, no collect."""
+    per_doc = (_term_rows(df, text_col, id_col)
+               .groupBy("term", id_col).agg(F.lit(1).alias("_one")))
+    dfreq = per_doc.groupBy("term").agg(F.count("*").alias("df"))
+    n = df.agg(F.count("*").alias("_n"))
+    return (dfreq.filter(F.col("df") >= min_df)
+            .crossJoin(F.broadcast(n))
+            .select("term", "df",
+                    (F.log((F.col("_n") + F.lit(1)).cast("double")
+                           / (F.col("df") + F.lit(1)))
+                     + F.lit(1.0)).alias("idf")))
+
+
+def tfidf_topk(df: DataFrame, k: int = 5, text_col: str = "text",
+               id_col: str = "doc_id", min_df: int = 1,
+               materialize_tf: bool = False) -> DataFrame:
+    """Per-document top-k keywords by TF-IDF: (id, term, tf, tfidf,
+    rank), tf = raw in-document term count (Salton & Buckley 1988
+    weighting family; the raw-count variant keeps the score exactly
+    replayable), ties broken by term so the selection is
+    deterministic.
+
+    Scale shape: term counting is one (id, term) hash aggregation;
+    the idf join is keyed on term against the vocabulary-sized DF
+    table (one row per term — a mega-term is fan-in to one row, not
+    a hot join fan-out); top-k is a row_number window partitioned by
+    document that Spark executes with WindowGroupLimit pushdown (the
+    per-partition top-k runs BEFORE the window exchange, so the
+    shuffle carries ≤k rows per document, not the whole vocabulary).
+    Like Spark ML's CountVectorizer→IDF fit/transform pair, the plan
+    tokenizes the corpus twice (the df side aggregates different keys
+    than the tf side, so Catalyst can't reuse the exchange);
+    ``materialize_tf=True`` localCheckpoints the (id, term, tf) frame
+    instead — one scan, at the price of buffering a corpus-sized
+    intermediate (the dedup_resolve trade)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    tf = (_term_rows(df, text_col, id_col)
+          .groupBy(id_col, "term").agg(F.count("*").alias("tf")))
+    if materialize_tf:
+        tf = tf.localCheckpoint()
+    n = df.agg(F.count("*").alias("_n"))
+    dfreq = (tf.groupBy("term").agg(F.count("*").alias("df"))
+             .filter(F.col("df") >= min_df)
+             .crossJoin(F.broadcast(n))
+             .select("term", "df",
+                     (F.log((F.col("_n") + F.lit(1)).cast("double")
+                            / (F.col("df") + F.lit(1)))
+                      + F.lit(1.0)).alias("idf")))
+    scored = (tf.join(dfreq, on="term", how="inner")
+              .select(F.col(id_col), "term", "tf",
+                      (F.col("tf").cast("double") * F.col("idf"))
+                      .alias("tfidf")))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

@@ -1406,3 +1406,51 @@ class TestStreamScrub:
         got = table2.read(spark).first()
         assert "alice@example.org" in got["text"]
         assert got["n_pii_redacted"] == 0
+
+
+class TestTfidf:
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [(1, "Apple banana  APPLE"), (2, "banana cherry"),
+             (3, "   "), (4, "zeta alpha")],
+            "doc_id long, text string")
+
+    def test_doc_frequency_smoothed_idf(self, spark):
+        import math
+
+        from ocr_spark.operators import textstats
+        got = {r.term: (r.df, r.idf) for r in
+               textstats.doc_frequency(self._docs(spark)).collect()}
+        # N = 4 documents (the whitespace-only one still counts in N)
+        assert got["apple"][0] == 1
+        assert got["banana"][0] == 2
+        assert abs(got["apple"][1] - (math.log(5 / 2) + 1)) < 1e-12
+        assert abs(got["banana"][1] - (math.log(5 / 3) + 1)) < 1e-12
+        # empty doc contributes no terms; '' never a term
+        assert "" not in got
+
+    def test_tfidf_topk_scores_and_ties(self, spark):
+        import math
+
+        from ocr_spark.operators import textstats
+        rows = textstats.tfidf_topk(self._docs(spark), k=2).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        # doc 1: apple tf=2 (case-folded), idf=ln(5/2)+1 -> top keyword
+        top1 = sorted(by_doc[1], key=lambda r: r.rank)[0]
+        assert (top1.term, top1.tf) == ("apple", 2)
+        assert abs(top1.tfidf - 2 * (math.log(5 / 2) + 1)) < 1e-12
+        # doc 4: equal tf and equal df -> deterministic term tiebreak
+        assert [r.term for r in sorted(by_doc[4],
+                                       key=lambda r: r.rank)] == \
+            ["alpha", "zeta"]
+        # empty doc emits nothing; k caps per-doc rows
+        assert 3 not in by_doc
+        assert all(len(v) <= 2 for v in by_doc.values())
+
+    def test_tfidf_min_df_drops_rare_terms(self, spark):
+        from ocr_spark.operators import textstats
+        rows = textstats.tfidf_topk(self._docs(spark), k=5,
+                                    min_df=2).collect()
+        assert {r.term for r in rows} == {"banana"}

@@ -420,6 +420,18 @@ def main() -> None:
           f"BHJ={p.count('BroadcastHashJoin')}, "
           f"SMJ={'SortMergeJoin' in p}")
 
+    # 8k. TF-IDF top-k (textstats.tfidf_topk): the top-k window must
+    #    run with WindowGroupLimit pushdown (per-partition top-k
+    #    BEFORE the window exchange — without it the shuffle carries
+    #    the whole per-doc vocabulary), the idf join is keyed/broadcast,
+    #    and the scoring is pure codegen.
+    p = plans["tfidf_topk"]
+    check("tfidf_topk",
+          "WindowGroupLimit pushdown + keyed idf join, no Python",
+          "WindowGroupLimit" in p and "BatchEvalPython" not in p
+          and "MapInPandas" not in p and "CartesianProduct" not in p,
+          f"WindowGroupLimit={'WindowGroupLimit' in p}")
+
     # 9. No CartesianProduct anywhere: every join is keyed or broadcast
     #    (the brute-force oracle baselines use broadcast nested loop,
     #    which bounds the big side to one scan).
