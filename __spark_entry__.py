@@ -455,6 +455,190 @@ FROM r WHERE rank <= 3 ORDER BY doc_id, rank
 """
 
 
+def q_bm25_topk(spark, sf_dir):
+    """BM25 retrieval (Robertson & Zaragoza 2009 eq. 3.15, Lucene
+    non-negative idf) through the REAL operator scoring path
+    (search.bm25_score: one corpus tf aggregation, query terms
+    broadcast so df is computed for query terms only, candidate-only
+    scoring shuffle). Queries are expression-derived on both sides:
+    the first 8 tokens of every doc_id %% 101 == 7 document. The
+    top-5 ranking here orders by the ROUNDED score (6dp) with a
+    doc_id tiebreak on both engines — the corpus contains exact
+    duplicate documents whose float score sums can land ulp-apart
+    cross-engine, and rounding before ranking is what keeps the rank
+    column replayable (the exact-score ranking of bm25_topk is
+    pytest-covered against an independent reference implementation)."""
+    from ocr_spark.operators import search
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    q = d.filter(F.col("doc_id") % 101 == 7).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(textstats.tokens(F.col("text")), 1, 8),
+                     " ").alias("query_text"))
+    scored = (search.bm25_score(d, q)
+              .select("query_id", "doc_id",
+                      F.round("score", 6).alias("score")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .orderBy("query_id", "rank"))
+
+
+def _sql_bm25_topk():
+    return r"""
+WITH norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(trim(text)), '[\s\v]+', ' ', 'g')) AS t
+  FROM documents),
+tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(t, ' ')) AS term
+  FROM norm),
+tf AS (SELECT doc_id, term, count(*)::bigint AS tf
+       FROM tok WHERE term <> '' GROUP BY doc_id, term),
+dl AS (SELECT doc_id,
+              (CASE WHEN t = '' THEN 0
+                    ELSE len(regexp_split_to_array(t, ' ')) END)::bigint AS dl
+       FROM norm),
+meta AS (SELECT count(*)::double AS n, avg(dl)::double AS avgdl FROM dl),
+q AS (SELECT doc_id AS query_id,
+             list_slice(regexp_split_to_array(t, ' '), 1, 8) AS qtok
+      FROM norm WHERE doc_id % 101 = 7),
+qt AS (SELECT DISTINCT query_id, unnest(qtok) AS term FROM q),
+qt2 AS (SELECT query_id, term FROM qt WHERE term <> ''),
+dfq AS (SELECT term, count(*)::bigint AS df FROM tf
+        WHERE term IN (SELECT DISTINCT term FROM qt2) GROUP BY term),
+idf AS (SELECT term,
+               ln(1.0 + (n - df + 0.5) / (df + 0.5)) AS idf, avgdl
+        FROM dfq, meta),
+s AS (SELECT qt2.query_id, tf.doc_id,
+             sum(idf.idf * tf.tf * 2.2
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / idf.avgdl)))
+               AS score
+      FROM tf
+      JOIN qt2 USING (term)
+      JOIN idf USING (term)
+      JOIN dl ON dl.doc_id = tf.doc_id
+      GROUP BY qt2.query_id, tf.doc_id),
+r AS (SELECT query_id, doc_id, round(score, 6) AS score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY round(score, 6) DESC,
+                                          doc_id ASC) AS rank
+      FROM s)
+SELECT query_id, doc_id, score, cast(rank AS int) AS rank
+FROM r WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+_BPE_MERGES = 6
+_BPE_WORD_PATTERN = "^[a-z]+$"
+
+
+def _bpe_iter_ctes(k: int) -> str:
+    """Shared CTE prefix for the BPE oracles: w0 = the training word
+    histogram with initial symbol strings, then k unrolled merge
+    iterations (pair count -> deterministic argmax -> literal
+    replace), exactly the driver loop bpe_train runs — host_rank's
+    unrolled-iteration oracle pattern. The word filter is the same
+    ^[a-z]+$ both engines apply (and is also why the oracle can use
+    codepoint splitting without surrogate-order concerns)."""
+    parts = [r"""w0 AS (
+  SELECT word, cnt,
+         array_to_string(regexp_split_to_array(word, ''), '  ')
+           || '  </w>' AS syms
+  FROM (SELECT term AS word, count(*)::bigint AS cnt
+        FROM (SELECT unnest(regexp_split_to_array(
+                trim(regexp_replace(lower(trim(text)), '[\s\v]+', ' ',
+                                    'g')), ' ')) AS term
+              FROM documents)
+        WHERE term <> '' GROUP BY term)
+  WHERE regexp_matches(word, '^[a-z]+$'))"""]
+    for i in range(1, k + 1):
+        parts.append(f"""p{i} AS (
+  SELECT a[j] AS lhs, a[j + 1] AS rhs, sum(cnt)::bigint AS pc
+  FROM (SELECT cnt, regexp_split_to_array(syms, '  ') AS a FROM w{i - 1}),
+       unnest(range(1, greatest(len(a), 1))) AS t(j)
+  GROUP BY 1, 2),
+m{i} AS (SELECT lhs, rhs, pc FROM p{i}
+         ORDER BY pc DESC, lhs, rhs LIMIT 1),
+w{i} AS (SELECT word, cnt,
+                replace(syms, lhs || '  ' || rhs, lhs || rhs) AS syms
+         FROM w{i - 1}, m{i})""")
+    return ",\n".join(parts)
+
+
+def q_bpe_train(spark, sf_dir):
+    """Distributed BPE tokenizer training (Sennrich et al. 2016)
+    through the REAL driver loop (operators/bpe.bpe_train): one
+    corpus-sized tokenize into the word histogram, then 6 merge
+    iterations over the vocabulary-sized symbols frame — pair explode
+    + hash agg, count-desc/pair-asc argmax, literal two-space-
+    separator replace. The oracle unrolls the same 6 iterations as
+    chained CTEs (the host_rank pattern), so merge choice, tie-break,
+    and overlapping-pair replace semantics are all value-checked."""
+    from ocr_spark.operators import bpe
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    merges = bpe.bpe_train(d, num_merges=_BPE_MERGES,
+                           word_pattern=_BPE_WORD_PATTERN)
+    return bpe.merges_df(spark, merges).orderBy("rank")
+
+
+def _sql_bpe_train():
+    k = _BPE_MERGES
+    union = "\nUNION ALL ".join(
+        f"SELECT {i} AS rank, lhs, rhs, lhs || rhs AS merged, "
+        f"pc AS pair_count FROM m{i}" for i in range(1, k + 1))
+    return (f"WITH {_bpe_iter_ctes(k)}\n"
+            f"SELECT cast(rank AS int) AS rank, lhs, rhs, merged, "
+            f"pair_count FROM ({union}) ORDER BY rank")
+
+
+def q_bpe_encode(spark, sf_dir):
+    """Every document encoded with the 6 learned merges through the
+    pure-expression encoder (operators/bpe.bpe_encode: per-word
+    chained literal replaces in rank order — whole-stage codegen, no
+    Python). Tokens join to one string for the value hash."""
+    from ocr_spark.operators import bpe
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    merges = bpe.bpe_train(d, num_merges=_BPE_MERGES,
+                           word_pattern=_BPE_WORD_PATTERN)
+    out = bpe.bpe_encode(d, merges)
+    return (out.select("doc_id",
+                       F.array_join("bpe_tokens", " ").alias("bpe_text"),
+                       "n_bpe_tokens")
+            .orderBy("doc_id"))
+
+
+def _sql_bpe_encode():
+    k = _BPE_MERGES
+    ms_cols = ", ".join(
+        f"(SELECT lhs || '  ' || rhs FROM m{i}) AS pat{i}, "
+        f"(SELECT lhs || rhs FROM m{i}) AS rep{i}"
+        for i in range(1, k + 1))
+    applied = "array_to_string(regexp_split_to_array(w, ''), '  ')" \
+              " || '  </w>'"
+    for i in range(1, k + 1):
+        applied = f"replace({applied}, pat{i}, rep{i})"
+    return (f"WITH {_bpe_iter_ctes(k)},\n"
+            f"ms AS (SELECT {ms_cols}),\n"
+            r"""docw AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(
+           trim(regexp_replace(lower(trim(text)), '[\s\v]+', ' ', 'g')),
+           ' '), w -> w <> '') AS words
+  FROM documents),
+enc AS (
+  SELECT doc_id,
+         array_to_string(list_transform(words, w -> """
+            + applied + r"""), '  ') AS enc_syms
+  FROM docw, ms)
+SELECT doc_id,
+       replace(enc_syms, '  ', ' ') AS bpe_text,
+       cast(CASE WHEN enc_syms = '' THEN 0
+                 ELSE len(regexp_split_to_array(enc_syms, '  ')) END
+            AS int) AS n_bpe_tokens
+FROM enc ORDER BY doc_id""")
+
+
 def q_token_stats(spark, sf_dir):
     """Token counting: whitespace tokens + BPE-ish regex tokens."""
     c = F.col("text")
@@ -2617,6 +2801,102 @@ FROM (
 """
 
 
+def _feed_inputs(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    host = F.concat(F.col("source"), F.lit(".example.net"))
+    h = F.col("host")
+    v0 = F.concat(                       # RSS 2.0
+        F.lit('<?xml version="1.0"?><rss version="2.0" '
+              'xmlns:atom="http://www.w3.org/2005/Atom"><channel>'
+              "<title>chan</title>"
+              "<item><title>First &amp; best</title><link>https://"), h,
+        F.lit("/r1</link>"
+              "<pubDate>Mon, 10 Feb 2026 08:30:00 GMT</pubDate></item>"
+              '<item><atom:link href="https://'), h,
+        F.lit('/self" rel="self"/><link>https://'), h,
+        F.lit("/r2</link><pubDate>10 Feb 26 01:02:03 -0530</pubDate>"
+              "</item>"
+              "<item><title>linkless</title></item>"
+              "</channel></rss>"))
+    v1 = F.concat(                       # Atom 1.0
+        F.lit('<feed xmlns="http://www.w3.org/2005/Atom">'
+              '<entry><title>alt wins</title>'
+              '<link rel="enclosure" href="https://'), h,
+        F.lit('/media.mp3"/><link rel="alternate" href="https://'), h,
+        F.lit('/x"/><updated>2026-02-10T08:30:00Z</updated></entry>'
+              '<entry><link href="https://'), h,
+        F.lit('/y"/><published>2026-01-05</published></entry>'
+              "<entry><title>no link</title></entry></feed>"))
+    v2 = F.concat(                       # unclosed rss: fallback path
+        F.lit("<rss><channel><item><title>tail &amp; co</title>"
+              "<link>https://"), h,
+        F.lit("/m1</link>"
+              "<pubDate>Tue, 10 Feb 2026 08:00:00 EST</pubDate></item>"
+              "<item><title>still linkless</title></item>"))
+    v = F.col("srcnum") % 3
+    return (docs.select(host.alias("host"),
+                        F.substring("source", 4, 10).cast("int")
+                        .alias("srcnum")).distinct()
+            .withColumn("feed_xml",
+                        F.when(v == 1, v1).when(v == 2, v2)
+                        .otherwise(v0))
+            .drop("srcnum"))
+
+
+def q_feed_urls(spark, sf_dir):
+    """RSS 2.0 / Atom 1.0 feed parse over per-host documents through
+    the REAL operator (domains.feed_urls, Arrow-batched): RSS link
+    selection that an extension <atom:link rel=self> must not shadow,
+    RFC 822 pubDate (named zones, numeric offsets, 2-digit years),
+    Atom rel=alternate precedence with the first-other-rel fallback,
+    RFC 3339 updated/published, entity unescape, the malformed-feed
+    fallback scan, and the one-bookkeeping-row-per-lossy-host skip
+    counter."""
+    from ocr_spark.operators import domains
+    out = domains.feed_urls(_feed_inputs(spark, sf_dir))
+    return (out.withColumn("lastmod", F.col("lastmod").cast("string"))
+            .orderBy("host", "loc"))
+
+
+def _sql_feed_urls() -> str:
+    return r"""
+WITH h AS (SELECT DISTINCT source || '.example.net' AS host,
+                  cast(substring(source, 4) AS int) % 3 AS v
+           FROM documents)
+SELECT host, loc, lastmod, title, _feed_skipped
+FROM (
+  SELECT host, 'https://' || host || '/r1' AS loc,
+         CAST(TIMESTAMP '2026-02-10 08:30:00' AS varchar) AS lastmod,
+         'First & best' AS title, 0 AS _feed_skipped
+  FROM h WHERE v = 0
+  UNION ALL
+  SELECT host, 'https://' || host || '/r2',
+         CAST(TIMESTAMP '2026-02-10 06:32:03' AS varchar), NULL, 0
+  FROM h WHERE v = 0
+  UNION ALL
+  SELECT host, NULL, NULL, NULL, 1 FROM h WHERE v = 0
+  UNION ALL
+  SELECT host, 'https://' || host || '/x',
+         CAST(TIMESTAMP '2026-02-10 08:30:00' AS varchar),
+         'alt wins', 0
+  FROM h WHERE v = 1
+  UNION ALL
+  SELECT host, 'https://' || host || '/y',
+         CAST(TIMESTAMP '2026-01-05 00:00:00' AS varchar), NULL, 0
+  FROM h WHERE v = 1
+  UNION ALL
+  SELECT host, NULL, NULL, NULL, 1 FROM h WHERE v = 1
+  UNION ALL
+  SELECT host, 'https://' || host || '/m1',
+         CAST(TIMESTAMP '2026-02-10 13:00:00' AS varchar),
+         'tail & co', 0
+  FROM h WHERE v = 2
+  UNION ALL
+  SELECT host, NULL, NULL, NULL, 1 FROM h WHERE v = 2
+) ORDER BY host, loc
+"""
+
+
 def _frontier_inputs(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     i = F.col("doc_id")
@@ -4739,6 +5019,82 @@ ORDER BY norm.doc_id
 """
 
 
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet's head/middle/tail corpus split (Wenzek et al. 2020
+    §4.4) through the REAL chain: lm_quality scores every document
+    against the doc_id%%5==0 reference slice, then ccnet_buckets
+    computes PER-LANGUAGE exact score terciles (one aggregation —
+    Spark percentile interpolates at rank p*(n-1), bit-identical to
+    DuckDB quantile_cont, probed) broadcast back onto the corpus.
+    Unscoreable rows keep a NULL bucket."""
+    from ocr_spark.operators import lmscore
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    scored = lmscore.lm_quality(d.select("doc_id", "text"),
+                                d.filter(F.col("doc_id") % 5 == 0)
+                                .select("doc_id", "text"))
+    scored = scored.join(d.select("doc_id", "lang"), "doc_id")
+    out = lmscore.ccnet_buckets(scored, lang_col="lang", exact=True)
+    return (out.select("doc_id", "lang", "bits_per_char",
+                       F.round("cut_head", 6).alias("cut_head"),
+                       F.round("cut_tail", 6).alias("cut_tail"),
+                       "bucket")
+            .orderBy("doc_id"))
+
+
+def _sql_ccnet_buckets():
+    # The lm_quality replay (see _sql_lm_quality) extended with
+    # per-language quantile_cont cutoffs and the head/middle/tail
+    # label; bucket comparisons run on the same 6dp-rounded scores
+    # both engines produce.
+    return r"""
+WITH norm AS (
+  SELECT doc_id,
+         regexp_replace(lower(trim(text)), '[\s\v]+', ' ', 'g') AS t
+  FROM documents),
+refgrams AS (
+  SELECT substr(t, i, 3) AS gram
+  FROM norm, unnest(range(1, greatest(length(t) - 1, 1))) AS u(i)
+  WHERE doc_id % 5 = 0),
+gcnt AS (SELECT gram, count(*) AS cnt FROM refgrams GROUP BY gram),
+ccnt AS (SELECT substr(gram, 1, 2) AS ctx, sum(cnt) AS ctx_cnt
+         FROM gcnt GROUP BY 1),
+vocab AS (
+  SELECT count(DISTINCT ch) AS v
+  FROM (SELECT unnest(str_split(t, '')) AS ch FROM norm
+        WHERE doc_id % 5 = 0)
+  WHERE ch <> ''),
+docgrams AS (
+  SELECT doc_id, substr(t, i, 3) AS gram
+  FROM norm, unnest(range(1, greatest(length(t) - 1, 1))) AS u(i)),
+lmscored AS (
+  SELECT d.doc_id,
+         (coalesce(g.cnt, 0) + 1)::double
+           / (coalesce(c.ctx_cnt, 0) + (SELECT v FROM vocab)) AS p
+  FROM docgrams d
+  LEFT JOIN gcnt g USING (gram)
+  LEFT JOIN ccnt c ON substr(d.gram, 1, 2) = c.ctx),
+agg AS (
+  SELECT doc_id, round(avg(-log2(p)), 6) AS bits_per_char
+  FROM lmscored GROUP BY doc_id),
+withlang AS (
+  SELECT d.doc_id, d.lang, agg.bits_per_char
+  FROM documents d LEFT JOIN agg USING (doc_id)),
+cuts AS (
+  SELECT lang,
+         quantile_cont(bits_per_char,
+                       [0.3333333333333333, 0.6666666666666666]) AS c
+  FROM withlang WHERE bits_per_char IS NOT NULL GROUP BY lang)
+SELECT w.doc_id, w.lang, w.bits_per_char,
+       round(c[1], 6) AS cut_head, round(c[2], 6) AS cut_tail,
+       CASE WHEN w.bits_per_char IS NULL OR c[1] IS NULL THEN NULL
+            WHEN w.bits_per_char <= c[1] THEN 'head'
+            WHEN w.bits_per_char <= c[2] THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM withlang w LEFT JOIN cuts USING (lang)
+ORDER BY w.doc_id
+"""
+
+
 def q_token_sample(spark, sf_dir):
     """Deterministic token-budget sampling: keep documents in salted-
     hash order until 10k tokens of mass precede — through the REAL
@@ -4774,6 +5130,39 @@ def _sql_token_sample():
     return f"""
 WITH {_SQL_RANK_CUMSUM_CTE}
 SELECT doc_id, n AS n_tokens FROM w WHERE before < 10000
+ORDER BY doc_id
+"""
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Training-mix assembly (Pile/Dolma practice): a 6k-token corpus
+    split en:de:fr = 2:1:1 through the REAL bucketed mixture sampler
+    (per-(group,bucket) aggregation, driver prefix per group,
+    boundary-bucket-only windows; md5 rank family). The oracle
+    replays the per-group GLOBAL window cumsum with per-group budgets
+    — which the bucketed path must match bit-for-bit. zh/es carry no
+    weight and must vanish."""
+    from ocr_spark.operators import sampling
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    out = sampling.mixture_sample(
+        d, {"en": 2.0, "de": 1.0, "fr": 1.0}, 6_000, hash_mode="md5")
+    return (out.select("doc_id", "lang",
+                       textstats.token_count(F.col("text"))
+                       .alias("n_tokens"))
+            .orderBy("doc_id"))
+
+
+def _sql_mixture_sample():
+    return f"""
+WITH t AS (SELECT doc_id, lang, {_SQL_TOK_EXPR} AS n,
+                  md5(doc_id || '#0') AS key FROM documents
+           WHERE lang IN ('en', 'de', 'fr')),
+w AS (SELECT doc_id, lang, n,
+        coalesce(sum(n) OVER (PARTITION BY lang ORDER BY key, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+      FROM t)
+SELECT doc_id, lang, n AS n_tokens FROM w
+WHERE before < CASE lang WHEN 'en' THEN 3000 ELSE 1500 END
 ORDER BY doc_id
 """
 
@@ -4815,6 +5204,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "token_stats": q_token_stats,
         "tfidf_topk": q_tfidf_topk,
+        "bm25_topk": q_bm25_topk,
+        "bpe_train": q_bpe_train,
+        "bpe_encode": q_bpe_encode,
+        "ccnet_buckets": q_ccnet_buckets,
+        "feed_urls": q_feed_urls,
+        "mixture_sample": q_mixture_sample,
         "stopword_ratio": q_stopword_ratio,
         "lang_id": q_lang_id,
         "repetition_stats": q_repetition_stats,
@@ -4891,6 +5286,12 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": _sql_fingerprint(),
         "token_stats": _sql_token_stats(),
         "tfidf_topk": _sql_tfidf_topk(),
+        "bm25_topk": _sql_bm25_topk(),
+        "bpe_train": _sql_bpe_train(),
+        "bpe_encode": _sql_bpe_encode(),
+        "ccnet_buckets": _sql_ccnet_buckets(),
+        "feed_urls": _sql_feed_urls(),
+        "mixture_sample": _sql_mixture_sample(),
         "stopword_ratio": _sql_stopword_ratio(),
         "lang_id": _sql_lang_id(),
         "repetition_stats": _sql_repetition_stats(),

@@ -314,6 +314,39 @@ def main():
     def _tk():
         textstats.tfidf_topk(docs, k=3).count()
 
+    # BM25 retrieval: 64 expression-derived queries against the full
+    # bench corpus through the real operator (corpus tf aggregation +
+    # broadcast query terms + candidate-only scoring shuffle + top-k
+    # WindowGroupLimit) — the legs that scale with the corpus.
+    from ocr_spark.operators import search as _search
+    bm25_q = (docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(311)) == 7)
+              .select(F.col("doc_id").alias("query_id"),
+                      F.array_join(
+                          F.slice(textstats.tokens(F.col("text")), 1, 8),
+                          " ").alias("query_text"))
+              .limit(64))
+
+    @timed("bm25_search")
+    def _bm():
+        _search.bm25_topk(docs, bm25_q, k=10).count()
+
+    # BPE tokenizer: train 24 merges on the corpus word histogram
+    # (the one corpus-sized pass is the tokenize+count; every merge
+    # iteration is vocabulary-sized), then Arrow-encode the whole
+    # corpus with the learned table — the two legs that scale.
+    from ocr_spark.operators import bpe as _bpe
+    bpe_state = {}
+
+    @timed("bpe_train")
+    def _bt():
+        bpe_state["merges"] = _bpe.bpe_train(
+            docs, num_merges=24, word_pattern="^[a-z]+$")
+
+    @timed("bpe_encode")
+    def _be():
+        _bpe.bpe_encode_arrow(docs, bpe_state["merges"]) \
+            .agg(F.sum("n_bpe_tokens")).collect()
+
     @timed("crosscheck")
     def _cc():
         crosscheck.cross_check(extracted).count()

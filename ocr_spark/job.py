@@ -86,6 +86,22 @@ import json
 import sys
 
 
+def _parse_mix_weights(spec: str | None) -> dict[str, float] | None:
+    """'en=2,de=1' -> {'en': 2.0, 'de': 1.0}; None/invalid -> raises
+    ValueError (the CLI layer converts that to a usage error)."""
+    if not spec:
+        raise ValueError("empty --mix-weights")
+    weights = {}
+    for kv in spec.split(","):
+        g, _, w = kv.partition("=")
+        if not _ or not g.strip():
+            raise ValueError(f"bad pair {kv!r}")
+        weights[g.strip()] = float(w)
+    if any(w < 0 for w in weights.values()) or sum(weights.values()) <= 0:
+        raise ValueError("weights must be non-negative, positive sum")
+    return weights
+
+
 def _parse(argv):
     p = argparse.ArgumentParser(description="ocr_spark batch extraction job")
     src = p.add_mutually_exclusive_group(required=False)
@@ -205,6 +221,21 @@ def _parse(argv):
                         "and persist it under DIR with a one-row report")
     p.add_argument("--token-budget", type=int, default=None, metavar="N",
                    help="token budget for --token-sample")
+    p.add_argument("--mixture", default=None, metavar="DIR",
+                   help="cut a training-mix subcorpus of the committed "
+                        "snapshot (operators/sampling.mixture_sample): "
+                        "per-group token budgets proportional to "
+                        "--mix-weights within --mix-budget total, "
+                        "groups taken from --mix-group; sample + "
+                        "per-group report persist under DIR")
+    p.add_argument("--mix-weights", default=None, metavar="SPEC",
+                   help="comma list g=w for --mixture, e.g. "
+                        "'en=2,de=1,fr=1' — groups not named are "
+                        "DROPPED (the mix is the spec)")
+    p.add_argument("--mix-budget", type=int, default=None, metavar="N",
+                   help="total token budget for --mixture")
+    p.add_argument("--mix-group", default="lang", metavar="COL",
+                   help="grouping column for --mixture (default lang)")
     p.add_argument("--sample-salt", type=int, default=0,
                    help="salt for --token-sample's hash order (a "
                         "different salt draws a different sample)")
@@ -218,6 +249,11 @@ def _parse(argv):
                         "--lm-score model on (column text or "
                         "extracted_text); default: the committed "
                         "snapshot itself (self-scoring flags outliers)")
+    p.add_argument("--lm-buckets", action="store_true",
+                   help="with --lm-score: also persist the CCNet "
+                        "head/middle/tail split (per-language exact-"
+                        "tercile cutoffs via a mergeable percentile "
+                        "sketch) under DIR/buckets")
     p.add_argument("--lm-max-bits", type=float, default=None,
                    help="with --lm-score, also persist the corpus "
                         "filtered to documents scoring <= this many "
@@ -325,6 +361,30 @@ def _parse(argv):
                    help="segment-file count for --write-wet (default "
                         "64; size so one segment is ~1 GB at the "
                         "target corpus scale)")
+    p.add_argument("--bm25-index", default=None, metavar="DIR",
+                   help="build an on-disk BM25 inverted index over the "
+                        "committed snapshot's extracted text "
+                        "(operators/search.bm25_write_index): postings "
+                        "and term dictionary partitioned by term-hash "
+                        "bucket under DIR, so a search prunes to the "
+                        "buckets its query terms hash to")
+    p.add_argument("--bm25-buckets", type=int, default=64, metavar="N",
+                   help="term-hash bucket count for --bm25-index "
+                        "(default 64)")
+    p.add_argument("--bm25-query", action="append", default=None,
+                   metavar="TEXT",
+                   help="run a BM25 top-10 search for TEXT against the "
+                        "--bm25-index just built (repeatable; results "
+                        "land under DIR/hits)")
+    p.add_argument("--bpe-train", default=None, metavar="DIR",
+                   help="train a BPE tokenizer on the committed "
+                        "snapshot's extracted text (operators/bpe: "
+                        "corpus-sized word histogram, vocabulary-sized "
+                        "merge iterations), persist the merge table "
+                        "under DIR/merges, and Arrow-encode the corpus "
+                        "to per-doc BPE token counts under DIR/encoded")
+    p.add_argument("--bpe-merges", type=int, default=256, metavar="K",
+                   help="merge count for --bpe-train (default 256)")
     p.add_argument("--outlinks", default=None, metavar="DIR",
                    help="extract the WAT-style link table from the "
                         "INPUT pages' html column (operators/"
@@ -403,6 +463,16 @@ def _parse(argv):
         p.error("--robots-agent requires --robots-filter")
     if args.c4_bad_words is not None and not args.c4_filter:
         p.error("--c4-bad-words requires --c4-filter")
+    if args.bpe_merges < 1:
+        p.error("--bpe-merges must be >= 1")
+    if args.bpe_merges != 256 and not args.bpe_train:
+        p.error("--bpe-merges only applies with --bpe-train")
+    if args.bm25_buckets < 1:
+        p.error("--bm25-buckets must be >= 1")
+    if args.bm25_buckets != 64 and not args.bm25_index:
+        p.error("--bm25-buckets only applies with --bm25-index")
+    if args.bm25_query and not args.bm25_index:
+        p.error("--bm25-query requires --bm25-index")
     if args.outlinks and not has_source:
         p.error("--outlinks reads the INPUT pages' html and needs an "
                 "input source (--input/--warc/--synth)")
@@ -414,8 +484,23 @@ def _parse(argv):
         p.error("--wet-segments must be >= 1")
     if args.wet_segments != 64 and not args.write_wet:
         p.error("--wet-segments only applies with --write-wet")
-    if (args.lm_ref or args.lm_max_bits is not None) and not args.lm_score:
-        p.error("--lm-ref/--lm-max-bits require --lm-score")
+    if ((args.lm_ref or args.lm_max_bits is not None or args.lm_buckets)
+            and not args.lm_score):
+        p.error("--lm-ref/--lm-max-bits/--lm-buckets require --lm-score")
+    if args.mixture and not (args.mix_weights and args.mix_budget):
+        p.error("--mixture requires --mix-weights and --mix-budget")
+    if ((args.mix_weights or args.mix_budget is not None
+         or args.mix_group != "lang") and not args.mixture):
+        p.error("--mix-weights/--mix-budget/--mix-group require "
+                "--mixture")
+    if args.mixture:
+        try:
+            mw = _parse_mix_weights(args.mix_weights)
+        except ValueError:
+            mw = None
+        if not mw:
+            p.error("--mix-weights must be a comma list of g=w pairs "
+                    "with non-negative weights and a positive sum")
     if args.token_sample and args.token_budget is None:
         p.error("--token-sample requires --token-budget")
     if args.token_budget is not None and not args.token_sample:
@@ -599,6 +684,68 @@ def main(argv=None, spark=None) -> dict:
                 "records": int(agg["records"] or 0),
                 "bytes": int(agg["bytes"] or 0),
                 "skipped": int(agg["skipped"] or 0)}
+
+    if args.bm25_index:
+        # Inverted-index layer over the committed extraction output:
+        # postings/terms partitioned by term-hash bucket (file-level
+        # prune at search time), meta as one row. Searches, if asked,
+        # run against the on-disk layout — the same path a separate
+        # search job would take — never against the in-session frames.
+        from pyspark.sql import functions as F
+
+        from ocr_spark.operators import search as search_mod
+        committed = table.read(spark)
+        if committed is not None:
+            corpus = committed.select(
+                "url", F.col("extracted_text").alias("text"))
+            search_mod.bm25_write_index(
+                corpus, args.bm25_index, buckets=args.bm25_buckets,
+                id_col="url")
+            meta = spark.read.parquet(f"{args.bm25_index}/meta").first()
+            summary["bm25_index"] = {
+                "docs": int(meta["n_docs"]),
+                "avgdl": round(float(meta["avgdl"] or 0.0), 2),
+                "buckets": args.bm25_buckets}
+            if args.bm25_query:
+                queries = spark.createDataFrame(
+                    list(enumerate(args.bm25_query)),
+                    "query_id int, query_text string")
+                hits = search_mod.bm25_search_index(
+                    spark, args.bm25_index, queries, k=10,
+                    buckets=args.bm25_buckets, id_col="url")
+                hits.write.mode("overwrite").parquet(
+                    f"{args.bm25_index}/hits")
+                summary["bm25_index"]["queries"] = len(args.bm25_query)
+                summary["bm25_index"]["hits"] = spark.read.parquet(
+                    f"{args.bm25_index}/hits").count()
+
+    if args.bpe_train:
+        # Tokenizer layer: the merge table is the persistable artifact
+        # (what a training run ships alongside the corpus); the encode
+        # pass runs the Arrow production path — the expression encoder
+        # is for bounded oracle-able tables, not 256-merge jobs.
+        from pyspark.sql import functions as F
+
+        from ocr_spark.operators import bpe as bpe_mod
+        committed = table.read(spark)
+        if committed is not None:
+            corpus = committed.select(
+                "url", F.col("extracted_text").alias("text"))
+            merges = bpe_mod.bpe_train(
+                corpus, num_merges=args.bpe_merges, id_col="url")
+            bpe_mod.merges_df(spark, merges).write.mode(
+                "overwrite").parquet(f"{args.bpe_train}/merges")
+            encoded = bpe_mod.bpe_encode_arrow(corpus, merges,
+                                               id_col="url")
+            encoded.select("url", "n_bpe_tokens").write.mode(
+                "overwrite").parquet(f"{args.bpe_train}/encoded")
+            enc = spark.read.parquet(f"{args.bpe_train}/encoded")
+            agg = enc.agg(F.count("*").alias("docs"),
+                          F.sum("n_bpe_tokens").alias("toks")).first()
+            summary["bpe_train"] = {
+                "merges": len(merges),
+                "docs_encoded": int(agg["docs"]),
+                "bpe_tokens": int(agg["toks"] or 0)}
 
     if args.neardup:
         # Optional curation stage over the whole committed table. The
@@ -1025,6 +1172,25 @@ def main(argv=None, spark=None) -> dict:
                     f"{args.lm_score}/filtered").count()
                 summary["lm_score"]["kept"] = n_kept
                 summary["lm_score"]["dropped"] = int(r["docs"]) - n_kept
+            if args.lm_buckets:
+                # CCNet head/middle/tail split over the same signals
+                # (per-language when the snapshot carries lang);
+                # sketch-based cutoffs — the corpus-scale path.
+                lang_col = "lang" if "lang" in committed.columns else None
+                scored = signals
+                if lang_col:
+                    scored = signals.join(
+                        committed.select("url", "lang"), "url")
+                buckets = lmscore.ccnet_buckets(scored,
+                                                lang_col=lang_col)
+                buckets.write.mode("overwrite").parquet(
+                    f"{args.lm_score}/buckets")
+                counts = {b["bucket"] or "unscored": b["n"]
+                          for b in spark.read.parquet(
+                              f"{args.lm_score}/buckets")
+                          .groupBy("bucket")
+                          .agg(F.count("*").alias("n")).collect()}
+                summary["lm_score"]["buckets"] = counts
 
     if args.pii_scrub:
         # Dolma-style PII redaction (operators/scrub.py): the scrubbed
@@ -1126,6 +1292,37 @@ def main(argv=None, spark=None) -> dict:
                 "salt": args.sample_salt,
                 **{k: int(r[k]) for k in ("total_docs", "total_tokens",
                                           "kept_docs", "kept_tokens")}}
+
+    if args.mixture:
+        # Training-mix assembly over the committed snapshot: the
+        # spec'd groups sampled to their token shares, everything
+        # else dropped; the per-group report is the audit trail for
+        # under-filled groups (never silently rebalanced).
+        from ocr_spark.operators import sampling
+        committed = table.read(spark)
+        if committed is not None:
+            group_col = args.mix_group
+            if group_col not in committed.columns:
+                raise ValueError(
+                    f"--mix-group {group_col!r} is not a column of the "
+                    f"committed table ({committed.columns})")
+            sample, report = sampling.mixture_sample(
+                committed, _parse_mix_weights(args.mix_weights),
+                args.mix_budget,
+                group_col=group_col, text_col="extracted_text",
+                id_col="url", salt=args.sample_salt,
+                return_report=True)
+            sample.write.mode("overwrite").parquet(
+                f"{args.mixture}/sample")
+            report.write.mode("overwrite").parquet(
+                f"{args.mixture}/report")
+            rep = spark.read.parquet(f"{args.mixture}/report").collect()
+            summary["mixture"] = {
+                "budget": args.mix_budget, "salt": args.sample_salt,
+                "groups": {r[group_col]: {
+                    "budget_tokens": int(r["budget_tokens"]),
+                    "kept_docs": int(r["kept_docs"]),
+                    "kept_tokens": int(r["kept_tokens"])} for r in rep}}
 
     if args.curate:
         # The whole curation recipe as ONE job: scalar gates in one

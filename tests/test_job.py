@@ -1114,3 +1114,159 @@ def test_job_wet_segments_requires_write_wet(spark, tmp_path):
     with pytest.raises(SystemExit):
         job.main(["--synth", "4", "--table", str(tmp_path / "t"),
                   "--wet-segments", "5"], spark=spark)
+
+
+def test_job_bm25_index_and_search(spark, tmp_path):
+    inp = str(tmp_path / "in.parquet")
+    rows = synth.generate_rows(24, profile="cc")
+    spark.createDataFrame(rows, schema=schemas.INPUT_SCHEMA) \
+        .repartition(2).write.parquet(inp)
+    table = str(tmp_path / "table")
+    idx = str(tmp_path / "bm25")
+
+    r = job.main(["--input", inp, "--table", table, "--partitions", "2",
+                  "--bm25-index", idx, "--bm25-buckets", "8",
+                  "--bm25-query", "the quick brown",
+                  "--bm25-query", "zzz-no-such-term"], spark=spark)
+    assert r["bm25_index"]["docs"] == r["committed_rows"]
+    assert r["bm25_index"]["buckets"] == 8
+    assert r["bm25_index"]["queries"] == 2
+
+    # index layout: bucketed postings + terms, 1-row meta, hits
+    import os
+    assert any(d.startswith("bucket=")
+               for d in os.listdir(f"{idx}/postings"))
+    assert spark.read.parquet(f"{idx}/meta").count() == 1
+    hits = spark.read.parquet(f"{idx}/hits")
+    assert r["bm25_index"]["hits"] == hits.count()
+    # hits agree with a direct (index-free) search over the committed
+    # corpus
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators import search as search_mod
+    from ocr_spark.sources import snapshot as snap
+    corpus = snap.SnapshotTable(table).read(spark).select(
+        "url", F.col("extracted_text").alias("text"))
+    queries = spark.createDataFrame(
+        [(0, "the quick brown"), (1, "zzz-no-such-term")],
+        "query_id int, query_text string")
+    direct = {(h["query_id"], h["url"], h["rank"])
+              for h in search_mod.bm25_topk(
+                  corpus, queries, k=10, id_col="url").collect()}
+    got = {(h["query_id"], h["url"], h["rank"]) for h in hits.collect()}
+    assert got == direct
+
+
+def test_job_bm25_query_requires_index(spark, tmp_path):
+    with pytest.raises(SystemExit):
+        job.main(["--synth", "4", "--table", str(tmp_path / "t"),
+                  "--bm25-query", "x"], spark=spark)
+
+
+def test_job_bpe_train_stage(spark, tmp_path):
+    inp = str(tmp_path / "in.parquet")
+    rows = synth.generate_rows(24, profile="cc")
+    spark.createDataFrame(rows, schema=schemas.INPUT_SCHEMA) \
+        .repartition(2).write.parquet(inp)
+    table = str(tmp_path / "table")
+    out = str(tmp_path / "bpe")
+
+    r = job.main(["--input", inp, "--table", table, "--partitions", "2",
+                  "--bpe-train", out, "--bpe-merges", "12"], spark=spark)
+    assert 0 < r["bpe_train"]["merges"] <= 12
+    assert r["bpe_train"]["docs_encoded"] == r["committed_rows"]
+    assert r["bpe_train"]["bpe_tokens"] > 0
+
+    # artifacts load back; the merge table replays through the
+    # expression encoder to the same token counts the job persisted
+    from ocr_spark.operators import bpe as bpe_mod
+    from ocr_spark.sources import snapshot as snap
+    mdf = spark.read.parquet(f"{out}/merges").orderBy("rank").collect()
+    merges = [{"rank": m["rank"], "lhs": m["lhs"], "rhs": m["rhs"],
+               "merged": m["merged"], "pair_count": m["pair_count"]}
+              for m in mdf]
+    from pyspark.sql import functions as F
+    corpus = snap.SnapshotTable(table).read(spark).select(
+        "url", F.col("extracted_text").alias("text"))
+    expr = {r2["url"]: r2["n_bpe_tokens"]
+            for r2 in bpe_mod.bpe_encode(
+                corpus, merges, id_col="url").collect()}
+    persisted = {r2["url"]: r2["n_bpe_tokens"]
+                 for r2 in spark.read.parquet(f"{out}/encoded").collect()}
+    assert expr == persisted
+
+
+def test_job_bpe_merges_requires_train(spark, tmp_path):
+    with pytest.raises(SystemExit):
+        job.main(["--synth", "4", "--table", str(tmp_path / "t"),
+                  "--bpe-merges", "5"], spark=spark)
+
+
+def test_job_lm_buckets_split(spark, tmp_path):
+    inp = str(tmp_path / "in.parquet")
+    rows = synth.generate_rows(30, profile="cc")
+    spark.createDataFrame(rows, schema=schemas.INPUT_SCHEMA) \
+        .repartition(2).write.parquet(inp)
+    table = str(tmp_path / "table")
+    out = str(tmp_path / "lm")
+
+    r = job.main(["--input", inp, "--table", table, "--partitions", "2",
+                  "--lm-score", out, "--lm-buckets"], spark=spark)
+    counts = r["lm_score"]["buckets"]
+    assert sum(counts.values()) == r["committed_rows"]
+    # every scored doc landed in a tercile; the split is non-trivial
+    scored = counts.get("head", 0) + counts.get("middle", 0) \
+        + counts.get("tail", 0)
+    assert scored + counts.get("unscored", 0) == r["committed_rows"]
+    assert counts.get("head", 0) > 0 and counts.get("tail", 0) > 0
+    b = spark.read.parquet(f"{out}/buckets")
+    assert {"bucket", "cut_head", "cut_tail"} <= set(b.columns)
+
+
+def test_job_lm_buckets_requires_lm_score(spark, tmp_path):
+    with pytest.raises(SystemExit):
+        job.main(["--synth", "4", "--table", str(tmp_path / "t"),
+                  "--lm-buckets"], spark=spark)
+
+
+def test_job_mixture_stage(spark, tmp_path):
+    inp = str(tmp_path / "in.parquet")
+    rows = synth.generate_rows(40, profile="cc")
+    spark.createDataFrame(rows, schema=schemas.INPUT_SCHEMA) \
+        .repartition(2).write.parquet(inp)
+    table = str(tmp_path / "table")
+    out = str(tmp_path / "mix")
+
+    r = job.main(["--input", inp, "--table", table, "--partitions", "2",
+                  "--mixture", out, "--mix-weights", "en=3,de=1",
+                  "--mix-budget", "4000"], spark=spark)
+    mix = r["mixture"]
+    assert mix["groups"]["en"]["budget_tokens"] == 3000
+    assert mix["groups"]["de"]["budget_tokens"] == 1000
+    sample = spark.read.parquet(f"{out}/sample")
+    langs = {x["lang"] for x in sample.select("lang").distinct().collect()}
+    assert langs <= {"en", "de"}
+    # kept counts in the summary match the persisted sample
+    from pyspark.sql import functions as F
+    per = {x["lang"]: x["n"] for x in sample.groupBy("lang")
+           .agg(F.count("*").alias("n")).collect()}
+    for g in per:
+        assert per[g] == mix["groups"][g]["kept_docs"]
+
+
+def test_job_mixture_flag_validation(spark, tmp_path):
+    t = str(tmp_path / "t")
+    with pytest.raises(SystemExit):
+        job.main(["--synth", "4", "--table", t, "--mixture",
+                  str(tmp_path / "m")], spark=spark)
+    with pytest.raises(SystemExit):
+        job.main(["--synth", "4", "--table", t,
+                  "--mix-weights", "en=1"], spark=spark)
+    with pytest.raises(SystemExit):
+        job.main(["--synth", "4", "--table", t, "--mixture",
+                  str(tmp_path / "m"), "--mix-weights", "en=oops",
+                  "--mix-budget", "10"], spark=spark)
+    with pytest.raises(SystemExit):
+        job.main(["--synth", "4", "--table", t, "--mixture",
+                  str(tmp_path / "m"), "--mix-weights", "en=0",
+                  "--mix-budget", "10"], spark=spark)

@@ -405,6 +405,16 @@ def main() -> None:
           and "Join" not in p,
           f"MapInPandas={'MapInPandas' in p}")
 
+    # 8i2. Feed parse (domains.feed_urls): same contract as the
+    #    sitemap parse — one Arrow pass per host document, no row
+    #    UDF, no join (the feed table is host-sized).
+    p = plans["feed_urls"]
+    check("feed_urls",
+          "single Arrow parse pass (MapInPandas, no row UDF, no join)",
+          "MapInPandas" in p and "BatchEvalPython" not in p
+          and "Join" not in p,
+          f"MapInPandas={'MapInPandas' in p}")
+
     # 8j. Crawl frontier (domains.crawl_frontier): the corpus-sized
     #    state join is keyed, the host-sized rank join broadcasts, the
     #    scoring is pure codegen (no Python anywhere in the plan).
@@ -431,6 +441,70 @@ def main() -> None:
           "WindowGroupLimit" in p and "BatchEvalPython" not in p
           and "MapInPandas" not in p and "CartesianProduct" not in p,
           f"WindowGroupLimit={'WindowGroupLimit' in p}")
+
+    # 8l. BM25 retrieval (search.bm25_score + rounded-rank window):
+    #    query terms and the per-term idf table must BROADCAST into
+    #    the corpus tf probe (the df side is computed for query terms
+    #    only — a full-vocabulary build here would be parasitic), the
+    #    only nested-loop join is the 1-row corpus-stats crossJoin,
+    #    the top-k window runs with WindowGroupLimit pushdown, and
+    #    the whole plan is Python-free codegen.
+    p = plans["bm25_topk"]
+    check("bm25_topk",
+          "broadcast query-term/idf probes + WindowGroupLimit, no Python",
+          p.count("BroadcastHashJoin") >= 2
+          and "WindowGroupLimit" in p
+          and "BatchEvalPython" not in p and "MapInPandas" not in p
+          and "CartesianProduct" not in p,
+          f"BHJ={p.count('BroadcastHashJoin')}, "
+          f"WindowGroupLimit={'WindowGroupLimit' in p}")
+
+    # 8m. BPE encode (bpe.bpe_encode expression form): the chained-
+    #    replace encoder is a pure codegen projection — no Python
+    #    node, no join, nothing corpus-sized shuffles (the one
+    #    exchange is the query's display orderBy). bpe_train's merge
+    #    loop runs driver-side before this plan exists; what must stay
+    #    clean is the corpus-wide encode pass.
+    #    (The transform/filter higher-order lambdas evaluate as
+    #    expressions inside ONE Project — they don't carry the
+    #    WholeStageCodegen marker, so the check asserts the actual
+    #    properties: a single projection, no Python, no join, and the
+    #    only exchange is the display orderBy's range partition.)
+    p = plans["bpe_encode"]
+    check("bpe_encode",
+          "one expression projection (no Python, no join, no shuffle)",
+          "BatchEvalPython" not in p and "MapInPandas" not in p
+          and "ArrowEvalPython" not in p and "Join" not in p
+          and "Project" in p
+          and p.count("+- Exchange") <= 1,
+          f"exchanges={p.count('+- Exchange')}, join={'Join' in p}")
+
+    # 8n. CCNet buckets (lmscore.ccnet_buckets over lm_quality): the
+    #    per-language cutoffs are ONE aggregation whose result
+    #    broadcasts back onto the corpus — no corpus-wide window, no
+    #    per-language global sort (an ntile spelling would be one),
+    #    and no Python anywhere.
+    p = plans["ccnet_buckets"]
+    check("ccnet_buckets",
+          "agg-then-broadcast cutoffs; no corpus window, no Python",
+          "BroadcastHashJoin" in p and "Window" not in p
+          and "BatchEvalPython" not in p and "MapInPandas" not in p
+          and "CartesianProduct" not in p,
+          f"BHJ={'BroadcastHashJoin' in p}, window={'Window' in p}")
+
+    # 8o2. Mixture sampler (sampling.mixture_sample): the per-group
+    #    bounds table joins by BROADCAST, and the ordered cumsum
+    #    window exists only on the boundary-bucket slice — the window
+    #    partitions by group AFTER a bucket-equality filter, never as
+    #    a global per-group sort of the whole corpus (the kept-whole
+    #    leg is a plain filter).
+    p = plans["mixture_sample"]
+    check("mixture_sample",
+          "broadcast bounds join; window only on boundary buckets",
+          "BroadcastHashJoin" in p and "Window" in p
+          and "BatchEvalPython" not in p and "MapInPandas" not in p
+          and "CartesianProduct" not in p,
+          f"BHJ={'BroadcastHashJoin' in p}, window={'Window' in p}")
 
     # 9. No CartesianProduct anywhere: every join is keyed or broadcast
     #    (the brute-force oracle baselines use broadcast nested loop,
