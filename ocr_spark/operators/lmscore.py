@@ -142,3 +142,71 @@ def lm_quality(df: DataFrame, ref_df: DataFrame, text_col: str = "text",
     model = train_char_lm(ref_df, text_col=text_col, n=n)
     return lm_score(df, model, text_col=text_col, id_col=id_col,
                     broadcast=broadcast)
+
+
+CCNET_CUTOFFS = (1.0 / 3.0, 2.0 / 3.0)
+
+
+def ccnet_buckets(scored: DataFrame, lang_col: str | None = None,
+                  score_col: str = "bits_per_char",
+                  cutoffs: tuple[float, float] = CCNET_CUTOFFS,
+                  exact: bool = False,
+                  accuracy: int = 10000) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020 §4.4): per
+    language, documents below the lower score quantile are 'head'
+    (most natural under the reference LM), between the quantiles
+    'middle', above 'tail' — the partition CCNet publishes and
+    downstream recipes sample from (head-heavy mixes for quality,
+    tail for diversity studies).
+
+    Input is a SCORED frame (lm_score/lm_quality output joined with
+    whatever grouping column applies) — bucketing composes with any
+    scorer. Unscoreable rows (NULL score — documents too short for a
+    single n-gram) keep a NULL bucket: they were never ranked, and
+    silently binning them as 'tail' would misreport the split sizes.
+
+    Scale shape: ONE aggregation computes both cutoffs per language
+    (percentile_approx by default — a t-digest-style mergeable sketch,
+    single pass, no global sort; ``exact=True`` switches to exact
+    percentile for oracle replay — Spark's linear interpolation at
+    rank p*(n-1) is bit-identical to DuckDB's quantile_cont, probed),
+    then the language-count-sized cutoff table broadcasts back onto
+    the corpus. No window over the corpus, no per-language global
+    sort — an ntile() spelling would drag every row of a language
+    through one window partition.
+    """
+    lo, hi = cutoffs
+    if not (0.0 < lo < hi < 1.0):
+        raise ValueError("cutoffs must satisfy 0 < lo < hi < 1")
+    s = F.col(score_col)
+    if exact:
+        agg_expr = F.expr(
+            f"percentile({score_col}, array({lo!r}D, {hi!r}D))")
+    else:
+        agg_expr = F.expr(
+            f"percentile_approx({score_col}, array({lo!r}D, {hi!r}D), "
+            f"{accuracy})")
+    ranked = scored.filter(s.isNotNull())
+    if lang_col is None:
+        cuts = (ranked.agg(agg_expr.alias("_c"))
+                .select(F.col("_c")[0].alias("_cut_head"),
+                        F.col("_c")[1].alias("_cut_tail")))
+        out = scored.crossJoin(F.broadcast(cuts))
+    else:
+        cuts = (ranked.groupBy(lang_col).agg(agg_expr.alias("_c"))
+                .select(F.col(lang_col),
+                        F.col("_c")[0].alias("_cut_head"),
+                        F.col("_c")[1].alias("_cut_tail")))
+        out = scored.join(F.broadcast(cuts), on=lang_col, how="left")
+    # NULL-cut guard: a row whose group has no cutoffs (NULL lang key
+    # never equi-joins; a group with zero ranked rows has no row at
+    # all) must get a NULL bucket — without the guard `s <= NULL`
+    # skips every WHEN and mislabels the row 'tail'.
+    bucket = (F.when(s.isNull() | F.col("_cut_head").isNull(),
+                     F.lit(None).cast("string"))
+              .when(s <= F.col("_cut_head"), F.lit("head"))
+              .when(s <= F.col("_cut_tail"), F.lit("middle"))
+              .otherwise(F.lit("tail")))
+    return (out.withColumn("bucket", bucket)
+            .withColumnRenamed("_cut_head", "cut_head")
+            .withColumnRenamed("_cut_tail", "cut_tail"))

@@ -2,6 +2,7 @@
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from ocr_spark.operators import lmscore
@@ -76,3 +77,80 @@ class TestScore:
                                    "doc_id: long, text: string")
         r = lmscore.lm_score(df, m).collect()[0]
         assert r["n_grams"] == 0 and r["bits_per_char"] is None
+
+
+class TestCCNetBuckets:
+    def _scored(self, spark, rows, schema="doc_id long, lang string, "
+                                          "bits_per_char double"):
+        return spark.createDataFrame(rows, schema)
+
+    def test_global_split_thirds(self, spark):
+        rows = [(i, "en", float(i)) for i in range(1, 10)]  # 1..9
+        out = {r["doc_id"]: (r["bucket"], r["cut_head"], r["cut_tail"])
+               for r in lmscore.ccnet_buckets(
+                   self._scored(spark, rows), exact=True).collect()}
+        # exact percentiles of 1..9 at 1/3, 2/3 -> 3.6667, 6.3333
+        assert [out[i][0] for i in range(1, 10)] == (
+            ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3)
+
+    def test_per_lang_cutoffs_independent(self, spark):
+        rows = ([(i, "en", float(i)) for i in range(1, 7)]
+                + [(10 + i, "de", 100.0 + i) for i in range(1, 7)])
+        out = lmscore.ccnet_buckets(self._scored(spark, rows),
+                                    lang_col="lang", exact=True)
+        got = {r["doc_id"]: r["bucket"] for r in out.collect()}
+        # each language splits on ITS OWN quantiles: de's 101..106
+        # would all be 'tail' under en's cutoffs
+        assert got[1] == "head" and got[6] == "tail"
+        assert got[11] == "head" and got[16] == "tail"
+
+    def test_boundary_is_inclusive(self, spark):
+        # score exactly at the lower cutoff -> head (<=), at the
+        # upper -> middle
+        rows = [(1, "en", 1.0), (2, "en", 2.0), (3, "en", 3.0),
+                (4, "en", 4.0)]
+        out = lmscore.ccnet_buckets(self._scored(spark, rows),
+                                    cutoffs=(0.25, 0.75), exact=True)
+        got = {r["doc_id"]: (r["bucket"], r["cut_head"], r["cut_tail"])
+               for r in out.collect()}
+        assert got[2][1] == 1.75 and got[2][0] == "middle"
+        assert got[1][0] == "head"
+
+    def test_null_score_and_null_lang_get_null_bucket(self, spark):
+        rows = [(1, "en", 1.0), (2, "en", 2.0), (3, "en", 3.0),
+                (4, "en", None), (5, None, 2.0)]
+        out = lmscore.ccnet_buckets(self._scored(spark, rows),
+                                    lang_col="lang", exact=True)
+        got = {r["doc_id"]: r["bucket"] for r in out.collect()}
+        assert got[4] is None and got[5] is None
+        assert None not in (got[1], got[2], got[3])
+
+    def test_approx_matches_exact_on_small_data(self, spark):
+        rows = [(i, "en", float(i * i % 17)) for i in range(1, 40)]
+        a = {r["doc_id"]: r["bucket"]
+             for r in lmscore.ccnet_buckets(
+                 self._scored(spark, rows), exact=True).collect()}
+        b = {r["doc_id"]: r["bucket"]
+             for r in lmscore.ccnet_buckets(
+                 self._scored(spark, rows), exact=False).collect()}
+        assert a == b
+
+    def test_bad_cutoffs_rejected(self, spark):
+        df = self._scored(spark, [(1, "en", 1.0)])
+        with pytest.raises(ValueError):
+            lmscore.ccnet_buckets(df, cutoffs=(0.7, 0.3))
+
+    def test_composes_with_lm_quality(self, spark):
+        sent = ("the quick brown fox jumps over the lazy dog near "
+                "the quiet river bank every single morning")
+        ref = _df(spark, [(i, sent) for i in range(3)])
+        docs = _df(spark, [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quiet river bank every morning again"),
+            (3, "zzkty qqqwj pzvxm rrklt xq zvkj qpwxo"),
+        ])
+        scored = lmscore.lm_quality(docs, ref)
+        out = {r["doc_id"]: r["bucket"]
+               for r in lmscore.ccnet_buckets(scored,
+                                              exact=True).collect()}
+        assert out[3] == "tail"  # noise ranks worst
