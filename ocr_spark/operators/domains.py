@@ -183,6 +183,59 @@ SITEMAP_ENTRIES_SCHEMA = ("host string, loc string, lastmod timestamp, "
                           "changefreq string, priority double, "
                           "is_index boolean, _sitemap_skipped int")
 
+FEED_ENTRIES_SCHEMA = ("host string, loc string, lastmod timestamp, "
+                       "title string, _feed_skipped int")
+
+
+def feed_urls(feeds: DataFrame, host_col: str = "host",
+              text_col: str = "feed_xml") -> DataFrame:
+    """Parse per-host RSS 2.0 / Atom 1.0 feed documents
+    (textlib/feeds.py) into one row per declared url — the
+    fast-moving complement to sitemap demand: feeds carry a host's
+    NEWEST urls with publish stamps, which is what a recrawl frontier
+    wants for news-like hosts.
+
+    Output: (host, loc, lastmod, title, _feed_skipped), the sitemap
+    counter contract: document rows carry 0 and a host whose parse
+    dropped link-less blocks emits ONE bookkeeping row (NULL loc, the
+    count). ``feed_frontier_entries`` adapts the shape for
+    ``crawl_frontier``.
+
+    Arrow-batched mapInPandas, once per host document — feed tables
+    are host-sized, the robots_rules asymmetry."""
+    from ..textlib.feeds import parse_feed
+
+    cols = ["host", "loc", "lastmod", "title", "_feed_skipped"]
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for host, txt in zip(pdf[host_col], pdf[text_col]):
+                if host is None or txt is None:
+                    continue
+                entries, skipped = parse_feed(str(txt))
+                if skipped:
+                    out.append((host, None, None, None, skipped))
+                for e in entries:
+                    out.append((host, e["loc"], e["lastmod"],
+                                e["title"], 0))
+            yield pd.DataFrame(out, columns=cols)
+
+    return feeds.select(host_col, text_col).mapInPandas(
+        _parse, schema=FEED_ENTRIES_SCHEMA)
+
+
+def feed_frontier_entries(feed_entries: DataFrame) -> DataFrame:
+    """Feed rows in crawl_frontier's entry shape: a feed declares no
+    changefreq/priority (the consumer's defaults apply — NULL stays
+    observable, the sitemap convention) and never points at another
+    index document."""
+    return (feed_entries.filter(F.col("loc").isNotNull())
+            .select("host", "loc", "lastmod",
+                    F.lit(None).cast("string").alias("changefreq"),
+                    F.lit(None).cast("double").alias("priority"),
+                    F.lit(False).alias("is_index")))
+
 
 def sitemap_urls(sitemaps: DataFrame, host_col: str = "host",
                  text_col: str = "sitemap_xml") -> DataFrame:
