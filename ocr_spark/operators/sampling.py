@@ -209,3 +209,99 @@ def token_budget_sample(df: DataFrame, budget_tokens: int,
             "kept_tokens long")
         return out, report
     return out
+
+
+def mixture_sample(df: DataFrame, weights: dict, budget_tokens: int,
+                   group_col: str = "lang", text_col: str = "text",
+                   id_col: str = "doc_id", salt: int = 0,
+                   hash_mode: str = "xxhash64",
+                   return_report: bool = False):
+    """Training-mix assembly (the Pile/Dolma/DoReMi publication step):
+    cut a ~``budget_tokens`` corpus whose token mass is split across
+    ``group_col`` values proportionally to ``weights`` — group g gets
+    floor(budget * w_g / sum(w)) tokens, filled deterministically in
+    salted-hash order by the token_budget_sample rule (a group's
+    sample crosses its budget by at most one document; a group whose
+    corpus is smaller than its budget is kept whole — UNDER-filled,
+    never back-filled from other groups, so the realized mix is
+    auditable from the report rather than silently rebalanced).
+    Groups absent from ``weights`` are dropped — the mix IS the spec.
+
+    Scale shape: the bucketed machinery of token_budget_sample with
+    the group riding the aggregation key — one (group, bucket) hash
+    aggregation (|groups| x 4096 tiny rows), driver prefix per group,
+    whole-bucket keeps by broadcast-joined filter, and ONLY each
+    group's boundary bucket pays an ordered window.
+
+    With return_report=True also returns a per-group frame (group,
+    weight, budget_tokens, total_docs, total_tokens, kept_docs,
+    kept_tokens)."""
+    if not weights:
+        raise ValueError("weights must name at least one group")
+    if any(w < 0 for w in weights.values()) or sum(weights.values()) <= 0:
+        raise ValueError("weights must be non-negative with a "
+                         "positive sum")
+    total_w = float(sum(weights.values()))
+    budgets = {g: int(budget_tokens * w / total_w)
+               for g, w in weights.items()}
+
+    spark = df.sparkSession
+    staged = (_staged(df, text_col, id_col, salt, hash_mode)
+              .filter(F.col(group_col).isin(list(weights))))
+
+    per = (staged.groupBy(group_col, "_bucket")
+           .agg(F.sum("_n_tok").alias("_tok"))
+           .orderBy(group_col, "_bucket").collect())
+    running: dict = {}
+    bounds: dict = {}
+    for row in per:
+        g = row[group_col]
+        if g in bounds:
+            continue
+        r = running.get(g, 0)
+        if r + row["_tok"] < budgets[g]:
+            running[g] = r + row["_tok"]
+        else:
+            bounds[g] = (row["_bucket"], budgets[g] - r)
+
+    from pyspark.sql.types import LongType, StructField, StructType
+    bdf = spark.createDataFrame(
+        [(g, b, rem) for g, (b, rem) in bounds.items()],
+        StructType([
+            StructField(group_col, df.schema[group_col].dataType),
+            StructField("_bb", staged.schema["_bucket"].dataType),
+            StructField("_rem", LongType())]))
+    joined = staged.join(F.broadcast(bdf), on=group_col, how="left")
+    # groups with no boundary row are kept whole (_bb NULL)
+    kept_full = joined.filter(F.col("_bb").isNull()
+                              | (F.col("_bucket") < F.col("_bb")))
+    w = (Window.partitionBy(group_col)
+         .orderBy("_key", id_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    boundary = (joined.filter(F.col("_bucket") == F.col("_bb"))
+                .withColumn("_before",
+                            F.coalesce(F.sum("_n_tok").over(w),
+                                       F.lit(0)))
+                .filter(F.col("_before") < F.col("_rem"))
+                .drop("_before"))
+    kept = kept_full.unionByName(boundary)
+    out = kept.drop("_key", "_bucket", "_n_tok", "_bb", "_rem")
+    if not return_report:
+        return out
+    totals = {r[group_col]: (r["d"], r["t"]) for r in
+              staged.groupBy(group_col)
+              .agg(F.count("*").alias("d"),
+                   F.sum("_n_tok").alias("t")).collect()}
+    kepts = {r[group_col]: (r["d"], r["t"]) for r in
+             kept.groupBy(group_col)
+             .agg(F.count("*").alias("d"),
+                  F.sum("_n_tok").alias("t")).collect()}
+    report = spark.createDataFrame(
+        [(g, float(weights[g]), budgets[g],
+          int(totals.get(g, (0, 0))[0]), int(totals.get(g, (0, 0))[1] or 0),
+          int(kepts.get(g, (0, 0))[0]), int(kepts.get(g, (0, 0))[1] or 0))
+         for g in sorted(weights, key=str)],
+        f"{group_col} string, weight double, budget_tokens long, "
+        "total_docs long, total_tokens long, kept_docs long, "
+        "kept_tokens long")
+    return out, report

@@ -151,3 +151,85 @@ class TestTokenShards:
         import pytest as _pt
         with _pt.raises(ValueError):
             sampling.token_shards(_corpus(spark, 3), 0)
+
+
+def _mix_corpus(spark, n=90):
+    rows = [(i, ["en", "de", "fr"][i % 3], " ".join(
+        hashlib.md5(f"mx{i}:{j}".encode()).hexdigest()[:6]
+        for j in range(1 + i % 7))) for i in range(n)]
+    return spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+
+
+def _global_mix_rule(spark, df, weights, budget, salt=0):
+    """Per-group global-window definition mixture_sample must match."""
+    total_w = sum(weights.values())
+    kept = set()
+    for g, wgt in weights.items():
+        sub = df.filter(F.col("lang") == g)
+        kept |= _global_rule(spark, sub, int(budget * wgt / total_w),
+                             salt=salt)
+    return kept
+
+
+class TestMixtureSample:
+    def test_matches_per_group_global_rule(self, spark):
+        df = _mix_corpus(spark)
+        weights = {"en": 2.0, "de": 1.0}
+        out, rep = sampling.mixture_sample(
+            df, weights, 120, hash_mode="md5", return_report=True)
+        got = {r["doc_id"] for r in out.select("doc_id").collect()}
+        assert got == _global_mix_rule(spark, df, weights, 120)
+        # fr absent from weights -> dropped entirely
+        assert not out.filter(F.col("lang") == "fr").count()
+        r = {x["lang"]: x for x in rep.collect()}
+        assert r["en"]["budget_tokens"] == 80
+        assert r["de"]["budget_tokens"] == 40
+        # the at-most-one-doc overshoot contract per group
+        for g in weights:
+            assert r[g]["kept_tokens"] >= r[g]["budget_tokens"]
+            assert r[g]["kept_docs"] <= r[g]["total_docs"]
+
+    def test_small_group_kept_whole_never_backfilled(self, spark):
+        df = _mix_corpus(spark)
+        # de's whole mass is far below its share of a giant budget
+        out, rep = sampling.mixture_sample(
+            df, {"en": 1.0, "de": 1.0}, 10**9, hash_mode="md5",
+            return_report=True)
+        r = {x["lang"]: x for x in rep.collect()}
+        assert r["de"]["kept_docs"] == r["de"]["total_docs"]
+        assert r["en"]["kept_docs"] == r["en"]["total_docs"]
+
+    def test_zero_weight_group_keeps_nothing(self, spark):
+        df = _mix_corpus(spark)
+        out = sampling.mixture_sample(df, {"en": 1.0, "de": 0.0}, 100,
+                                      hash_mode="md5")
+        assert out.filter(F.col("lang") == "de").count() == 0
+        assert out.filter(F.col("lang") == "en").count() > 0
+
+    def test_deterministic_and_salt_sensitive(self, spark):
+        df = _mix_corpus(spark)
+        w = {"en": 1.0, "fr": 2.0}
+        a = {r["doc_id"] for r in sampling.mixture_sample(
+            df, w, 150, hash_mode="md5").collect()}
+        b = {r["doc_id"] for r in sampling.mixture_sample(
+            df, w, 150, hash_mode="md5").collect()}
+        c = {r["doc_id"] for r in sampling.mixture_sample(
+            df, w, 150, salt=7, hash_mode="md5").collect()}
+        assert a == b
+        assert a != c
+
+    def test_xxhash_mode_runs(self, spark):
+        df = _mix_corpus(spark, 30)
+        out, rep = sampling.mixture_sample(
+            df, {"en": 1.0}, 50, return_report=True)
+        assert out.count() == rep.first()["kept_docs"]
+
+    def test_bad_weights_rejected(self, spark):
+        df = _mix_corpus(spark, 6)
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            sampling.mixture_sample(df, {}, 10)
+        with _pt.raises(ValueError):
+            sampling.mixture_sample(df, {"en": -1.0, "de": 2.0}, 10)
+        with _pt.raises(ValueError):
+            sampling.mixture_sample(df, {"en": 0.0}, 10)
