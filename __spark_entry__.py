@@ -2897,6 +2897,54 @@ FROM (
 """
 
 
+def q_robots_sitemaps(spark, sf_dir):
+    """Sitemap discovery from robots.txt (RFC 9309 §2.2.4 'other
+    records' — group-INDEPENDENT lines) through the REAL Arrow
+    operator: directives inside agent groups still count, exact
+    duplicates fold, comments strip, case folds on the key only, a
+    host with no directive contributes nothing."""
+    from ocr_spark.operators import domains
+    docs = _docs(spark, sf_dir)
+    host = F.concat(F.col("source"), F.lit(".example.net"))
+    h = F.col("host")
+    v0 = F.concat(
+        F.lit("User-agent: *\nDisallow: /p\n"
+              "Sitemap: https://"), h,
+        F.lit("/s.xml\nUser-agent: bot\n"
+              "sitemap: https://"), h,
+        F.lit("/news.xml  # cross-submitted\n"
+              "Sitemap: https://"), h, F.lit("/s.xml\n"))
+    v1 = F.lit("User-agent: *\nAllow: /\n")
+    v2 = F.concat(F.lit("  SITEMAP:   https://"), h,
+                  F.lit("/only.xml   \nSitemap:\n"))
+    v = F.col("srcnum") % 3
+    robots = (docs.select(host.alias("host"),
+                          F.substring("source", 4, 10).cast("int")
+                          .alias("srcnum")).distinct()
+              .withColumn("robots_txt",
+                          F.when(v == 1, v1).when(v == 2, v2)
+                          .otherwise(v0))
+              .drop("srcnum"))
+    return (domains.robots_sitemaps(robots)
+            .orderBy("host", "sitemap_url"))
+
+
+def _sql_robots_sitemaps() -> str:
+    return r"""
+WITH h AS (SELECT DISTINCT source || '.example.net' AS host,
+                  cast(substring(source, 4) AS int) % 3 AS v
+           FROM documents)
+SELECT host, sitemap_url FROM (
+  SELECT host, 'https://' || host || '/s.xml' AS sitemap_url
+  FROM h WHERE v = 0
+  UNION ALL
+  SELECT host, 'https://' || host || '/news.xml' FROM h WHERE v = 0
+  UNION ALL
+  SELECT host, 'https://' || host || '/only.xml' FROM h WHERE v = 2
+) ORDER BY host, sitemap_url
+"""
+
+
 def _frontier_inputs(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     i = F.col("doc_id")
@@ -5210,6 +5258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets": q_ccnet_buckets,
         "feed_urls": q_feed_urls,
         "mixture_sample": q_mixture_sample,
+        "robots_sitemaps": q_robots_sitemaps,
         "stopword_ratio": q_stopword_ratio,
         "lang_id": q_lang_id,
         "repetition_stats": q_repetition_stats,
@@ -5292,6 +5341,7 @@ def oracle_sql() -> dict[str, str]:
         "ccnet_buckets": _sql_ccnet_buckets(),
         "feed_urls": _sql_feed_urls(),
         "mixture_sample": _sql_mixture_sample(),
+        "robots_sitemaps": _sql_robots_sitemaps(),
         "stopword_ratio": _sql_stopword_ratio(),
         "lang_id": _sql_lang_id(),
         "repetition_stats": _sql_repetition_stats(),

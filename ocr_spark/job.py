@@ -1081,10 +1081,18 @@ def main(argv=None, spark=None) -> dict:
             n_docs = committed.count()
             n_kept = spark.read.parquet(
                 f"{args.robots_filter}/filtered").count()
+            # The same robots table also names each host's sitemaps
+            # (RFC 9309 'other records') — the discovery edge the
+            # frontier fetches next; persisted alongside the rules.
+            maps = domains.robots_sitemaps(robots)
+            maps.write.mode("overwrite").parquet(
+                f"{args.robots_filter}/sitemaps")
             summary["robots_filter"] = {
                 "agent": args.robots_agent,
                 "hosts_with_rules": rules.select("host").distinct().count(),
                 "rules": rules.count(),
+                "sitemaps_discovered": spark.read.parquet(
+                    f"{args.robots_filter}/sitemaps").count(),
                 "docs": n_docs, "kept": n_kept,
                 "dropped": n_docs - n_kept}
 

@@ -354,3 +354,30 @@ def crawl_frontier(entries: DataFrame, state: DataFrame | None,
             .select("url", "host", "lastmod", "changefreq", "priority",
                     "fetched_ts", "staleness", "fetch_score",
                     "needs_fetch"))
+
+
+ROBOTS_SITEMAPS_SCHEMA = "host string, sitemap_url string"
+
+
+def robots_sitemaps(robots: DataFrame, host_col: str = "host",
+                    text_col: str = "robots_txt") -> DataFrame:
+    """The discovery edge that closes the crawl loop: robots.txt
+    ``Sitemap:`` directives (textlib/robots.parse_sitemap_directives)
+    -> (host, sitemap_url) rows naming the documents ``sitemap_urls``
+    parses once fetched. One Arrow pass over the host-sized robots
+    table — the robots_rules asymmetry; hosts with no directive (or a
+    NULL file) simply contribute no rows."""
+    from ..textlib.robots import parse_sitemap_directives
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for host, txt in zip(pdf[host_col], pdf[text_col]):
+                if host is None or txt is None:
+                    continue
+                for u in parse_sitemap_directives(str(txt)):
+                    out.append((host, u))
+            yield pd.DataFrame(out, columns=["host", "sitemap_url"])
+
+    return robots.select(host_col, text_col).mapInPandas(
+        _parse, schema=ROBOTS_SITEMAPS_SCHEMA)

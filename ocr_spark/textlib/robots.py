@@ -99,3 +99,27 @@ def is_allowed(rules: list[dict], path: str) -> bool:
                (r["pattern_len"] == best_len and r["allow"]):
                 best_len, verdict = r["pattern_len"], r["allow"]
     return verdict
+
+
+def parse_sitemap_directives(text: str) -> list[str]:
+    """``Sitemap:`` lines of a robots.txt — RFC 9309 §2.2.4 "other
+    records" / sitemaps.org robots-txt submission: group-INDEPENDENT
+    (they apply regardless of any user-agent section they appear
+    inside), absolute URLs, any number per file. Order-preserving,
+    exact-duplicate lines folded. Comment handling matches the gate
+    parser (a ``#`` starts a comment), so the two views of one file
+    can never disagree about a line."""
+    out: list[str] = []
+    seen: set[str] = set()
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        if key.strip().lower() != "sitemap":
+            continue
+        val = val.strip()
+        if val and val not in seen:
+            seen.add(val)
+            out.append(val)
+    return out

@@ -131,6 +131,7 @@ def test_job_robots_filter_gates_corpus(spark, tmp_path):
     # a.* has even i in 0..11 -> i in {0,6} are /private (blocked);
     # b.* has no robots row -> all 6 allowed.
     assert rf == {"agent": "mybot", "hosts_with_rules": 1, "rules": 1,
+                  "sitemaps_discovered": 0,
                   "docs": 12, "kept": 10, "dropped": 2}
     kept = spark.read.parquet(f"{out}/filtered")
     assert kept.count() == 10

@@ -179,3 +179,56 @@ class TestCrawlGateSpark:
                spark.createDataFrame(rows, "url string")
                .select(url_path(F.col("url")).alias("p")).collect()]
         assert got == ["/a/b?q=1", "/", "/", "/x"]
+
+
+class TestSitemapDirectives:
+    def test_group_independent_and_dedup(self):
+        from ocr_spark.textlib.robots import parse_sitemap_directives
+        txt = ("User-agent: *\n"
+               "Disallow: /private\n"
+               "Sitemap: https://a.example/sitemap.xml\n"
+               "User-agent: otherbot\n"
+               "Sitemap: https://a.example/news.xml  # comment\n"
+               "sitemap: https://a.example/sitemap.xml\n"   # dup, any case
+               "Sitemap:\n"                                  # empty -> skip
+               "NotSitemap: https://a.example/x.xml\n")
+        assert parse_sitemap_directives(txt) == [
+            "https://a.example/sitemap.xml",
+            "https://a.example/news.xml"]
+
+    def test_no_directives(self):
+        from ocr_spark.textlib.robots import parse_sitemap_directives
+        assert parse_sitemap_directives("User-agent: *\nDisallow: /") == []
+        assert parse_sitemap_directives("") == []
+
+
+class TestRobotsSitemapsSpark:
+    def test_operator_rows(self, spark):
+        from ocr_spark.operators import domains
+        df = spark.createDataFrame(
+            [("a.example", "Sitemap: https://a.example/s.xml\n"
+                           "User-agent: *\nDisallow: /p\n"
+                           "Sitemap: https://a.example/t.xml"),
+             ("b.example", "User-agent: *\nAllow: /"),
+             ("c.example", None)],
+            "host string, robots_txt string")
+        got = sorted((r["host"], r["sitemap_url"])
+                     for r in domains.robots_sitemaps(df).collect())
+        assert got == [("a.example", "https://a.example/s.xml"),
+                       ("a.example", "https://a.example/t.xml")]
+
+    def test_same_file_two_views_agree(self, spark):
+        """The gate parser and the sitemap extractor read one file —
+        a sitemap line inside an agent group must neither become a
+        rule nor be lost."""
+        from ocr_spark.operators import domains
+        txt = ("User-agent: mybot\nDisallow: /q\n"
+               "Sitemap: https://h.example/inside-group.xml\n")
+        df = spark.createDataFrame([("h.example", txt)],
+                                   "host string, robots_txt string")
+        rules = domains.robots_rules(df, agent="mybot").collect()
+        assert [(r["allow"], r["pattern"]) for r in rules] == [
+            (False, "/q")]
+        maps = domains.robots_sitemaps(df).collect()
+        assert [m["sitemap_url"] for m in maps] == [
+            "https://h.example/inside-group.xml"]

@@ -415,6 +415,15 @@ def main() -> None:
           and "Join" not in p,
           f"MapInPandas={'MapInPandas' in p}")
 
+    # 8i3. Robots sitemap discovery (domains.robots_sitemaps): one
+    #    Arrow pass over the host-sized robots table, nothing else.
+    p = plans["robots_sitemaps"]
+    check("robots_sitemaps",
+          "single Arrow parse pass (MapInPandas, no row UDF, no join)",
+          "MapInPandas" in p and "BatchEvalPython" not in p
+          and "Join" not in p,
+          f"MapInPandas={'MapInPandas' in p}")
+
     # 8j. Crawl frontier (domains.crawl_frontier): the corpus-sized
     #    state join is keyed, the host-sized rank join broadcasts, the
     #    scoring is pure codegen (no Python anywhere in the plan).
