@@ -2945,6 +2945,78 @@ SELECT host, sitemap_url FROM (
 """
 
 
+def q_jsonld(spark, sf_dir):
+    """schema.org JSON-LD extraction through the REAL Arrow operator
+    (webpage.structured_data): type-attribute parameter stripping, a
+    mime-mismatched script that must be ignored, list-@type and
+    author-object flattening, whitespace normalization, the
+    comment-wrapped @graph envelope, a broken block riding the
+    one-bookkeeping-row counter contract."""
+    from ocr_spark.operators import webpage
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") % 5 == 0)
+    i = F.col("doc_id")
+    url = F.concat(F.lit("https://sd.example/p"), i.cast("string"))
+    v0 = F.concat(
+        F.lit('<html><head><script type="application/ld+json">'
+              '{"@type": "NewsArticle", "headline": "Big   news '),
+        i.cast("string"),
+        F.lit('", "author": {"name": " Jane  Doe "}, "datePublished":'
+              ' "2026-02-10", "url": "https://sd.example/canon/'),
+        i.cast("string"),
+        F.lit('"}</script></head><body>x</body></html>'))
+    v1 = F.concat(
+        F.lit('<html><script type="application/ld+json;charset=utf-8">'
+              '[{"@type": ["Product", "Thing"], "name": "Widget '),
+        i.cast("string"),
+        F.lit('"}, {"name": "typeless"}]</script>'
+              '<script type="application/json">{"@type": "No"}</script>'
+              '<script type="application/ld+json">{oops</script>'
+              "</html>"))
+    v2 = F.concat(
+        F.lit('<html><script type="application/ld+json"><!-- '
+              '{"@graph": [{"@type": "Organization", '
+              '"name": "Acme & Sons '),
+        i.cast("string"),
+        F.lit('"}]} --></script></html>'))
+    v = i % 3
+    pages = d.select(
+        url.alias("url"),
+        F.encode(F.when(v == 1, v1).when(v == 2, v2).otherwise(v0),
+                 "utf-8").alias("html"))
+    return (webpage.structured_data(pages)
+            .orderBy("url", "jsonld_type", "name"))
+
+
+def _sql_jsonld():
+    return r"""
+WITH d AS (SELECT doc_id AS i, doc_id % 3 AS v,
+                  'https://sd.example/p' || cast(doc_id AS varchar) AS url
+           FROM documents WHERE doc_id % 5 = 0)
+SELECT url, jsonld_type, name, headline, author, date_published,
+       item_url, _jsonld_skipped
+FROM (
+  SELECT url, 'NewsArticle' AS jsonld_type, NULL AS name,
+         'Big news ' || cast(i AS varchar) AS headline,
+         'Jane Doe' AS author, '2026-02-10' AS date_published,
+         'https://sd.example/canon/' || cast(i AS varchar) AS item_url,
+         0 AS _jsonld_skipped
+  FROM d WHERE v = 0
+  UNION ALL
+  SELECT url, 'Product', 'Widget ' || cast(i AS varchar),
+         NULL, NULL, NULL, NULL, 0 FROM d WHERE v = 1
+  UNION ALL
+  SELECT url, NULL, 'typeless', NULL, NULL, NULL, NULL, 0
+  FROM d WHERE v = 1
+  UNION ALL
+  SELECT url, NULL, NULL, NULL, NULL, NULL, NULL, 1
+  FROM d WHERE v = 1
+  UNION ALL
+  SELECT url, 'Organization', 'Acme & Sons ' || cast(i AS varchar),
+         NULL, NULL, NULL, NULL, 0 FROM d WHERE v = 2
+) ORDER BY url, jsonld_type, name
+"""
+
+
 def _frontier_inputs(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     i = F.col("doc_id")
@@ -5259,6 +5331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feed_urls": q_feed_urls,
         "mixture_sample": q_mixture_sample,
         "robots_sitemaps": q_robots_sitemaps,
+        "jsonld": q_jsonld,
         "stopword_ratio": q_stopword_ratio,
         "lang_id": q_lang_id,
         "repetition_stats": q_repetition_stats,
@@ -5342,6 +5415,7 @@ def oracle_sql() -> dict[str, str]:
         "feed_urls": _sql_feed_urls(),
         "mixture_sample": _sql_mixture_sample(),
         "robots_sitemaps": _sql_robots_sitemaps(),
+        "jsonld": _sql_jsonld(),
         "stopword_ratio": _sql_stopword_ratio(),
         "lang_id": _sql_lang_id(),
         "repetition_stats": _sql_repetition_stats(),

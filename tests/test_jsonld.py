@@ -1,0 +1,83 @@
+"""schema.org JSON-LD extraction (textlib/jsonld.py) + the
+structured_data Arrow operator."""
+
+from ocr_spark.operators import webpage
+from ocr_spark.textlib.jsonld import extract_jsonld
+
+ARTICLE = """<html><head>
+<script type="application/ld+json">
+{"@context": "https://schema.org", "@type": "NewsArticle",
+ "headline": "Big   news\\ntoday", "author": {"name": " Jane  Doe "},
+ "datePublished": "2026-02-10T08:30:00Z",
+ "url": "https://ex.net/big-news"}
+</script>
+<script type="application/ld+json;charset=utf-8">
+[{"@type": ["Product", "Thing"], "name": "Widget"},
+ "stray-string",
+ {"name": "typeless node"}]
+</script>
+<script type="application/json">{"@type": "Ignored"}</script>
+<script type="application/ld+json">{broken json}</script>
+<script type="application/ld+json"><!--
+{"@context": "x", "@graph": [{"@type": "Organization",
+  "name": "Acme & Sons"}]}
+--></script>
+</head><body>t</body></html>"""
+
+
+class TestExtract:
+    def test_nodes_and_flattening(self):
+        nodes, skipped = extract_jsonld(ARTICLE)
+        assert skipped == 1  # the broken block only
+        assert [n["jsonld_type"] for n in nodes] == [
+            "NewsArticle", "Product", None, "Organization"]
+        art = nodes[0]
+        assert art["headline"] == "Big news today"   # ws-normalized
+        assert art["author"] == "Jane Doe"           # object -> name
+        assert art["date_published"] == "2026-02-10T08:30:00Z"
+        assert art["item_url"] == "https://ex.net/big-news"
+        assert nodes[1]["name"] == "Widget"          # list @type -> first
+        # comment-wrapped @graph envelope yields members only, raw &
+        assert nodes[3]["name"] == "Acme & Sons"
+
+    def test_author_variants(self):
+        html = ('<script type="application/ld+json">'
+                '{"@type":"A","author":[{"name":"First A"},'
+                '{"name":"B"}]}</script>'
+                '<script type="application/ld+json">'
+                '{"@type":"B","author":"Plain Name"}</script>'
+                '<script type="application/ld+json">'
+                '{"@type":"C","author":{"noname":1}}</script>')
+        nodes, skipped = extract_jsonld(html)
+        assert skipped == 0
+        assert [n["author"] for n in nodes] == ["First A", "Plain Name",
+                                                None]
+
+    def test_no_jsonld(self):
+        assert extract_jsonld("<html><body>x</body></html>") == ([], 0)
+        assert extract_jsonld("") == ([], 0)
+
+    def test_unterminated_script_never_raises(self):
+        nodes, skipped = extract_jsonld(
+            '<script type="application/ld+json">{"@type":"X"')
+        # unterminated block: collected or dropped, but never fatal
+        assert isinstance(nodes, list) and skipped >= 0
+
+    def test_cdata_wrapper(self):
+        html = ('<script type="application/ld+json">/*<![CDATA[*/'
+                ' {"@type":"Movie","name":"M"} /*]]>*/</script>')
+        nodes, skipped = extract_jsonld(html)
+        assert skipped == 0 and nodes[0]["name"] == "M"
+
+
+class TestOperator:
+    def test_rows_and_counter(self, spark):
+        rows = [("https://a.example/p", ARTICLE.encode()),
+                ("https://b.example/p", b"<html>no ld</html>"),
+                ("https://c.example/p", None)]
+        df = spark.createDataFrame(rows, "url string, html binary")
+        out = webpage.structured_data(df).collect()
+        a = [r for r in out if r["url"].startswith("https://a")]
+        assert len([r for r in a if r["jsonld_type"] is not None]) == 3
+        assert sum(r["_jsonld_skipped"] for r in out) == 1
+        assert not [r for r in out if r["url"].startswith("https://b")]

@@ -424,6 +424,16 @@ def main() -> None:
           and "Join" not in p,
           f"MapInPandas={'MapInPandas' in p}")
 
+    # 8i4. JSON-LD side table (webpage.structured_data): one Arrow
+    #    pass per page next to the metadata side table — no row UDF,
+    #    no join.
+    p = plans["jsonld"]
+    check("jsonld",
+          "single Arrow parse pass (MapInPandas, no row UDF, no join)",
+          "MapInPandas" in p and "BatchEvalPython" not in p
+          and "Join" not in p,
+          f"MapInPandas={'MapInPandas' in p}")
+
     # 8j. Crawl frontier (domains.crawl_frontier): the corpus-sized
     #    state join is keyed, the host-sized rank join broadcasts, the
     #    scoring is pure codegen (no Python anywhere in the plan).
