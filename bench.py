@@ -88,6 +88,9 @@ def main():
                 ws.append(round(time.perf_counter() - t0, 3))
             walls[name] = ws
             timings[name] = min(ws)
+            # stderr narration (stdout stays the one JSON line): a
+            # hung leg is identifiable without a thread dump.
+            print(f"[bench] {name}: {ws}", file=sys.stderr, flush=True)
         return deco
 
     def report(name, report_df):

@@ -83,7 +83,7 @@ def curate(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
            repair_lines: bool = False,
            c4_bad_words: tuple[str, ...] = (),
            neardup_threshold: float = 0.5,
-           hash_mode: str = "xxhash64", max_bucket: int = 1000,
+           hash_mode: str = "poly", max_bucket: int = 1000,
            benchmark: DataFrame | None = None,
            bench_text_col: str = "text",
            decontam_ngram: int = 13, decontam_min_hits: int = 1,
@@ -98,6 +98,13 @@ def curate(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     removed and the page is re-judged on what remains. The per-doc
     removal count lands in ``n_dup_lines_removed`` (NULL when the
     stage is off).
+
+    ``hash_mode`` defaults to the numpy 'poly' signature path (the
+    scale recommendation — Catalyst higher-order functions evaluate
+    interpreted, so the expression signatures cost num_perm
+    interpreted passes per document); the oracle twins pass 'md5'
+    explicitly, and the exact-Jaccard verify downstream is
+    hash-independent either way.
 
     decisions — one row per input document:
       (id_col, n_pii_redacted, n_chars_removed, n_dup_lines_removed,

@@ -81,12 +81,32 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
     )
 
 
-def shingles(c, k: int = 8):
-    """Distinct character k-grams of the normalized text (expression)."""
-    norm = normalize_text(c)
+def shingles_of_norm(norm, k: int = 8):
+    """Distinct character k-grams of an ALREADY-normalized column.
+
+    Pass a LANDED column (an alias the consuming projection references
+    at least twice, so CollapseProject keeps the boundary — the
+    _gram_hash_rows protection), never a regexp-bearing expression
+    tree: Catalyst higher-order functions evaluate interpreted, so a
+    normalize tree inside the per-element lambda re-runs once PER
+    SHINGLE — O(len^2) per document. Measured: the curate-funnel
+    near-dup stage went from a 15+-minute-per-task hang to seconds on
+    8.6 KB pages when the norm landed (this module's own
+    minhash_band_rows hit it after the r4 synth pages grew)."""
     n = F.length(norm)
     idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
     return F.array_distinct(F.transform(idx, lambda j: F.substring(norm, j, k)))
+
+
+def shingles(c, k: int = 8):
+    """Distinct character k-grams of the normalized text (expression).
+
+    Convenience form for SMALL inputs (oracle twins, fixtures): the
+    normalize tree is duplicated into the per-shingle lambda, which is
+    quadratic per document (see shingles_of_norm) — hot paths must
+    land normalize_text in its own projection and call
+    shingles_of_norm on the attribute."""
+    return shingles_of_norm(normalize_text(c), k)
 
 
 _MERSENNE31 = 2_147_483_647  # 2^31 - 1, prime
@@ -265,13 +285,17 @@ def minhash_band_rows(df: DataFrame, text_col: str = "text",
     else:
         hash_shingles = (shingle_hashes if hash_mode == "xxhash64"
                          else shingle_hashes_md5)
-        # hs materialized in its own projection so the 8-gram string
-        # hashes run once per doc; the num_perm permutations are
-        # multiply-adds over hs (CollapseProject won't inline an alias
-        # referenced num_perm times, so the scan stays single-pass).
+        # Each stage lands in its own projection: _norm so the
+        # normalize regex runs once per DOC (inlined into the shingle
+        # lambda it re-runs once per SHINGLE — the O(len^2) curate
+        # hang); hs so the 8-gram string hashes run once per doc
+        # (the num_perm permutations are multiply-adds over hs;
+        # CollapseProject won't inline an alias referenced num_perm
+        # times, so the scan stays single-pass).
         sig = (
             df.select(F.col(id_col).alias("id"),
-                      shingles(F.col(text_col), k).alias("sh"))
+                      normalize_text(F.col(text_col)).alias("_norm"))
+            .select("id", shingles_of_norm(F.col("_norm"), k).alias("sh"))
             .withColumn("hs", hash_shingles(F.col("sh")))
             .withColumn("mh",
                         minhash_signature_from_hashes(F.col("hs"), num_perm))
@@ -323,6 +347,13 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                                hash_mode=hash_mode)
     uncapped = banded
     banded = cap_buckets(banded, ["band", "band_hash"], max_bucket)
+    # Lazy localCheckpoint: the capped band rows are consumed three
+    # times downstream (self-join left/right + the verify semi-join's
+    # candidate ids), and each consumer would otherwise replay the
+    # whole signature computation. Band rows are ids-only — bands
+    # rows per document — so the materialization is bytes per doc,
+    # the cheapest point in the plan to cut lineage.
+    banded = banded.localCheckpoint(eager=False)
 
     cand = (
         banded.alias("l").join(banded.alias("r"),
@@ -331,8 +362,20 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    sh_df = df.select(F.col(id_col).alias("id"),
-                      shingles(F.col(text_col), k).alias("sh"))
+    # Exact-Jaccard verify over CANDIDATE documents only: the ids in
+    # any surviving bucket pair semi-filter the corpus BEFORE the
+    # shingle arrays are built, so the expression shingles (interpreted
+    # HOFs — linear but not cheap) run over the capped candidate set,
+    # never the whole corpus. Without the semi-join this stage was the
+    # corpus-sized O(docs·len) wall the docstring's "shingles re-derive
+    # later for the (small) candidate set" already promised to avoid.
+    cand_ids = (cand.select(F.col("id_a").alias("id"))
+                .union(cand.select(F.col("id_b").alias("id")))
+                .distinct())
+    sh_df = (df.select(F.col(id_col).alias("id"),
+                       normalize_text(F.col(text_col)).alias("_norm"))
+             .join(cand_ids, "id", "left_semi")
+             .select("id", shingles_of_norm(F.col("_norm"), k).alias("sh")))
     pairs = (
         cand.join(sh_df.select(F.col("id").alias("id_a"),
                                F.col("sh").alias("sh_a")), "id_a")
