@@ -541,10 +541,15 @@ def _bpe_iter_ctes(k: int) -> str:
     unrolled-iteration oracle pattern. The word filter is the same
     ^[a-z]+$ both engines apply (and is also why the oracle can use
     codepoint splitting without surrogate-order concerns)."""
+    # Space-WRAPPED symbol strings (" a  b  </w> "): the pattern's
+    # outer pads anchor a merge to whole symbols (no cross-boundary
+    # match) and each symbol owning both its pads keeps consecutive
+    # occurrences mergeable in one left-to-right replace pass —
+    # bpe.merge_pattern's contract, replayed literally.
     parts = [r"""w0 AS (
   SELECT word, cnt,
-         array_to_string(regexp_split_to_array(word, ''), '  ')
-           || '  </w>' AS syms
+         ' ' || array_to_string(regexp_split_to_array(word, ''), '  ')
+           || '  </w> ' AS syms
   FROM (SELECT term AS word, count(*)::bigint AS cnt
         FROM (SELECT unnest(regexp_split_to_array(
                 trim(regexp_replace(lower(trim(text)), '[\s\v]+', ' ',
@@ -555,13 +560,15 @@ def _bpe_iter_ctes(k: int) -> str:
     for i in range(1, k + 1):
         parts.append(f"""p{i} AS (
   SELECT a[j] AS lhs, a[j + 1] AS rhs, sum(cnt)::bigint AS pc
-  FROM (SELECT cnt, regexp_split_to_array(syms, '  ') AS a FROM w{i - 1}),
+  FROM (SELECT cnt, regexp_split_to_array(trim(syms), '  ') AS a
+        FROM w{i - 1}),
        unnest(range(1, greatest(len(a), 1))) AS t(j)
   GROUP BY 1, 2),
 m{i} AS (SELECT lhs, rhs, pc FROM p{i}
          ORDER BY pc DESC, lhs, rhs LIMIT 1),
 w{i} AS (SELECT word, cnt,
-                replace(syms, lhs || '  ' || rhs, lhs || rhs) AS syms
+                replace(syms, ' ' || lhs || '  ' || rhs || ' ',
+                        ' ' || lhs || rhs || ' ') AS syms
          FROM w{i - 1}, m{i})""")
     return ",\n".join(parts)
 
@@ -611,11 +618,11 @@ def q_bpe_encode(spark, sf_dir):
 def _sql_bpe_encode():
     k = _BPE_MERGES
     ms_cols = ", ".join(
-        f"(SELECT lhs || '  ' || rhs FROM m{i}) AS pat{i}, "
-        f"(SELECT lhs || rhs FROM m{i}) AS rep{i}"
+        f"(SELECT ' ' || lhs || '  ' || rhs || ' ' FROM m{i}) AS pat{i}, "
+        f"(SELECT ' ' || lhs || rhs || ' ' FROM m{i}) AS rep{i}"
         for i in range(1, k + 1))
-    applied = "array_to_string(regexp_split_to_array(w, ''), '  ')" \
-              " || '  </w>'"
+    applied = "' ' || array_to_string(regexp_split_to_array(w, '')," \
+              " '  ') || '  </w> '"
     for i in range(1, k + 1):
         applied = f"replace({applied}, pat{i}, rep{i})"
     return (f"WITH {_bpe_iter_ctes(k)},\n"
@@ -628,8 +635,8 @@ def _sql_bpe_encode():
   FROM documents),
 enc AS (
   SELECT doc_id,
-         array_to_string(list_transform(words, w -> """
-            + applied + r"""), '  ') AS enc_syms
+         array_to_string(list_transform(words, w -> trim("""
+            + applied + r""")), '  ') AS enc_syms
   FROM docw, ms)
 SELECT doc_id,
        replace(enc_syms, '  ', ' ') AS bpe_text,

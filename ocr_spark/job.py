@@ -96,6 +96,10 @@ def _parse_mix_weights(spec: str | None) -> dict[str, float] | None:
         g, _, w = kv.partition("=")
         if not _ or not g.strip():
             raise ValueError(f"bad pair {kv!r}")
+        if g.strip() in weights:
+            # 'en=2,de=1,en=1' is a typo, not a spec — silently
+            # letting the later value win misassembles the mix
+            raise ValueError(f"duplicate group {g.strip()!r}")
         weights[g.strip()] = float(w)
     if any(w < 0 for w in weights.values()) or sum(weights.values()) <= 0:
         raise ValueError("weights must be non-negative, positive sum")

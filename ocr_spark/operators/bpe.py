@@ -12,16 +12,29 @@ every merge iteration afterwards runs over the vocabulary-sized
 petabytes the corpus is; Sennrich's own reference implementation
 trains on a word/frequency dictionary for the same reason).
 
-Representation: a word's symbol sequence is a single string with a
-TWO-space separator ("h  e  l  l  o  </w>"). Symbols can never contain
-whitespace (words are whitespace tokens), so the separator is
-unambiguous — and a merge step is then a plain literal
-``replace(syms, "l  r", "lr")``, whose left-to-right non-overlapping
-semantics (identical in Spark and DuckDB, and to Sennrich's greedy
-re-pairing) handles the overlapping-pair case correctly: with the
-two-space separator, "a  a  a" under merge (a,a) becomes "aa  a", not
-"aa a"-with-a-shared-space. That keeps BOTH the train loop and the
-encoder pure Catalyst expressions, replayable by the DuckDB oracle.
+Representation: every symbol is WRAPPED in single spaces, so a word's
+sequence is ``" h  e  l  l  o  </w> "`` — two spaces between symbols
+(each symbol owns its leading and trailing pad), one at each string
+edge. Symbols can never contain a space (words are whitespace tokens),
+so a merge step is a plain literal
+``replace(syms, " l  r ", " lr ")`` with left-to-right non-overlapping
+semantics identical in Spark and DuckDB. The pads are load-bearing in
+BOTH directions:
+
+- the pattern's OUTER spaces anchor it to whole symbols: without them
+  ``"b  c"`` matches the tail of symbol ``"ab"`` (or the head of
+  ``"bc"``) and merges across a symbol boundary — a real corruption a
+  review repro caught, not a theoretical one;
+- because each symbol owns BOTH its pads, consecutive occurrences
+  don't share a boundary character: ``" a  a  a  a "`` under merge
+  (a,a) consumes ``" a  a "`` whole and the remainder ``" a  a "``
+  still matches — so one replace pass merges every non-overlapping
+  occurrence left-to-right, exactly Sennrich's greedy re-pairing
+  (``" a  a  a "`` becomes ``" aa  a "``).
+
+That keeps BOTH the train loop and the encoder pure Catalyst
+expressions, replayable by the DuckDB oracle; parsing back is
+``split(trim(syms), "  ")``.
 
 Train loop shape per merge: one pair explode + hash aggregation over
 the vocabulary frame, one ``.limit(1)`` argmax collect (ties broken
@@ -44,7 +57,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .textstats import _term_rows
+from .textstats import _term_rows, tokens
 
 EOW = "</w>"
 SEP = "  "
@@ -64,10 +77,19 @@ def word_histogram(df: DataFrame, text_col: str = "text",
     return w
 
 
+def merge_pattern(lhs: str, rhs: str) -> tuple[str, str]:
+    """(search, replacement) literals for one merge under the
+    space-wrapped representation — the single definition every
+    consumer (train, both encoders, the generated oracle SQL's
+    Python twin in tests) shares."""
+    return f" {lhs}{SEP}{rhs} ", f" {lhs}{rhs} "
+
+
 def initial_syms(word: Column) -> Column:
-    """Character symbols + end-of-word marker, SEP-joined."""
-    return F.concat(F.array_join(F.split(word, ""), SEP),
-                    F.lit(SEP + EOW))
+    """Character symbols + end-of-word marker, space-wrapped."""
+    return F.concat(F.lit(" "),
+                    F.array_join(F.split(word, ""), SEP),
+                    F.lit(SEP + EOW + " "))
 
 
 def _pair_counts(words: DataFrame) -> DataFrame:
@@ -76,7 +98,8 @@ def _pair_counts(words: DataFrame) -> DataFrame:
     Catalyst generator-inlining lesson), and single-symbol words
     contribute no pairs — guarded explicitly because
     ``sequence(1, 0)`` is DESCENDING in Spark, not empty."""
-    arr = (words.select("cnt", F.split("syms", SEP).alias("a"))
+    arr = (words.select("cnt", F.split(F.trim(F.col("syms")), SEP)
+                        .alias("a"))
            .filter(F.size("a") >= 2))
     pairs = arr.select(
         "cnt",
@@ -111,9 +134,9 @@ def bpe_train(df: DataFrame, num_merges: int, text_col: str = "text",
         merges.append({"rank": rank, "lhs": lhs, "rhs": rhs,
                        "merged": lhs + rhs,
                        "pair_count": int(best[0]["pair_count"])})
+        pat, rep = merge_pattern(lhs, rhs)
         words = (words.withColumn(
-            "syms", F.replace(F.col("syms"), F.lit(lhs + SEP + rhs),
-                              F.lit(lhs + rhs)))
+            "syms", F.replace(F.col("syms"), F.lit(pat), F.lit(rep)))
             .localCheckpoint())
     return merges
 
@@ -133,8 +156,8 @@ def _apply_merges_expr(syms: Column, merges: list[dict]) -> Column:
     encoder IS `for merge in ranked_merges: word = merge(word)`."""
     out = syms
     for m in merges:
-        out = F.replace(out, F.lit(m["lhs"] + SEP + m["rhs"]),
-                        F.lit(m["merged"]))
+        pat, rep = merge_pattern(m["lhs"], m["rhs"])
+        out = F.replace(out, F.lit(pat), F.lit(rep))
     return out
 
 
@@ -150,20 +173,25 @@ def bpe_encode(df: DataFrame, merges: list[dict],
         raise ValueError(
             f"{len(merges)} merges exceeds the expression-form bound "
             f"({max_expr_merges}); use bpe_encode_arrow")
-    # NULL text encodes to ([], 0), the token_count convention —
-    # NOT (NULL, NULL): a curation chain counting corpus tokens must
-    # see empty rows, not nulls that silently drop from sums.
-    words = F.filter(
-        F.split(F.trim(F.regexp_replace(
-            F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
-            r"[\s\v]+", " ")), " "),
-        lambda t: t != "")
+    # Tokenization is EXACTLY the word_histogram convention
+    # (textstats.tokens over the dedup normalize — Java \s, NOT the
+    # DuckDB-side [\s\v] idiom, which in a Java regex is a SUPERSET
+    # adding NEL/U+2028/U+2029 and would split the corpus into
+    # different words than the ones training saw). NULL text encodes
+    # to ([], 0), the token_count convention — a curation chain
+    # counting corpus tokens must see empty rows, not nulls that
+    # silently drop from sums.
+    words = F.filter(tokens(F.coalesce(F.col(text_col), F.lit(""))),
+                     lambda t: t != "")
     enc = F.transform(
         words, lambda w: F.split(
-            _apply_merges_expr(initial_syms(w), merges), SEP))
+            F.trim(_apply_merges_expr(initial_syms(w), merges)), SEP))
     toks = F.flatten(enc)
-    return df.select(F.col(id_col), toks.alias("bpe_tokens"),
-                     F.size(toks).alias("n_bpe_tokens"))
+    # toks lands ONCE; size() reads the landed column (the
+    # multi-referenced-projection rule — duplicating the chained-
+    # replace tree into both output columns doubles the encode).
+    return (df.select(F.col(id_col), toks.alias("bpe_tokens"))
+            .withColumn("n_bpe_tokens", F.size("bpe_tokens")))
 
 
 def bpe_encode_arrow(df: DataFrame, merges: list[dict],
@@ -182,14 +210,15 @@ def bpe_encode_arrow(df: DataFrame, merges: list[dict],
         StructField("bpe_tokens", ArrayType(StringType())),
         StructField("n_bpe_tokens", IntegerType()),
     ])
-    ranked = [(m["lhs"] + SEP + m["rhs"], m["merged"]) for m in merges]
+    ranked = [merge_pattern(m["lhs"], m["rhs"]) for m in merges]
 
-    # Java-regex-equivalent whitespace class ([\s\v] in the expression
-    # twin): Python's bare str.split() would ALSO split on unicode
-    # spaces (NBSP etc.) that Java \s does not match — the two paths
-    # must tokenize identically or "output-identical" is a lie.
+    # Java-\s-equivalent whitespace class (the expression twin splits
+    # with textstats.tokens -> Java \s): Python's bare str.split()
+    # would ALSO split on unicode spaces (NBSP, NEL, U+2028...) that
+    # Java \s does not match — the two paths must tokenize identically
+    # or "output-identical" is a lie.
     import re
-    ws_re = re.compile("[ \t\n\x0b\f\r\x85\u2028\u2029]+")
+    ws_re = re.compile("[ \t\n\x0b\f\r]+")
 
     def encode_batches(batches):
         import pandas as pd
@@ -198,10 +227,10 @@ def bpe_encode_arrow(df: DataFrame, merges: list[dict],
         def enc_word(w: str) -> list[str]:
             got = memo.get(w)
             if got is None:
-                syms = SEP.join(list(w)) + SEP + EOW
+                syms = " " + SEP.join([*w, EOW]) + " "
                 for pat, rep in ranked:
                     syms = syms.replace(pat, rep)
-                got = memo[w] = syms.split(SEP)
+                got = memo[w] = syms.strip(" ").split(SEP)
             return got
 
         for pdf in batches:

@@ -296,12 +296,21 @@ def mixture_sample(df: DataFrame, weights: dict, budget_tokens: int,
              kept.groupBy(group_col)
              .agg(F.count("*").alias("d"),
                   F.sum("_n_tok").alias("t")).collect()}
+    from pyspark.sql.types import DoubleType
     report = spark.createDataFrame(
         [(g, float(weights[g]), budgets[g],
           int(totals.get(g, (0, 0))[0]), int(totals.get(g, (0, 0))[1] or 0),
           int(kepts.get(g, (0, 0))[0]), int(kepts.get(g, (0, 0))[1] or 0))
          for g in sorted(weights, key=str)],
-        f"{group_col} string, weight double, budget_tokens long, "
-        "total_docs long, total_tokens long, kept_docs long, "
-        "kept_tokens long")
+        StructType([
+            # the group column keeps the INPUT's dtype (int language
+            # ids are as valid as strings — review finding: a
+            # hardcoded string schema crashed after the heavy work)
+            StructField(group_col, df.schema[group_col].dataType),
+            StructField("weight", DoubleType()),
+            StructField("budget_tokens", LongType()),
+            StructField("total_docs", LongType()),
+            StructField("total_tokens", LongType()),
+            StructField("kept_docs", LongType()),
+            StructField("kept_tokens", LongType())]))
     return out, report

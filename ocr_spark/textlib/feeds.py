@@ -36,7 +36,11 @@ from .sitemaps import _unescape, parse_w3c_datetime
 _MONTHS = {m: i + 1 for i, m in enumerate(
     ["jan", "feb", "mar", "apr", "may", "jun",
      "jul", "aug", "sep", "oct", "nov", "dec"])}
-_ZONES = {"ut": 0, "gmt": 0, "z": 0, "est": -5 * 60, "edt": -4 * 60,
+# 'utc' is not in RFC 822's table but dominates real-world pubDates
+# (review finding: rejecting it dropped the publish stamp on exactly
+# the fast-moving hosts the feed channel exists for).
+_ZONES = {"ut": 0, "gmt": 0, "z": 0, "utc": 0,
+          "est": -5 * 60, "edt": -4 * 60,
           "cst": -6 * 60, "cdt": -5 * 60, "mst": -7 * 60,
           "mdt": -6 * 60, "pst": -8 * 60, "pdt": -7 * 60}
 

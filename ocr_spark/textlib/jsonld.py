@@ -130,6 +130,18 @@ def extract_jsonld(html: str) -> tuple[list[dict], int]:
         p.close()
     except Exception:
         pass  # keep whatever blocks were collected before the error
+    if p._in_ld:
+        # Truncated page: the block never saw its </script>. In CDATA
+        # mode html.parser WAITS for the close tag — even at close()
+        # the tail stays in rawdata, never reaching handle_data — so
+        # flush buf + the unconsumed tail as a block: a complete JSON
+        # body still extracts and a cut-off one is COUNTED. Silently
+        # dropping it would undercount the skip counter the contract
+        # promises (review finding).
+        tail = "".join(p._buf) + getattr(p, "rawdata", "")
+        if tail.strip():
+            p.blocks.append(tail)
+        p._in_ld = False
     out: list[dict] = []
     skipped = 0
     for body in p.blocks:

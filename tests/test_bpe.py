@@ -159,3 +159,50 @@ def test_merges_df_artifact(spark, docs_df):
     mdf = bpe.merges_df(spark, merges)
     assert [r["merged"] for r in mdf.orderBy("rank").collect()] \
         == [m["merged"] for m in merges]
+
+
+def test_merge_never_crosses_symbol_boundaries(spark):
+    """Review repro: with symbols 'ab' and 'c</w>' alive, the merge
+    (b, c</w>) must NOT match the tail of 'ab' — and the later merge
+    (ab, c</w>) must be discoverable. Checked against the reference
+    implementation end to end."""
+    text = "ab ab ab ab ab abc bc bc bc bc"
+    df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    got = bpe.bpe_train(df, num_merges=6)
+    want = _ref_train(_word_counts([(1, text)]), 6)
+    assert got == want
+    assert ("ab", bpe.EOW) in [(m["lhs"], m["rhs"]) for m in got]
+    merges = got
+    enc = {r["doc_id"]: r["bpe_tokens"]
+           for r in bpe.bpe_encode(df, merges).collect()}
+    want_toks = []
+    for w in text.split():
+        want_toks.extend(_ref_encode(w, merges))
+    assert enc[1] == want_toks
+    # 'abc' specifically must encode as [ab, c</w>], never [abc</w>]
+    assert _ref_encode("abc", merges) == ["ab", "c" + bpe.EOW]
+    arrow = {r["doc_id"]: r["bpe_tokens"]
+             for r in bpe.bpe_encode_arrow(df, merges).collect()}
+    assert arrow == enc
+
+
+def test_train_and_encode_tokenize_identically(spark):
+    """Review finding: encode must split words with the SAME Java-\\s
+    convention the word histogram uses — U+2028 (and NEL) are NOT
+    whitespace to Java \\s, so 'hello\\u2028world' is ONE word on both
+    sides."""
+    text = "hello world hello world plain plain"
+    df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    hist = {r["word"]: r["cnt"]
+            for r in bpe.word_histogram(df).collect()}
+    assert hist == {"hello world": 2, "plain": 2}
+    merges = bpe.bpe_train(df, num_merges=2, min_count=1)
+    for fn in (bpe.bpe_encode, bpe.bpe_encode_arrow):
+        toks = fn(df, merges).collect()[0]["bpe_tokens"]
+        # every encoded token joins back into one of the two words
+        # (split on ASCII space only — Python's bare split() would
+        # itself split the U+2028 this test exists to preserve)
+        rebuilt = [w for w in
+                   "".join(toks).replace(bpe.EOW, " ").split(" ") if w]
+        assert rebuilt == ["hello world", "hello world",
+                          "plain", "plain"], fn.__name__

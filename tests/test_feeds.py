@@ -151,3 +151,9 @@ class TestFeedUrlsOperator:
         # not due; /b and /c never fetched -> due
         assert got["https://ex.net/a"] is False
         assert got["https://ex.net/b"] and got["https://ex.net/c"]
+
+
+def test_rfc822_utc_zone_accepted():
+    import datetime as dt
+    assert feeds.parse_rfc822_datetime(
+        "Tue, 10 Feb 2026 13:00:00 UTC") == dt.datetime(2026, 2, 10, 13)

@@ -1271,3 +1271,11 @@ def test_job_mixture_flag_validation(spark, tmp_path):
         job.main(["--synth", "4", "--table", t, "--mixture",
                   str(tmp_path / "m"), "--mix-weights", "en=0",
                   "--mix-budget", "10"], spark=spark)
+
+
+def test_job_mix_weights_duplicate_group_rejected(spark, tmp_path):
+    with pytest.raises(SystemExit):
+        job.main(["--synth", "4", "--table", str(tmp_path / "t"),
+                  "--mixture", str(tmp_path / "m"),
+                  "--mix-weights", "en=2,de=1,en=1",
+                  "--mix-budget", "10"], spark=spark)

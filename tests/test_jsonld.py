@@ -57,11 +57,15 @@ class TestExtract:
         assert extract_jsonld("<html><body>x</body></html>") == ([], 0)
         assert extract_jsonld("") == ([], 0)
 
-    def test_unterminated_script_never_raises(self):
+    def test_unterminated_script_counted_or_extracted(self):
+        # truncated page, cut-off JSON: counted, never silently lost
         nodes, skipped = extract_jsonld(
             '<script type="application/ld+json">{"@type":"X"')
-        # unterminated block: collected or dropped, but never fatal
-        assert isinstance(nodes, list) and skipped >= 0
+        assert nodes == [] and skipped == 1
+        # truncated page, complete JSON body: still extracts
+        nodes, skipped = extract_jsonld(
+            '<script type="application/ld+json">{"@type":"X"}')
+        assert skipped == 0 and nodes[0]["jsonld_type"] == "X"
 
     def test_cdata_wrapper(self):
         html = ('<script type="application/ld+json">/*<![CDATA[*/'

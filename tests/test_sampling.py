@@ -233,3 +233,13 @@ class TestMixtureSample:
             sampling.mixture_sample(df, {"en": -1.0, "de": 2.0}, 10)
         with _pt.raises(ValueError):
             sampling.mixture_sample(df, {"en": 0.0}, 10)
+
+
+def test_mixture_report_keeps_group_dtype(spark):
+    rows = [(i, i % 2, "w " * (1 + i % 3)) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, grp int, text string")
+    out, rep = sampling.mixture_sample(
+        df, {0: 1.0, 1: 1.0}, 20, group_col="grp", hash_mode="md5",
+        return_report=True)
+    assert dict(rep.dtypes)["grp"] == "int"
+    assert {r["grp"] for r in rep.collect()} == {0, 1}
