@@ -215,6 +215,12 @@ def main() -> None:
     if "--levels" in sys.argv:
         levels = sorted(int(x) for x in
                         sys.argv[sys.argv.index("--levels") + 1].split(","))
+        # An explicit level list governs: drop any pair whose legs
+        # weren't run (a --levels 2,8 quick run must not KeyError on
+        # the default 8:32 context pair).
+        pairs = [p for p in pairs if set(p) <= set(levels)]
+        context_pairs = [p for p in context_pairs
+                         if set(p) <= set(levels)]
     trials = 3
     if "--trials" in sys.argv:
         trials = int(sys.argv[sys.argv.index("--trials") + 1])
