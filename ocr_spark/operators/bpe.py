@@ -44,12 +44,22 @@ merges cost O(K) vocabulary passes, not O(K^2) lineage replays (the
 dedup_resolve trade). Driver involvement is one 1-row collect per
 merge — the same shape as any iterative-algorithm driver loop.
 
-Encoding applies merges in learned rank order (the standard BPE
-encoder): as a chained-literal-replace expression for bounded merge
-tables (pure codegen — the oracle path), or as an Arrow ``mapInPandas``
-pass with a per-batch word memo for production-sized tables (32k
-merges as 32k nested codegen calls is not a plan, it's a stack
-overflow; the Arrow path is the documented scale form).
+Encoding comes in two forms with deliberately different fidelity:
+
+- ``bpe_encode`` (expression form, the oracle path) applies each merge
+  EXACTLY ONCE in rank order — chained literal replaces, pure codegen,
+  replayable in DuckDB. For merge tables learned by ``bpe_train`` (or
+  any trainer) this equals the full encoder, because a merge's operand
+  symbols can only be created by EARLIER-rank merges — training cannot
+  count a pair before its operands exist. It diverges only on
+  hand-crafted tables where an early-rank merge consumes a symbol a
+  LATER-rank merge creates.
+- ``bpe_encode_arrow`` (the scale form) implements the standard
+  iterative encoder (subword-nmt ``apply_bpe``): repeatedly merge the
+  lowest-rank pair PRESENT until none applies — externally-faithful
+  for arbitrary merge tables, memoized per distinct word. (32k merges
+  as 32k nested codegen calls is not a plan, it's a stack overflow;
+  this is the documented production path.)
 """
 
 from __future__ import annotations
@@ -152,8 +162,11 @@ def merges_df(spark, merges: list[dict]) -> DataFrame:
 
 
 def _apply_merges_expr(syms: Column, merges: list[dict]) -> Column:
-    """Chained literal replaces in rank order — the reference BPE
-    encoder IS `for merge in ranked_merges: word = merge(word)`."""
+    """Chained literal replaces, each merge applied once in rank
+    order. Equal to the iterative encoder for trained merge tables
+    (see module docstring); the deviation on adversarial hand-built
+    tables is deliberate — this form exists to stay a pure Catalyst
+    expression the DuckDB oracle can replay."""
     out = syms
     for m in merges:
         pat, rep = merge_pattern(m["lhs"], m["rhs"])
@@ -198,10 +211,14 @@ def bpe_encode_arrow(df: DataFrame, merges: list[dict],
                      text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Arrow path for production-sized merge tables: one mapInPandas
-    pass, merges applied per DISTINCT word per batch (the memo is the
-    classic BPE-encoder cache — web text repeats words heavily), and
-    only (id, tokens, count) crosses back. Output-identical to
-    bpe_encode (test-pinned)."""
+    pass, the standard iterative BPE encoder (subword-nmt apply_bpe —
+    repeatedly merge the lowest-RANK pair present until none applies)
+    run per DISTINCT word per batch (the memo is the classic
+    BPE-encoder cache — web text repeats words heavily), and only
+    (id, tokens, count) crosses back. Output-identical to bpe_encode
+    on trained merge tables (test-pinned); on hand-built tables whose
+    early-rank merges consume later-created symbols, THIS form is the
+    externally-faithful one."""
     from pyspark.sql.types import (ArrayType, IntegerType, StringType,
                                    StructField, StructType)
     id_type = df.schema[id_col].dataType
@@ -210,7 +227,7 @@ def bpe_encode_arrow(df: DataFrame, merges: list[dict],
         StructField("bpe_tokens", ArrayType(StringType())),
         StructField("n_bpe_tokens", IntegerType()),
     ])
-    ranked = [merge_pattern(m["lhs"], m["rhs"]) for m in merges]
+    rank_of = {(m["lhs"], m["rhs"]): m["rank"] for m in merges}
 
     # Java-\s-equivalent whitespace class (the expression twin splits
     # with textstats.tokens -> Java \s): Python's bare str.split()
@@ -227,10 +244,28 @@ def bpe_encode_arrow(df: DataFrame, merges: list[dict],
         def enc_word(w: str) -> list[str]:
             got = memo.get(w)
             if got is None:
-                syms = " " + SEP.join([*w, EOW]) + " "
-                for pat, rep in ranked:
-                    syms = syms.replace(pat, rep)
-                got = memo[w] = syms.strip(" ").split(SEP)
+                syms = [*w, EOW]
+                while len(syms) > 1:
+                    best_rank = best = None
+                    for pair in zip(syms, syms[1:]):
+                        r = rank_of.get(pair)
+                        if r is not None and (best_rank is None
+                                              or r < best_rank):
+                            best_rank, best = r, pair
+                    if best is None:
+                        break
+                    a, b = best
+                    out, i, n = [], 0, len(syms)
+                    while i < n:  # merge occurrences left-to-right
+                        if (i + 1 < n and syms[i] == a
+                                and syms[i + 1] == b):
+                            out.append(a + b)
+                            i += 2
+                        else:
+                            out.append(syms[i])
+                            i += 1
+                    syms = out
+                got = memo[w] = syms
             return got
 
         for pdf in batches:

@@ -53,8 +53,8 @@ _RFC822_RE = re.compile(
 
 def parse_rfc822_datetime(s: str) -> dt.datetime | None:
     """RFC 822 date-time -> naive UTC (the warc_ts convention), or
-    None. Two-digit years read per RFC 2822 §4.3: 00-49 -> 20xx,
-    50-99 -> 19xx."""
+    None. Two- and three-digit years read per RFC 2822 §4.3:
+    00-49 -> 20xx, 50-99 -> 19xx, 100-999 -> +1900."""
     m = _RFC822_RE.match(s.strip())
     if not m:
         return None
@@ -65,6 +65,8 @@ def parse_rfc822_datetime(s: str) -> dt.datetime | None:
     y = int(year)
     if y < 100:
         y += 2000 if y < 50 else 1900
+    elif y < 1000:
+        y += 1900
     offset_min = 0
     if zone:
         if zone[0] in "+-":

@@ -99,6 +99,13 @@ class _ScriptCollector(HTMLParser):
             self.blocks.append("".join(self._buf))
             self._in_ld = False
 
+    def handle_startendtag(self, tag, attrs):
+        # A self-closing <script .../> has no body; the default
+        # start+end dispatch would append an empty block that then
+        # counts as a "lossy page" despite nothing being lost.
+        if tag != "script":
+            super().handle_startendtag(tag, attrs)
+
     def handle_data(self, data):
         if self._in_ld:
             self._buf.append(data)
@@ -145,6 +152,8 @@ def extract_jsonld(html: str) -> tuple[list[dict], int]:
     out: list[dict] = []
     skipped = 0
     for body in p.blocks:
+        if not body.strip():
+            continue  # empty script body: nothing lost, don't count
         try:
             doc = json.loads(_unwrap(body))
         except (ValueError, RecursionError):

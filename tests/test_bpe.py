@@ -206,3 +206,29 @@ def test_train_and_encode_tokenize_identically(spark):
                    "".join(toks).replace(bpe.EOW, " ").split(" ") if w]
         assert rebuilt == ["hello world", "hello world",
                           "plain", "plain"], fn.__name__
+
+
+def test_arrow_encoder_is_iterative_min_rank(spark):
+    """The Arrow path implements the standard iterative encoder
+    (subword-nmt apply_bpe): repeatedly merge the lowest-rank pair
+    PRESENT. On a hand-built table where the rank-1 merge's operand
+    ('bc') is only created by the rank-2 merge, one-pass-in-rank-order
+    (the bounded expression/oracle form — documented deviation) leaves
+    ['a', 'bc</w>'] while the iterative encoder reaches ['abc</w>'].
+    Trained tables cannot produce this shape (a pair can't be counted
+    before its operands exist), which is why the two paths are
+    output-identical everywhere else in the suite."""
+    eow = bpe.EOW
+    merges = [
+        {"rank": 1, "lhs": "c", "rhs": eow, "merged": "c" + eow,
+         "pair_count": 9},
+        {"rank": 2, "lhs": "a", "rhs": "bc" + eow,
+         "merged": "abc" + eow, "pair_count": 9},
+        {"rank": 3, "lhs": "b", "rhs": "c" + eow,
+         "merged": "bc" + eow, "pair_count": 9},
+    ]
+    df = spark.createDataFrame([(1, "abc")], "doc_id int, text string")
+    arrow = bpe.bpe_encode_arrow(df, merges).collect()[0]
+    assert arrow["bpe_tokens"] == ["abc" + eow]
+    expr = bpe.bpe_encode(df, merges).collect()[0]
+    assert expr["bpe_tokens"] == ["a", "bc" + eow]

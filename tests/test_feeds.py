@@ -157,3 +157,9 @@ def test_rfc822_utc_zone_accepted():
     import datetime as dt
     assert feeds.parse_rfc822_datetime(
         "Tue, 10 Feb 2026 13:00:00 UTC") == dt.datetime(2026, 2, 10, 13)
+
+
+def test_rfc822_three_digit_year_rfc2822():
+    # RFC 2822 §4.3: three-digit years are interpreted by adding 1900.
+    got = feeds.parse_rfc822_datetime("10 Feb 102 12:00:00 GMT")
+    assert got is not None and got.year == 2002

@@ -85,3 +85,25 @@ class TestOperator:
         assert len([r for r in a if r["jsonld_type"] is not None]) == 3
         assert sum(r["_jsonld_skipped"] for r in out) == 1
         assert not [r for r in out if r["url"].startswith("https://b")]
+
+
+def test_self_closing_script_not_counted_lossy():
+    # A self-closing <script .../> has no body: it must produce
+    # neither a node nor a skip count (review finding: the default
+    # start+end dispatch appended an empty block that json.loads
+    # then counted as a lossy page).
+    html = ('<html><head>'
+            '<script type="application/ld+json"/>'
+            '<script type="application/ld+json">'
+            '{"@type": "X", "name": "n"}</script>'
+            '</head><body>x</body></html>')
+    nodes, skipped = extract_jsonld(html)
+    assert skipped == 0
+    assert [n["jsonld_type"] for n in nodes] == ["X"]
+
+
+def test_empty_script_body_not_counted_lossy():
+    html = ('<script type="application/ld+json">  </script>'
+            '<script type="application/ld+json">{"@type":"Y"}</script>')
+    nodes, skipped = extract_jsonld(html)
+    assert skipped == 0 and [n["jsonld_type"] for n in nodes] == ["Y"]

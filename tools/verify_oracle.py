@@ -76,12 +76,16 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    import time
+    walls = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = time.monotonic()
         try:
             sdf = fn(spark, sf_dir)
             spdf = sdf.toPandas()
+            walls[name] = time.monotonic() - t0
         except Exception as e:
             failures.append((name, f"spark error: {e}"))
             print(f"[FAIL] {name}: spark error: {e}")
@@ -118,9 +122,15 @@ def main():
             print(f"[FAIL] {name}: {bad}/{len(srows)} rows differ")
             print(f"  spark: {first_diff[0]}\n  duck : {first_diff[1]}")
         else:
-            print(f"[OK]   {name}: {len(srows)} rows match")
+            print(f"[OK]   {name}: {len(srows)} rows match "
+                  f"({walls[name]:.1f}s spark)")
 
     print()
+    if walls:
+        total = sum(walls.values())
+        print(f"spark wall total {total:.1f}s; slowest:")
+        for n, w in sorted(walls.items(), key=lambda kv: -kv[1])[:15]:
+            print(f"  {n}: {w:.1f}s")
     if failures:
         print(f"{len(failures)} FAILURES:")
         for n, msg in failures:
