@@ -2198,6 +2198,90 @@ FROM d ORDER BY media_id
 """
 
 
+def q_jpeg_decode(spark, sf_dir):
+    """REAL baseline-JPEG decode at the driver gate: 16 payload
+    variants built by the from-scratch T.81 encoder (4:2:0, planted
+    YCbCr planes, flat-8 quant so dequant+IDCT is integer-exact) and
+    selected per document by doc_id arithmetic, pushed through the
+    actual decode path (multimodal.decode_image -> jpegcodec
+    .decode_jpeg: marker parse, canonical Huffman, dequant, IDCT,
+    chroma upsample, JFIF YCbCr->RGB -> pixel_features).
+
+    Each 8x8 luma block b of variant k carries DC value
+    40 + (29k + 53b) % 160, chroma planes are constant
+    (108 + 5k % 40, 112 + 7k % 32), so per-channel pixel sums are
+    closed-form integers the oracle replays — a Huffman desync, DC
+    predictor bug, zigzag/dequant slip, upsample stride or color-
+    matrix error all land in the sums. The builder asserts no planted
+    color shift falls on a .5 rounding boundary (numpy rounds
+    half-even, DuckDB half-away; off the boundary they agree)."""
+    import numpy as np
+
+    from ocr_spark.operators import multimodal
+    from ocr_spark.textlib import jpegcodec as jc
+    flat8 = np.full((8, 8), 8, np.int32)
+    payloads = []
+    for k in range(16):
+        y = np.zeros((16, 16), np.uint8)
+        for b in range(4):
+            by, bx = divmod(b, 2)
+            y[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
+                40 + (29 * k + 53 * b) % 160
+        cb = 108 + 5 * k % 40
+        cr = 112 + 7 * k % 32
+        for t in (1.402 * (cr - 128), 1.772 * (cb - 128),
+                  -0.344136 * (cb - 128) - 0.714136 * (cr - 128)):
+            assert abs((t % 1.0) - 0.5) > 1e-9, (k, t)
+        ycc = np.dstack([y, np.full((16, 16), cb, np.uint8),
+                         np.full((16, 16), cr, np.uint8)])
+        payloads.append(jc.encode_jpeg_baseline(
+            ycc, subsample=(2, 2), quant_luma=flat8, quant_chroma=flat8,
+            colorspace="ycbcr"))
+    sel = F.element_at(F.array(*[F.lit(p) for p in payloads]),
+                       (F.pmod(F.col("doc_id"), F.lit(16)) + 1)
+                       .cast("int"))
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("kind"),
+        sel.alias("payload"))
+    out = multimodal.extract_pixel_features(media, num_partitions=8)
+    px = F.lit(256 * 255)  # pixels * max value: mean -> exact sum
+    return out.select(
+        "media_id", "width", "height", "channels",
+        F.round(F.element_at("features", 4) * px).cast("long").alias("sum_r"),
+        F.round(F.element_at("features", 5) * px).cast("long").alias("sum_g"),
+        F.round(F.element_at("features", 6) * px).cast("long").alias("sum_b"),
+        "featurizer")
+
+
+def _sql_jpeg_decode() -> str:
+    # DuckDB replays the planted-coefficient arithmetic: per variant
+    # k = doc_id % 16, luma block b holds 40 + (29k+53b) % 160, chroma
+    # is constant, and the JFIF convert rounds per block (constant
+    # planes -> per-block-constant RGB; planted values keep every
+    # channel inside [0,255], so no clip term).
+    return """
+WITH d AS (
+  SELECT cast(doc_id AS varchar) AS media_id, doc_id % 16 AS k
+  FROM documents),
+v AS (
+  SELECT media_id,
+         [40 + (29*k + 53*b) % 160 for b in range(4)] AS ys,
+         108 + 5*k % 40 - 128 AS cbv,
+         112 + 7*k % 32 - 128 AS crv
+  FROM d)
+SELECT media_id, 16 AS width, 16 AS height, 3 AS channels,
+  (64 * list_sum(list_transform(ys,
+       y -> round(y + 1.402 * crv))))::bigint AS sum_r,
+  (64 * list_sum(list_transform(ys,
+       y -> round(y - 0.344136 * cbv - 0.714136 * crv))))::bigint AS sum_g,
+  (64 * list_sum(list_transform(ys,
+       y -> round(y + 1.772 * cbv))))::bigint AS sum_b,
+  'pixel_stats_v1' AS featurizer
+FROM v ORDER BY media_id
+"""
+
+
 def _domain_url_expr():
     """Derived urls with host-extraction branch variety by doc_id
     arithmetic: uppercase host + default port, userinfo, double-@,
@@ -5398,6 +5482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pixel_decode": q_pixel_decode,
         "audio_decode": q_audio_decode,
         "video_decode": q_video_decode,
+        "jpeg_decode": q_jpeg_decode,
         "domain_stats": q_domain_stats,
         "outlinks": q_outlinks,
         "host_rank": q_host_rank,
@@ -5565,6 +5650,7 @@ def oracle_sql() -> dict[str, str]:
         "pixel_decode": _sql_pixel_decode(),
         "audio_decode": _sql_audio_decode(),
         "video_decode": _sql_video_decode(),
+        "jpeg_decode": _sql_jpeg_decode(),
         "domain_stats": _sql_domain_stats(),
         "outlinks": _sql_outlinks(),
         "host_rank": _sql_host_rank(),

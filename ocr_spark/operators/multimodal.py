@@ -1,11 +1,13 @@
 """Multimodal column plumbing: opaque binary media + typed metadata.
 
-The decode layer is REAL for the formats zlib + numpy can cover:
-PNG (all color types / bit depths / filters / Adam7), uncompressed
-BMP, and PPM decode from scratch in textlib/imagecodec.py — no
-PIL/cv2 needed. JPEG (entropy decode + DCT) stays behind an
-import-try / NotImplementedError gate: that is the PIL swap-in point
-on a production cluster. Two featurizers feed downstream similarity:
+The decode layer is REAL for the formats the stdlib + numpy can
+cover: PNG (all color types / bit depths / filters / Adam7),
+uncompressed BMP, and PPM from scratch in textlib/imagecodec.py, and
+baseline-sequential JPEG (ITU-T T.81: Huffman entropy decode,
+dequant, exact IDCT, 4:2:0 upsample, JFIF YCbCr->RGB) from scratch
+in textlib/jpegcodec.py — no PIL/cv2 needed. Progressive JPEG and
+the compressed audio/video codecs stay gated (the library swap-in
+points). Two featurizers feed downstream similarity:
 ``pixel_stats_v1`` (decoded-pixel stats + luma histogram) when the
 payload decodes, ``byte_histogram_v1`` as the opaque-bytes fallback —
 each feature row names which one produced it.
@@ -48,10 +50,11 @@ FEATURE_SCHEMA = StructType([
 def decode_image(payload: bytes):
     """Decode image bytes to a numpy pixel array (H, W[, C]).
 
-    PNG / BMP / PPM decode natively (textlib/imagecodec.py). JPEG
-    needs a real codec library — that branch is the documented PIL
-    swap-in point. Raises imagecodec.ImageFormatError on corrupt or
-    unrecognized bytes (callers fall back to the byte featurizer).
+    PNG / BMP / PPM decode natively (textlib/imagecodec.py), as does
+    baseline-sequential JPEG (textlib/jpegcodec.py — progressive
+    raises and falls back). Raises imagecodec.ImageFormatError on
+    corrupt or unrecognized bytes (callers fall back to the byte
+    featurizer).
     """
     from ..textlib import imagecodec as ic
 
@@ -62,14 +65,8 @@ def decode_image(payload: bytes):
     if payload.startswith(b"P6"):
         return ic.decode_ppm(payload)
     if payload.startswith(b"\xff\xd8\xff"):
-        try:
-            import PIL.Image  # noqa: F401
-        except ImportError:
-            raise NotImplementedError(
-                "JPEG decode requires pillow/opencv (entropy decode + DCT "
-                "is out of scope for the zlib/numpy codec); wire PIL here "
-                "on a real cluster") from None
-        raise NotImplementedError("wire PIL JPEG decode here on a real cluster")
+        from ..textlib import jpegcodec as jc
+        return jc.decode_jpeg(payload)
     raise ic.ImageFormatError("unrecognized image magic")
 
 

@@ -866,6 +866,15 @@ class TestTextStats:
         assert isinstance(row["rfp"], int)
 
 
+def _real_jpeg():
+    """A deterministic baseline 4:2:0 color JPEG payload."""
+    import numpy as np
+    from ocr_spark.textlib import jpegcodec as jc
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(16, 16, 3)).astype(np.uint8)
+    return jc.encode_jpeg_baseline(img)
+
+
 class TestMultimodal:
     def test_featurize_plumbing(self, spark):
         rows = [("m1", "image", b"\x00\x01\x02" * 100,
@@ -892,6 +901,7 @@ class TestMultimodal:
             ("ppm", "image", b"P6\n2 2\n255\n" + bytes(12), None),
             ("corrupt", "image", b"\x00\x01\x02" * 50, None),
             ("jpeg", "image", b"\xff\xd8\xff\xe0 entropy-coded", None),
+            ("jpeg_real", "image", _real_jpeg(), None),
         ]
         df = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
         out = {r["media_id"]: r for r in
@@ -910,7 +920,14 @@ class TestMultimodal:
         assert out["corrupt"]["featurizer"] == "byte_histogram_v1"
         assert out["corrupt"]["width"] is None
         assert "ImageFormatError" in out["corrupt"]["decode_error"]
-        assert "NotImplementedError" in out["jpeg"]["decode_error"]
+        assert "ImageFormatError" in out["jpeg"]["decode_error"]
+        # a REAL baseline JPEG decodes in the kernel, exact vs local
+        jr = out["jpeg_real"]
+        assert (jr["width"], jr["height"], jr["channels"]) == (16, 16, 3)
+        assert jr["featurizer"] == "pixel_stats_v1"
+        from ocr_spark.textlib import jpegcodec as jc
+        assert jr["features"] == pytest.approx(
+            ic.pixel_features(jc.decode_jpeg(_real_jpeg())))
 
     def test_audio_features_real_decode(self, spark):
         import numpy as np
@@ -958,8 +975,9 @@ class TestMultimodal:
 
     def test_decode_dispatch_gates(self):
         from ocr_spark.textlib import imagecodec as ic
-        # JPEG stays the PIL swap-in stub; unknown magic is a format error.
-        with pytest.raises(NotImplementedError):
+        # Baseline JPEG decodes natively now; corrupt JPEG bytes are a
+        # format error (progressive is the remaining gated process).
+        with pytest.raises(ic.ImageFormatError):
             multimodal.decode_image(b"\xff\xd8\xff\xe0 not a real jpeg")
         with pytest.raises(ic.ImageFormatError):
             multimodal.decode_image(b"px")
