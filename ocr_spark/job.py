@@ -315,11 +315,22 @@ def _parse(argv):
                    help="drop a document when MORE than this fraction "
                         "of its spans occur in earlier documents "
                         "(default 0.5; 0.0 = any shared span drops)")
-    p.add_argument("--substr-sample", type=int, default=1,
+    p.add_argument("--substr-sample", type=int, default=8,
                    help="content-defined anchor sampling modulus: keep "
                         "only spans whose start token hashes to 0 mod "
-                        "this (default 1 = exact; 8-16 cuts the wall "
-                        "~10x with ~(1-1/mod)^g span miss probability)")
+                        "this. Default 8: dup_fraction becomes a "
+                        "sampled ESTIMATE (a duplicated run of g spans "
+                        "goes unsampled with probability ~(1-1/8)^g, "
+                        "~0.2%% for a 2n-token span) and the wall drops "
+                        "~10x — exact mode (= 1) did not finish at "
+                        "160k-doc scale in 560s where mod=8 took 16s. "
+                        "Use --substr-exact for exact counting on "
+                        "corpora small enough to afford it")
+    p.add_argument("--substr-exact", action="store_true",
+                   help="exact-substring mode: count EVERY n-token "
+                        "span (equivalent to --substr-sample 1; "
+                        "quadratic-ish wall on realistic documents — "
+                        "see --substr-sample)")
     p.add_argument("--clf-filter", default=None, metavar="DIR",
                    help="score every committed document with a Naive "
                         "Bayes quality classifier (DCLM/FineWeb-style "
@@ -528,10 +539,12 @@ def _parse(argv):
             p.error("--substr-max-frac must be in [0, 1]")
         if args.substr_sample < 1:
             p.error("--substr-sample must be >= 1")
+        if args.substr_exact:
+            args.substr_sample = 1
     elif (args.substr_ngram != 50 or args.substr_max_frac != 0.5
-          or args.substr_sample != 1):
-        p.error("--substr-ngram/--substr-max-frac/--substr-sample "
-                "require --substr-dedup")
+          or args.substr_sample != 8 or args.substr_exact):
+        p.error("--substr-ngram/--substr-max-frac/--substr-sample/"
+                "--substr-exact require --substr-dedup")
     if args.clf_filter:
         if not (args.clf_pos and args.clf_neg):
             p.error("--clf-filter requires --clf-pos and --clf-neg "

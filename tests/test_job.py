@@ -750,7 +750,8 @@ def test_job_substr_dedup_drops_recombinations(spark, tmp_path):
     sd = str(tmp_path / "sd")
     r = job.main(["--input", inp, "--table", str(tmp_path / "t"),
                   "--partitions", "2", "--substr-dedup", sd,
-                  "--substr-ngram", "5", "--substr-max-frac", "0.5"],
+                  "--substr-ngram", "5", "--substr-max-frac", "0.5",
+                  "--substr-exact"],
                  spark=spark)
     assert r["substr_dedup"] == {"ngram": 5, "max_frac": 0.5,
                                  "sample_mod": 1, "docs": 5,
@@ -769,7 +770,8 @@ def test_job_substr_dedup_flag_validation(tmp_path):
     base = ["--synth", "4", "--table", str(tmp_path / "t")]
     for extra in (["--substr-ngram", "5"],
                   ["--substr-max-frac", "0.2"],
-                  ["--substr-sample", "8"],
+                  ["--substr-sample", "4"],
+                  ["--substr-exact"],
                   ["--substr-dedup", str(tmp_path / "sd"),
                    "--substr-ngram", "1"],
                   ["--substr-dedup", str(tmp_path / "sd"),
@@ -778,6 +780,32 @@ def test_job_substr_dedup_flag_validation(tmp_path):
                    "--substr-sample", "0"]):
         with pytest.raises(SystemExit):
             job.main(base + extra)
+
+
+def test_job_substr_dedup_default_sampling_catches_copies(spark, tmp_path):
+    """The DEFAULT --substr-sample 8 (estimate mode — the exact
+    default was a wall-time trap at realistic scale) still drops a
+    verbatim copy: content-defined anchors select the SAME spans in
+    both copies, and over a 200-token body the chance every anchor
+    hashes non-zero mod 8 is ~(7/8)^~190 — and deterministic for this
+    fixed text."""
+    body = " ".join(f"tok{i}word" for i in range(200))
+    other = " ".join(f"unrelated{i}body" for i in range(200))
+    inp = str(tmp_path / "in.parquet")
+    rows = [(f"https://cc.synth.local/app{i}/salary_slip/{i}.png",
+             None, None, t, "en", None)
+            for i, t in enumerate([body, other, body])]
+    spark.createDataFrame(rows, schema=schemas.INPUT_SCHEMA)\
+        .write.parquet(inp)
+    sd = str(tmp_path / "sd")
+    r = job.main(["--input", inp, "--table", str(tmp_path / "t"),
+                  "--partitions", "2", "--substr-dedup", sd],
+                 spark=spark)
+    assert r["substr_dedup"]["sample_mod"] == 8
+    assert r["substr_dedup"]["dropped"] == 1
+    kept = sorted(row["url"] for row in
+                  spark.read.parquet(f"{sd}/filtered").collect())
+    assert kept == [rows[0][0], rows[1][0]]
 
 
 def test_job_clf_filter_keeps_quality_docs(spark, tmp_path):
