@@ -237,6 +237,45 @@ def jaccard(a, b):
     return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
 
 
+def _shingle_hashes_pandas_udf(k: int):
+    """Distinct rolling-hash shingle values per document — the
+    vectorized twin of ``shingles_of_norm`` for the 'poly' family.
+
+    The interpreted expression form (transform(sequence..) + substring
+    + array_distinct) measured ~256 ms per 6.6 KB document at the
+    verify stage; this numpy pass is ~0.3 ms with the SAME base-257
+    31-bit rolling polynomial the signature UDF uses, so candidate
+    verification computes Jaccard over int64 arrays JVM-side.
+    Jaccard over hashed shingles differs from string shingles only on
+    31-bit collisions (~n²/2³² expected per doc — a 6.6 KB page
+    carries ~1e-2 expected colliding pairs); the md5 oracle mode keeps
+    exact string shingles so the driver gate is unaffected."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    @pandas_udf(ArrayType(LongType()))
+    def sh(texts: pd.Series) -> pd.Series:
+        import numpy as np
+        norm = (texts.fillna("").str.strip().str.lower()
+                .str.replace(r"\s+", " ", regex=True))
+        powers = (np.uint64(257) **
+                  np.arange(k - 1, -1, -1, dtype=np.uint64))
+        out = []
+        for s in norm:
+            b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
+            if len(b) < k:
+                b = np.pad(b, (0, k - len(b)))
+                n_sh = 1
+            else:
+                n_sh = len(b) - k + 1
+            win = np.lib.stride_tricks.sliding_window_view(b, k)[:n_sh]
+            h = (win.astype(np.uint64) @ powers) & np.uint64(0x7FFFFFFF)
+            out.append(np.unique(h).astype(np.int64))
+        return pd.Series(out)
+
+    return sh
+
+
 def _spread(df: DataFrame, spread) -> DataFrame:
     """Small scans (one parquet file -> one task) would serialize the
     compute-heavy signature stages on a single core; ``spread`` lets a
@@ -345,15 +384,19 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     banded = minhash_band_rows(df, text_col=text_col, id_col=id_col, k=k,
                                num_perm=num_perm, bands=bands,
                                hash_mode=hash_mode)
+    # EAGER localCheckpoint ABOVE the cap: cap_buckets itself consumes
+    # the band rows twice (rows + per-bucket counts), and downstream
+    # the capped rows feed the self-join's two sides — without a cut
+    # the signature computation re-runs at every consumer site (a lazy
+    # checkpoint does NOT stop this: the consumers compile into one
+    # job whose stages race to compute the same partitions before the
+    # cache fills — measured as the dominant wall of a 17k-doc pairs
+    # call). Band rows are ids-only — bands rows per document — so the
+    # materialization is bytes per doc, the cheapest cut point; the
+    # report frame reads the same cached rows.
+    banded = banded.localCheckpoint()
     uncapped = banded
     banded = cap_buckets(banded, ["band", "band_hash"], max_bucket)
-    # Lazy localCheckpoint: the capped band rows are consumed three
-    # times downstream (self-join left/right + the verify semi-join's
-    # candidate ids), and each consumer would otherwise replay the
-    # whole signature computation. Band rows are ids-only — bands
-    # rows per document — so the materialization is bytes per doc,
-    # the cheapest point in the plan to cut lineage.
-    banded = banded.localCheckpoint(eager=False)
 
     cand = (
         banded.alias("l").join(banded.alias("r"),
@@ -361,6 +404,13 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
         .filter(F.col("l.id") < F.col("r.id"))
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+        # Materialized: cand feeds FIVE plan sites (the output spine +
+        # two union legs inside cand_ids for EACH of the sh_a/sh_b
+        # joins), and Catalyst expands the self-join + distinct subtree
+        # at every site — measured 13.5s of a 17k-doc pairs call spent
+        # re-running it. Candidate pairs are ids-only and cap-bounded,
+        # so the cut is bytes per candidate.
+        .localCheckpoint()
     )
     # Exact-Jaccard verify over CANDIDATE documents only: the ids in
     # any surviving bucket pair semi-filter the corpus BEFORE the
@@ -372,10 +422,27 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     cand_ids = (cand.select(F.col("id_a").alias("id"))
                 .union(cand.select(F.col("id_b").alias("id")))
                 .distinct())
-    sh_df = (df.select(F.col(id_col).alias("id"),
-                       normalize_text(F.col(text_col)).alias("_norm"))
-             .join(cand_ids, "id", "left_semi")
-             .select("id", shingles_of_norm(F.col("_norm"), k).alias("sh")))
+    if hash_mode == "poly":
+        # Vectorized verify: distinct shingle HASHES per candidate doc
+        # (same rolling family as the signatures) — the interpreted
+        # shingle expression was 256 ms/doc here, the numpy pass is
+        # ~0.3 ms (see _shingle_hashes_pandas_udf for the collision
+        # note).
+        sh_udf = _shingle_hashes_pandas_udf(k)
+        sh_df = (df.select(F.col(id_col).alias("id"), F.col(text_col))
+                 .join(cand_ids, "id", "left_semi")
+                 .select("id", sh_udf(F.col(text_col)).alias("sh")))
+    else:
+        sh_df = (df.select(F.col(id_col).alias("id"),
+                           normalize_text(F.col(text_col)).alias("_norm"))
+                 .join(cand_ids, "id", "left_semi")
+                 .select("id",
+                         shingles_of_norm(F.col("_norm"), k).alias("sh")))
+    # Materialized: consumed by both the sh_a and sh_b joins, which
+    # would otherwise each re-run the corpus-wide scan + candidate
+    # shingle build. Size is bounded by the candidate set
+    # (cap_buckets), and localCheckpoint spills MEMORY_AND_DISK.
+    sh_df = sh_df.localCheckpoint()
     pairs = (
         cand.join(sh_df.select(F.col("id").alias("id_a"),
                                F.col("sh").alias("sh_a")), "id_a")
