@@ -162,7 +162,7 @@ PATHOLOGY_URLS = {
     "wet_de": "https://wet.example.com/webpage/wet-de.html",
 }
 
-N_BULK = 160
+N_BULK = 220
 EXPECTED_SKIPS = 3          # garbage resync + bad Content-Length + truncation
 
 
@@ -358,7 +358,7 @@ def build_members() -> list[bytes]:
 
     # bulk corpus
     for i in range(N_BULK):
-        body = page_html(f"Bulk {i}", filler_text(100 + i, 40 + i % 25))
+        body = page_html(f"Bulk {i}", filler_text(100 + i, 110 + i % 60))
         members.append(gzip_member(warc_record(
             "response", http_response(body), url=bulk_url(i))))
 
