@@ -205,6 +205,74 @@ def main():
         multimodal.extract_pixel_features(
             png_df, num_partitions=cpus * 2).count()
 
+    # Baseline JPEG decode throughput (textlib/jpegcodec.py, r5):
+    # 32x32 RGB Annex-K 4:2:0 JPEGs encoded executor-side PRE-clock;
+    # the timed pass is the full T.81 decode (Huffman entropy decode,
+    # dequant, IDCT, upsample, YCbCr->RGB) + pixel featurization.
+    n_jpg = max(500, n_docs // 64)
+    jpg_path = f"/dev/shm/ocr_spark_bench_jpg_{os.getpid()}"
+
+    def _gen_jpgs(batches):
+        import numpy as np
+        import pandas as pd
+        from ocr_spark.textlib import jpegcodec as jc
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                rng = np.random.RandomState(int(mid) % (2 ** 31))
+                arr = rng.randint(0, 256, size=(32, 32, 3), dtype=np.uint8)
+                payloads.append(jc.encode_jpeg_baseline(arr))
+            yield pd.DataFrame({"media_id": pdf["media_id"].astype(str),
+                                "kind": "image", "payload": payloads})
+
+    (spark.range(n_jpg).withColumnRenamed("id", "media_id")
+     .repartition(cpus * 2)
+     .mapInPandas(_gen_jpgs,
+                  schema="media_id string, kind string, payload binary")
+     .write.mode("overwrite").parquet(jpg_path))
+    jpg_df = spark.read.parquet(jpg_path)
+
+    @timed("jpeg_decode")
+    def _jd():
+        multimodal.extract_pixel_features(
+            jpg_df, num_partitions=cpus * 2).count()
+
+    # Y4M video frame sampling throughput (r5): 25-frame 32x32 C420
+    # streams built executor-side PRE-clock; the timed pass samples
+    # every 5th frame (skipped frames must cost a pointer bump only)
+    # and featurizes the sampled RGB frames.
+    n_vid = max(250, n_docs // 128)
+    vid_path = f"/dev/shm/ocr_spark_bench_vid_{os.getpid()}"
+
+    def _gen_vids(batches):
+        import numpy as np
+        import pandas as pd
+        from ocr_spark.textlib import avcodec as av
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                rng = np.random.RandomState(int(mid) % (2 ** 31))
+                planes = [(rng.randint(0, 256, (32, 32)).astype(np.uint8),
+                           rng.randint(0, 256, (16, 16)).astype(np.uint8),
+                           rng.randint(0, 256, (16, 16)).astype(np.uint8))
+                          for _ in range(25)]
+                payloads.append(av.encode_y4m(planes, 32, 32))
+            yield pd.DataFrame({"media_id": pdf["media_id"].astype(str),
+                                "kind": "video", "payload": payloads})
+
+    (spark.range(n_vid).withColumnRenamed("id", "media_id")
+     .repartition(cpus * 2)
+     .mapInPandas(_gen_vids,
+                  schema="media_id string, kind string, payload binary")
+     .write.mode("overwrite").parquet(vid_path))
+    vid_df = spark.read.parquet(vid_path)
+    video_frame_count = {}
+
+    @timed("video_decode")
+    def _vd():
+        video_frame_count["frames"] = multimodal.sample_video_frames(
+            vid_df, every_n=5, num_partitions=cpus * 2).count()
+
     # WAT-style link layer (operators/webgraph.py). Timed: (a) the
     # corpus-sized outlink-extraction pass over the same html corpus
     # the extraction bench reads, and (b) the host-sized graph math —
@@ -764,6 +832,11 @@ def main():
         "html_docs_per_sec": round(n_docs / timings["html_extract"], 1),
         "png_images_decoded": n_img,
         "png_decode_per_sec": round(n_img / timings["pixel_decode"], 1),
+        "jpeg_images_decoded": n_jpg,
+        "jpeg_decode_per_sec": round(n_jpg / timings["jpeg_decode"], 1),
+        "video_streams_sampled": n_vid,
+        "video_frames_featurized": video_frame_count.get("frames"),
+        "video_streams_per_sec": round(n_vid / timings["video_decode"], 1),
         "web_links_extracted": web_graph_counts.get("links"),
         "web_hosts_ranked": web_graph_counts.get("hosts"),
         "crawl_allowed": crawl_counts.get("allowed"),
