@@ -3,11 +3,12 @@
 The decode layer is REAL for the formats the stdlib + numpy can
 cover: PNG (all color types / bit depths / filters / Adam7),
 uncompressed BMP, and PPM from scratch in textlib/imagecodec.py, and
-baseline-sequential JPEG (ITU-T T.81: Huffman entropy decode,
+JPEG — baseline sequential AND progressive (ITU-T T.81: Huffman
+entropy decode, spectral selection + successive approximation,
 dequant, exact IDCT, 4:2:0 upsample, JFIF YCbCr->RGB) from scratch
-in textlib/jpegcodec.py — no PIL/cv2 needed. Progressive JPEG and
-the compressed audio/video codecs stay gated (the library swap-in
-points). Two featurizers feed downstream similarity:
+in textlib/jpegcodec.py — no PIL/cv2 needed. The compressed
+audio/video codecs stay gated (the library swap-in points). Two
+featurizers feed downstream similarity:
 ``pixel_stats_v1`` (decoded-pixel stats + luma histogram) when the
 payload decodes, ``byte_histogram_v1`` as the opaque-bytes fallback —
 each feature row names which one produced it.
@@ -51,10 +52,10 @@ def decode_image(payload: bytes):
     """Decode image bytes to a numpy pixel array (H, W[, C]).
 
     PNG / BMP / PPM decode natively (textlib/imagecodec.py), as does
-    baseline-sequential JPEG (textlib/jpegcodec.py — progressive
-    raises and falls back). Raises imagecodec.ImageFormatError on
-    corrupt or unrecognized bytes (callers fall back to the byte
-    featurizer).
+    JPEG — baseline and progressive (textlib/jpegcodec.py; arithmetic
+    /hierarchical/lossless raise and fall back). Raises
+    imagecodec.ImageFormatError on corrupt or unrecognized bytes
+    (callers fall back to the byte featurizer).
     """
     from ..textlib import imagecodec as ic
 

@@ -15,9 +15,8 @@ implementations of the public formats, not stubs:
            bottom-up and top-down row orders.
   * PPM  — Netpbm P6, maxval <= 255.
 
-Baseline-sequential JPEG lives in its own module (jpegcodec.py —
-entropy decode + DCT is a codec project of its own); progressive
-JPEG remains the documented library swap-in point.
+JPEG (baseline sequential AND progressive) lives in its own module
+(jpegcodec.py — entropy decode + DCT is a codec project of its own).
 
 An encoder (`encode_png`) ships too — it drives the round-trip tests
 and is deliberately NOT the decoder mirrored: it applies the forward

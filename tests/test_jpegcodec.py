@@ -1,4 +1,5 @@
-"""Baseline JPEG codec (ITU-T T.81) — spec vectors and round trips.
+"""JPEG codec (ITU-T T.81, baseline + progressive) — spec vectors
+and round trips.
 
 The encoder and decoder are independent code paths (forward DCT +
 canonical code assignment vs Huffman decode + inverse DCT), so a
@@ -110,8 +111,7 @@ class TestDecoderSpecVectors:
         a = 5
         bw = _Bits()
         _put_dc(bw, 0)
-        code, n = _ac_lum_code(0x01)      # run 0, size 1.. wait a=5 -> ssss=3
-        ssss = a.bit_length()
+        ssss = a.bit_length()             # a=5 -> category 3
         code, n = _ac_lum_code((0 << 4) | ssss)
         bw.put(code, n)
         bw.put(a, ssss)
@@ -183,11 +183,11 @@ class TestDecoderSpecVectors:
         with pytest.raises(ImageFormatError):
             jc.decode_jpeg(bytes(data))   # second block missing
 
-    def test_progressive_rejected(self):
+    def test_arithmetic_coding_rejected(self):
         data = bytearray(_gray_headers(8, 8))
         i = bytes(data).find(b"\xff\xc0")
-        data[i + 1] = 0xC2
-        with pytest.raises(ImageFormatError, match="baseline"):
+        data[i + 1] = 0xC9     # SOF9: extended sequential, arithmetic
+        with pytest.raises(ImageFormatError, match="arithmetic"):
             jc.decode_jpeg(bytes(data))
 
     def test_not_a_jpeg(self):
@@ -277,3 +277,101 @@ class TestOperatorIntegration:
             jc.encode_jpeg_baseline(img, quant_luma=FLAT8)))
         assert feats[0] == 8.0 and feats[1] == 16.0
         assert abs(feats[3] - 120 / 255) < 1e-12  # mean of 40/200
+
+
+class TestProgressive:
+    """SOF2 (Annex G): the progressive encoder emits the SAME
+    quantized coefficients as the baseline encoder through a scan
+    script, so decode(progressive) must equal decode(baseline)
+    EXACTLY — any slip in EOB-run accounting, refinement-bit order,
+    point transforms, or scan geometry breaks the equality."""
+
+    def _pair(self, img, scans=None, **kw):
+        b = jc.decode_jpeg(jc.encode_jpeg_baseline(img, **kw))
+        extra = {"scans": scans} if scans else {}
+        p = jc.decode_jpeg(jc.encode_jpeg_progressive(img, **kw, **extra))
+        return b, p
+
+    def test_gray_default_script_exact(self):
+        rng = np.random.default_rng(11)
+        img = rng.integers(0, 256, (24, 33), dtype=np.uint8)
+        b, p = self._pair(img, quant_luma=FLAT1)
+        assert np.array_equal(b, p)
+
+    def test_color_420_annexk_exact(self):
+        rng = np.random.default_rng(12)
+        img = rng.integers(0, 256, (35, 41, 3), dtype=np.uint8)
+        b, p = self._pair(img)
+        assert np.array_equal(b, p)
+
+    def test_color_11_exact(self):
+        rng = np.random.default_rng(13)
+        img = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+        b, p = self._pair(img, subsample=(1, 1))
+        assert np.array_equal(b, p)
+
+    def test_spectral_only_script(self):
+        rng = np.random.default_rng(14)
+        img = rng.integers(0, 256, (33, 47, 3), dtype=np.uint8)
+        b, p = self._pair(img, scans=(
+            ("all", 0, 0, 0, 0), ("each", 1, 63, 0, 0)))
+        assert np.array_equal(b, p)
+
+    def test_narrow_bands_script(self):
+        rng = np.random.default_rng(15)
+        img = rng.integers(0, 256, (33, 47, 3), dtype=np.uint8)
+        b, p = self._pair(img, scans=(
+            ("all", 0, 0, 0, 0), ("each", 1, 2, 0, 0),
+            ("each", 3, 9, 0, 0), ("each", 10, 35, 0, 0),
+            ("each", 36, 63, 0, 0)))
+        assert np.array_equal(b, p)
+
+    def test_deep_successive_approximation(self):
+        rng = np.random.default_rng(16)
+        img = rng.integers(0, 256, (33, 47, 3), dtype=np.uint8)
+        b, p = self._pair(img, scans=(
+            ("all", 0, 0, 0, 3), ("all", 0, 0, 3, 2),
+            ("all", 0, 0, 2, 1), ("all", 0, 0, 1, 0),
+            ("each", 1, 63, 0, 3), ("each", 1, 63, 3, 2),
+            ("each", 1, 63, 2, 1), ("each", 1, 63, 1, 0)))
+        assert np.array_equal(b, p)
+
+    def test_constant_and_gradient_images(self):
+        # long EOB runs (flat) and dense coefficients (gradient)
+        yy, xx = np.mgrid[0:40, 0:56]
+        grad = ((yy * 3 + xx * 2) % 256).astype(np.uint8)
+        for img in (np.zeros((40, 56), np.uint8),
+                    np.full((40, 56), 255, np.uint8), grad):
+            b, p = self._pair(img, quant_luma=FLAT1)
+            assert np.array_equal(b, p)
+
+    def test_fuzz_shapes_and_content(self):
+        fails = []
+        for seed in range(12):
+            rng = np.random.default_rng(100 + seed)
+            h, w = int(rng.integers(8, 70)), int(rng.integers(8, 70))
+            shape = (h, w, 3) if seed % 2 else (h, w)
+            img = rng.integers(0, 256, shape, dtype=np.uint8)
+            sub = (1, 1) if seed % 3 == 0 else (2, 2)
+            b, p = self._pair(img, subsample=sub)
+            if not np.array_equal(b, p):
+                fails.append(seed)
+        assert fails == []
+
+    def test_dispatches_through_decode_image(self):
+        from ocr_spark.operators.multimodal import decode_image
+        img = np.full((16, 16), 100, np.uint8)
+        data = jc.encode_jpeg_progressive(img, quant_luma=FLAT8)
+        assert data[3] == 0xE0 and b"\xff\xc2" in data   # SOF2 stream
+        assert np.array_equal(decode_image(data), img)
+
+    def test_pil_cross_check_if_available(self):
+        PIL = pytest.importorskip("PIL.Image")
+        import io
+        rng = np.random.default_rng(17)
+        img = np.repeat(np.repeat(
+            rng.integers(10, 246, (2, 3), dtype=np.uint8), 8, 0), 8, 1)
+        data = jc.encode_jpeg_progressive(img, quant_luma=FLAT1)
+        ref = np.asarray(PIL.open(io.BytesIO(data)).convert("L"))
+        got = jc.decode_jpeg(data)
+        assert np.abs(got.astype(int) - ref.astype(int)).max() <= 1
