@@ -237,6 +237,38 @@ def main():
         multimodal.extract_pixel_features(
             jpg_df, num_partitions=cpus * 2).count()
 
+    # Progressive (SOF2) decode throughput: same images through the
+    # Annex G scan-accumulation path (per-coefficient-bit Python walk
+    # across 8 scans — inherently slower than baseline; the number
+    # prices that honestly).
+    n_pjpg = max(250, n_docs // 256)
+    pjpg_path = f"/dev/shm/ocr_spark_bench_pjpg_{os.getpid()}"
+
+    def _gen_pjpgs(batches):
+        import numpy as np
+        import pandas as pd
+        from ocr_spark.textlib import jpegcodec as jc
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                rng = np.random.RandomState(int(mid) % (2 ** 31))
+                arr = rng.randint(0, 256, size=(32, 32, 3), dtype=np.uint8)
+                payloads.append(jc.encode_jpeg_progressive(arr))
+            yield pd.DataFrame({"media_id": pdf["media_id"].astype(str),
+                                "kind": "image", "payload": payloads})
+
+    (spark.range(n_pjpg).withColumnRenamed("id", "media_id")
+     .repartition(cpus * 2)
+     .mapInPandas(_gen_pjpgs,
+                  schema="media_id string, kind string, payload binary")
+     .write.mode("overwrite").parquet(pjpg_path))
+    pjpg_df = spark.read.parquet(pjpg_path)
+
+    @timed("jpeg_progressive")
+    def _jp():
+        multimodal.extract_pixel_features(
+            pjpg_df, num_partitions=cpus * 2).count()
+
     # Y4M video frame sampling throughput (r5): 25-frame 32x32 C420
     # streams built executor-side PRE-clock; the timed pass samples
     # every 5th frame (skipped frames must cost a pointer bump only)
@@ -834,6 +866,9 @@ def main():
         "png_decode_per_sec": round(n_img / timings["pixel_decode"], 1),
         "jpeg_images_decoded": n_jpg,
         "jpeg_decode_per_sec": round(n_jpg / timings["jpeg_decode"], 1),
+        "jpeg_progressive_decoded": n_pjpg,
+        "jpeg_progressive_per_sec": round(
+            n_pjpg / timings["jpeg_progressive"], 1),
         "video_streams_sampled": n_vid,
         "video_frames_featurized": video_frame_count.get("frames"),
         "video_streams_per_sec": round(n_vid / timings["video_decode"], 1),
