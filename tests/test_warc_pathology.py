@@ -173,3 +173,34 @@ def test_full_pipeline_round_trip(spark, tmp_path):
               .join(wet_in.select("url", "text"), "url"))
     assert joined.count() == n_surv
     assert joined.filter("rt != text").count() == 0
+
+
+def test_native_datasource_agrees_on_pathology_fixture(spark, tmp_path):
+    """spark.read.format('warc') over the pathology fixture returns
+    the same documents and the same skip accounting as the
+    mapInPandas reader — the native source must survive every
+    transport pathology the fixture carries, not just synthetic
+    segments."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.sources import warc_datasource
+    warc_datasource.register(spark)
+    seg_dir = tmp_path / "segs"
+    seg_dir.mkdir()
+    with open(FIXTURE, "rb") as f:
+        (seg_dir / "cc_pathology.warc.gz").write_bytes(f.read())
+
+    via_ds = spark.read.format("warc").load(str(seg_dir))
+    via_mp = warc.read_warc(spark, str(seg_dir))
+
+    def norm(df):
+        # key=repr: the bookkeeping row carries NULLs that plain tuple
+        # ordering cannot compare against document rows
+        return sorted(
+            ((r["url"], r["warc_ts"],
+              bytes(r["html"]) if r["html"] is not None else None,
+              r["text"], r["lang"], r["_warc_offset"],
+              r["_warc_skipped"]) for r in df.collect()), key=repr)
+
+    assert norm(via_ds) == norm(via_mp)
+    assert via_ds.agg(F.sum("_warc_skipped")).first()[0] == EXPECTED_SKIPS
