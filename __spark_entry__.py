@@ -2282,6 +2282,64 @@ FROM v ORDER BY media_id
 """
 
 
+def q_gif_decode(spark, sf_dir):
+    """REAL GIF decode at the driver gate: 16 payload variants built
+    by the from-scratch GIF89a encoder (4-color palette + index
+    pattern derived from the variant key), selected per document by
+    doc_id arithmetic, pushed through the actual decode path
+    (multimodal.decode_image -> gifcodec: LZW decompression with
+    variable code widths, palette resolution -> pixel_features).
+
+    The 16x16 frame's index at (y, x) is (x + y + k) % 4, so each
+    palette entry colors exactly 64 pixels and the per-channel sums
+    are closed-form integers: 64 * sum_j pal[j][c] with
+    pal[j][c] = (37k + 61j + 83c) % 256 — an LZW mis-decode, palette
+    offset, or channel-order slip all land in the sums."""
+    import numpy as np
+
+    from ocr_spark.operators import multimodal
+    from ocr_spark.textlib import gifcodec as gc
+    yy, xx = np.mgrid[0:16, 0:16]
+    payloads = []
+    for k in range(16):
+        pal = np.array([[(37 * k + 61 * j + 83 * c) % 256
+                         for c in range(3)] for j in range(4)], np.uint8)
+        frame = ((xx + yy + k) % 4).astype(np.uint8)
+        payloads.append(gc.encode_gif([frame], pal))
+    sel = F.element_at(F.array(*[F.lit(p) for p in payloads]),
+                       (F.pmod(F.col("doc_id"), F.lit(16)) + 1)
+                       .cast("int"))
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("kind"),
+        sel.alias("payload"))
+    out = multimodal.extract_pixel_features(media, num_partitions=8)
+    px = F.lit(256 * 255)
+    return out.select(
+        "media_id", "width", "height", "channels",
+        F.round(F.element_at("features", 4) * px).cast("long").alias("sum_r"),
+        F.round(F.element_at("features", 5) * px).cast("long").alias("sum_g"),
+        F.round(F.element_at("features", 6) * px).cast("long").alias("sum_b"),
+        "featurizer")
+
+
+def _sql_gif_decode() -> str:
+    return """
+WITH d AS (
+  SELECT cast(doc_id AS varchar) AS media_id, doc_id % 16 AS k
+  FROM documents)
+SELECT media_id, 16 AS width, 16 AS height, 3 AS channels,
+  (64 * list_sum([(37*k + 61*j) % 256 for j in range(4)]))::bigint
+      AS sum_r,
+  (64 * list_sum([(37*k + 61*j + 83) % 256 for j in range(4)]))::bigint
+      AS sum_g,
+  (64 * list_sum([(37*k + 61*j + 166) % 256 for j in range(4)]))::bigint
+      AS sum_b,
+  'pixel_stats_v1' AS featurizer
+FROM d ORDER BY media_id
+"""
+
+
 def _domain_url_expr():
     """Derived urls with host-extraction branch variety by doc_id
     arithmetic: uppercase host + default port, userinfo, double-@,
@@ -5483,6 +5541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_decode": q_audio_decode,
         "video_decode": q_video_decode,
         "jpeg_decode": q_jpeg_decode,
+        "gif_decode": q_gif_decode,
         "domain_stats": q_domain_stats,
         "outlinks": q_outlinks,
         "host_rank": q_host_rank,
@@ -5651,6 +5710,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_decode": _sql_audio_decode(),
         "video_decode": _sql_video_decode(),
         "jpeg_decode": _sql_jpeg_decode(),
+        "gif_decode": _sql_gif_decode(),
         "domain_stats": _sql_domain_stats(),
         "outlinks": _sql_outlinks(),
         "host_rank": _sql_host_rank(),

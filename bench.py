@@ -237,6 +237,38 @@ def main():
         multimodal.extract_pixel_features(
             jpg_df, num_partitions=cpus * 2).count()
 
+    # GIF decode throughput (textlib/gifcodec.py, r5): 32x32 64-color
+    # noise GIFs (LZW width growth exercised) built PRE-clock; the
+    # timed pass is LZW decompress + palette resolve + featurize.
+    n_gif = max(500, n_docs // 64)
+    gif_path = f"/dev/shm/ocr_spark_bench_gif_{os.getpid()}"
+
+    def _gen_gifs(batches):
+        import numpy as np
+        import pandas as pd
+        from ocr_spark.textlib import gifcodec as gcodec
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                rng = np.random.RandomState(int(mid) % (2 ** 31))
+                pal = rng.randint(0, 256, size=(64, 3)).astype(np.uint8)
+                f = rng.randint(0, 64, size=(32, 32)).astype(np.uint8)
+                payloads.append(gcodec.encode_gif([f], pal))
+            yield pd.DataFrame({"media_id": pdf["media_id"].astype(str),
+                                "kind": "image", "payload": payloads})
+
+    (spark.range(n_gif).withColumnRenamed("id", "media_id")
+     .repartition(cpus * 2)
+     .mapInPandas(_gen_gifs,
+                  schema="media_id string, kind string, payload binary")
+     .write.mode("overwrite").parquet(gif_path))
+    gif_df = spark.read.parquet(gif_path)
+
+    @timed("gif_decode")
+    def _gd():
+        multimodal.extract_pixel_features(
+            gif_df, num_partitions=cpus * 2).count()
+
     # Progressive (SOF2) decode throughput: same images through the
     # Annex G scan-accumulation path (per-coefficient-bit Python walk
     # across 8 scans — inherently slower than baseline; the number
@@ -869,6 +901,8 @@ def main():
         "jpeg_progressive_decoded": n_pjpg,
         "jpeg_progressive_per_sec": round(
             n_pjpg / timings["jpeg_progressive"], 1),
+        "gif_images_decoded": n_gif,
+        "gif_decode_per_sec": round(n_gif / timings["gif_decode"], 1),
         "video_streams_sampled": n_vid,
         "video_frames_featurized": video_frame_count.get("frames"),
         "video_streams_per_sec": round(n_vid / timings["video_decode"], 1),

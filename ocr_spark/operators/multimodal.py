@@ -2,11 +2,13 @@
 
 The decode layer is REAL for the formats the stdlib + numpy can
 cover: PNG (all color types / bit depths / filters / Adam7),
-uncompressed BMP, and PPM from scratch in textlib/imagecodec.py, and
+uncompressed BMP, and PPM from scratch in textlib/imagecodec.py;
 JPEG — baseline sequential AND progressive (ITU-T T.81: Huffman
 entropy decode, spectral selection + successive approximation,
 dequant, exact IDCT, 4:2:0 upsample, JFIF YCbCr->RGB) from scratch
-in textlib/jpegcodec.py — no PIL/cv2 needed. The compressed
+in textlib/jpegcodec.py; GIF87a/89a (variable-width LZW, interlace,
+transparency + disposal compositing, animated frame sampling) from
+scratch in textlib/gifcodec.py — no PIL/cv2 needed. The compressed
 audio/video codecs stay gated (the library swap-in points). Two
 featurizers feed downstream similarity:
 ``pixel_stats_v1`` (decoded-pixel stats + luma histogram) when the
@@ -51,9 +53,10 @@ FEATURE_SCHEMA = StructType([
 def decode_image(payload: bytes):
     """Decode image bytes to a numpy pixel array (H, W[, C]).
 
-    PNG / BMP / PPM decode natively (textlib/imagecodec.py), as does
+    PNG / BMP / PPM decode natively (textlib/imagecodec.py), as do
     JPEG — baseline and progressive (textlib/jpegcodec.py; arithmetic
-    /hierarchical/lossless raise and fall back). Raises
+    /hierarchical/lossless raise and fall back) — and GIF
+    (textlib/gifcodec.py, first frame). Raises
     imagecodec.ImageFormatError on corrupt or unrecognized bytes
     (callers fall back to the byte featurizer).
     """
@@ -68,6 +71,9 @@ def decode_image(payload: bytes):
     if payload.startswith(b"\xff\xd8\xff"):
         from ..textlib import jpegcodec as jc
         return jc.decode_jpeg(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from ..textlib import gifcodec as gc
+        return gc.decode_gif(payload)
     raise ic.ImageFormatError("unrecognized image magic")
 
 
@@ -96,12 +102,19 @@ def decode_video_frames(payload: bytes, every_n: int = 1,
                         max_frames: int | None = None):
     """Iterate (frame_index, RGB frame) with every_n-th sampling.
 
-    YUV4MPEG2 decodes natively (textlib/avcodec.py). MP4/WebM/MKV need
-    an H.264/VP9 decoder — gated, naming the swap-in."""
+    YUV4MPEG2 decodes natively (textlib/avcodec.py), and animated GIF
+    decodes as a frame stream (textlib/gifcodec.py — skipped frames
+    still decode because disposal compositing chains, but only
+    sampled frames convert and emit). MP4/WebM/MKV need an H.264/VP9
+    decoder — gated, naming the swap-in."""
     from ..textlib import avcodec as av
 
     if payload.startswith(b"YUV4MPEG2"):
         return av.decode_y4m_frames(payload, every_n=every_n,
+                                    max_frames=max_frames)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from ..textlib import gifcodec as gc
+        return gc.decode_gif_frames(payload, every_n=every_n,
                                     max_frames=max_frames)
     if payload[4:8] == b"ftyp" or payload[:4] == b"\x1a\x45\xdf\xa3":
         raise NotImplementedError(
@@ -270,7 +283,8 @@ def _video_frame_batches(every_n: int, max_frames: int | None):
                         rows.append((media_id, idx, rgb.shape[1],
                                      rgb.shape[0], ic.pixel_features(rgb),
                                      "pixel_stats_v1"))
-                except (av.MediaFormatError, NotImplementedError):
+                except (av.MediaFormatError, ic.ImageFormatError,
+                        NotImplementedError):
                     continue  # undecodable stream contributes no frames
             yield pd.DataFrame(rows, columns=cols)
 
