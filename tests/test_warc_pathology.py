@@ -204,3 +204,38 @@ def test_native_datasource_agrees_on_pathology_fixture(spark, tmp_path):
 
     assert norm(via_ds) == norm(via_mp)
     assert via_ds.agg(F.sum("_warc_skipped")).first()[0] == EXPECTED_SKIPS
+
+
+def test_crawl_image_payloads_featurize(spark, tmp_path):
+    """The three real image records (PNG / baseline JPEG / GIF built
+    by the repo's own encoders) ride the WARC rows into
+    extract_pixel_features and decode with the pixel featurizer — the
+    crawl -> media loop, not just the text loop."""
+    import numpy as np
+
+    from ocr_spark.operators import multimodal
+    from ocr_spark.textlib import imagecodec as ic
+
+    seg_dir = tmp_path / "segs"
+    seg_dir.mkdir()
+    with open(FIXTURE, "rb") as f:
+        (seg_dir / "cc_pathology.warc.gz").write_bytes(f.read())
+    P = PATHOLOGY_URLS
+    img_urls = [P["img_png"], P["img_jpeg"], P["img_gif"]]
+    from pyspark.sql import functions as F
+    media = (warc.read_warc(spark, str(seg_dir))
+             .filter(F.col("url").isin(img_urls))
+             .select(F.col("url").alias("media_id"),
+                     F.lit("image").alias("kind"),
+                     F.col("html").alias("payload")))
+    out = {r["media_id"]: r for r in
+           multimodal.extract_pixel_features(media).collect()}
+    assert len(out) == 3
+    rows, _ = warc.segment_rows(open(FIXTURE, "rb").read())
+    local = {r["url"]: r["html"] for r in rows if r["url"] in img_urls}
+    for url in img_urls:
+        got = out[url]
+        assert got["featurizer"] == "pixel_stats_v1", url
+        assert (got["width"], got["height"]) == (24, 24), url
+        want = ic.pixel_features(multimodal.decode_image(local[url]))
+        assert got["features"] == pytest.approx(want), url

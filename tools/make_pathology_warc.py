@@ -160,6 +160,11 @@ PATHOLOGY_URLS = {
     "pdf": "https://files.example.com/app7/salary_slip/1001.pdf",
     "wet_en": "https://wet.example.com/webpage/wet-en.html",
     "wet_de": "https://wet.example.com/webpage/wet-de.html",
+    # real image payloads built by the repo's own from-scratch
+    # encoders — the crawl->media-featurize loop
+    "img_png": "https://img.example.com/media/a.png",
+    "img_jpeg": "https://img.example.com/media/b.jpg",
+    "img_gif": "https://img.example.com/media/c.gif",
 }
 
 N_BULK = 220
@@ -306,6 +311,32 @@ def build_members() -> list[bytes]:
         "response", http_response(pdf, ctype="application/pdf"),
         url=P["pdf"])))
 
+    # real decodable image payloads (PNG / baseline JPEG / GIF) from
+    # the repo's own encoders, served with image/* content types
+    import numpy as np
+
+    from ocr_spark.textlib import gifcodec, imagecodec, jpegcodec
+    rng = np.random.RandomState(42)
+    png_img = rng.randint(0, 256, size=(24, 24, 3)).astype(np.uint8)
+    members.append(gzip_member(warc_record(
+        "response",
+        http_response(imagecodec.encode_png(png_img, filter_type=-1),
+                      ctype="image/png"),
+        url=P["img_png"])))
+    jpg_img = rng.randint(0, 256, size=(24, 24, 3)).astype(np.uint8)
+    members.append(gzip_member(warc_record(
+        "response",
+        http_response(jpegcodec.encode_jpeg_baseline(jpg_img),
+                      ctype="image/jpeg"),
+        url=P["img_jpeg"])))
+    gif_pal = rng.randint(0, 256, size=(16, 3)).astype(np.uint8)
+    gif_idx = rng.randint(0, 16, size=(24, 24)).astype(np.uint8)
+    members.append(gzip_member(warc_record(
+        "response",
+        http_response(gifcodec.encode_gif([gif_idx], gif_pal),
+                      ctype="image/gif"),
+        url=P["img_gif"])))
+
     # revisit + metadata records (no rows)
     members.append(gzip_member(warc_record(
         "revisit", b"", url=P["baseline"],
@@ -371,11 +402,11 @@ def build_members() -> list[bytes]:
     return members
 
 
-#: responses with a URI (21 singles incl. after-garbage/after-bad-length
-#: + 2 in the two-record member + bulk) + 2 conversions; the truncated
-#: final record, the request/revisit/metadata/warcinfo records, and the
-#: no-URI response contribute rows=0.
-EXPECTED_ROWS = 17 + 2 + N_BULK + 2
+#: responses with a URI (20 singles incl. the three image payloads and
+#: after-garbage/after-bad-length + 2 in the two-record member + bulk)
+#: + 2 conversions; the truncated final record, the request/revisit/
+#: metadata/warcinfo records, and the no-URI response contribute rows=0.
+EXPECTED_ROWS = 20 + 2 + N_BULK + 2
 
 
 def main(out_path: str | None = None) -> str:
