@@ -2340,6 +2340,60 @@ FROM d ORDER BY media_id
 """
 
 
+def q_gif_frames(spark, sf_dir):
+    """Animated-GIF frame sampling at the driver gate: 8 variants of a
+    5-frame 16x16 animation (frame f filled with palette index
+    (f + k) % 4, no transparency) through the real video path
+    (multimodal.sample_video_frames -> gifcodec.decode_gif_frames
+    with disposal compositing). every_n=2 must emit frames 0, 2, 4
+    ONLY, and each sampled frame's per-channel sums are closed-form:
+    256 * pal[(f + k) % 4][c] with pal[j][c] = (41k + 59j + 73c) % 256
+    — a frame-order slip, compositing error, or sampling off-by-one
+    all change the row set or the sums."""
+    import numpy as np
+
+    from ocr_spark.operators import multimodal
+    from ocr_spark.textlib import gifcodec as gc
+    payloads = []
+    for k in range(8):
+        pal = np.array([[(41 * k + 59 * j + 73 * c) % 256
+                         for c in range(3)] for j in range(4)], np.uint8)
+        frames = [np.full((16, 16), (f + k) % 4, np.uint8)
+                  for f in range(5)]
+        payloads.append(gc.encode_gif(frames, pal))
+    sel = F.element_at(F.array(*[F.lit(p) for p in payloads]),
+                       (F.pmod(F.col("doc_id"), F.lit(8)) + 1)
+                       .cast("int"))
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("video").alias("kind"),
+        sel.alias("payload"))
+    out = multimodal.sample_video_frames(media, every_n=2,
+                                         num_partitions=8)
+    px = F.lit(256 * 255)
+    return out.select(
+        "media_id", "frame_idx", "width", "height",
+        F.round(F.element_at("features", 4) * px).cast("long").alias("sum_r"),
+        F.round(F.element_at("features", 5) * px).cast("long").alias("sum_g"),
+        F.round(F.element_at("features", 6) * px).cast("long").alias("sum_b"))
+
+
+def _sql_gif_frames() -> str:
+    return """
+WITH d AS (
+  SELECT cast(doc_id AS varchar) AS media_id, doc_id % 8 AS k
+  FROM documents),
+u AS (
+  SELECT media_id, k, f
+  FROM d, (SELECT unnest([0, 2, 4]) AS f))
+SELECT media_id, f AS frame_idx, 16 AS width, 16 AS height,
+  (256 * ((41*k + 59*((f + k) % 4)) % 256))::bigint AS sum_r,
+  (256 * ((41*k + 59*((f + k) % 4) + 73) % 256))::bigint AS sum_g,
+  (256 * ((41*k + 59*((f + k) % 4) + 146) % 256))::bigint AS sum_b
+FROM u ORDER BY media_id, frame_idx
+"""
+
+
 def _domain_url_expr():
     """Derived urls with host-extraction branch variety by doc_id
     arithmetic: uppercase host + default port, userinfo, double-@,
@@ -5542,6 +5596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_decode": q_video_decode,
         "jpeg_decode": q_jpeg_decode,
         "gif_decode": q_gif_decode,
+        "gif_frames": q_gif_frames,
         "domain_stats": q_domain_stats,
         "outlinks": q_outlinks,
         "host_rank": q_host_rank,
@@ -5711,6 +5766,7 @@ def oracle_sql() -> dict[str, str]:
         "video_decode": _sql_video_decode(),
         "jpeg_decode": _sql_jpeg_decode(),
         "gif_decode": _sql_gif_decode(),
+        "gif_frames": _sql_gif_frames(),
         "domain_stats": _sql_domain_stats(),
         "outlinks": _sql_outlinks(),
         "host_rank": _sql_host_rank(),
