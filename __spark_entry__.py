@@ -2394,6 +2394,60 @@ FROM u ORDER BY media_id, frame_idx
 """
 
 
+def q_tiff_decode(spark, sf_dir):
+    """REAL TIFF decode at the driver gate: 16 variants built by the
+    from-scratch TIFF encoder with LZW compression + horizontal
+    predictor (the scanned-document format's full decode machinery:
+    IFD walk, strip assembly, MSB-first early-change LZW, predictor
+    undo), selected by doc_id arithmetic and pushed through
+    multimodal.decode_image -> pixel_features.
+
+    Variant k is a 16x16 RGB image whose channel c is the constant
+    (23k + 71c + 19) % 256 — closed-form sums; byte order alternates
+    II/MM by k so both paths hit the gate."""
+    import numpy as np
+
+    from ocr_spark.operators import multimodal
+    from ocr_spark.textlib import tiffcodec as tfc
+    payloads = []
+    for k in range(16):
+        img = np.zeros((16, 16, 3), np.uint8)
+        for c in range(3):
+            img[:, :, c] = (23 * k + 71 * c + 19) % 256
+        payloads.append(tfc.encode_tiff(
+            img, compression=5, predictor=2,
+            byte_order="<" if k % 2 == 0 else ">"))
+    sel = F.element_at(F.array(*[F.lit(p) for p in payloads]),
+                       (F.pmod(F.col("doc_id"), F.lit(16)) + 1)
+                       .cast("int"))
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("kind"),
+        sel.alias("payload"))
+    out = multimodal.extract_pixel_features(media, num_partitions=8)
+    px = F.lit(256 * 255)
+    return out.select(
+        "media_id", "width", "height", "channels",
+        F.round(F.element_at("features", 4) * px).cast("long").alias("sum_r"),
+        F.round(F.element_at("features", 5) * px).cast("long").alias("sum_g"),
+        F.round(F.element_at("features", 6) * px).cast("long").alias("sum_b"),
+        "featurizer")
+
+
+def _sql_tiff_decode() -> str:
+    return """
+WITH d AS (
+  SELECT cast(doc_id AS varchar) AS media_id, doc_id % 16 AS k
+  FROM documents)
+SELECT media_id, 16 AS width, 16 AS height, 3 AS channels,
+  (256 * ((23*k + 19) % 256))::bigint AS sum_r,
+  (256 * ((23*k + 90) % 256))::bigint AS sum_g,
+  (256 * ((23*k + 161) % 256))::bigint AS sum_b,
+  'pixel_stats_v1' AS featurizer
+FROM d ORDER BY media_id
+"""
+
+
 def _domain_url_expr():
     """Derived urls with host-extraction branch variety by doc_id
     arithmetic: uppercase host + default port, userinfo, double-@,
@@ -5597,6 +5651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_decode": q_jpeg_decode,
         "gif_decode": q_gif_decode,
         "gif_frames": q_gif_frames,
+        "tiff_decode": q_tiff_decode,
         "domain_stats": q_domain_stats,
         "outlinks": q_outlinks,
         "host_rank": q_host_rank,
@@ -5767,6 +5822,7 @@ def oracle_sql() -> dict[str, str]:
         "jpeg_decode": _sql_jpeg_decode(),
         "gif_decode": _sql_gif_decode(),
         "gif_frames": _sql_gif_frames(),
+        "tiff_decode": _sql_tiff_decode(),
         "domain_stats": _sql_domain_stats(),
         "outlinks": _sql_outlinks(),
         "host_rank": _sql_host_rank(),

@@ -269,6 +269,38 @@ def main():
         multimodal.extract_pixel_features(
             gif_df, num_partitions=cpus * 2).count()
 
+    # TIFF decode throughput (textlib/tiffcodec.py, r5): 32x32 RGB
+    # LZW+predictor TIFFs built PRE-clock; timed pass = IFD walk +
+    # strip LZW decode + predictor undo + featurize.
+    n_tif = max(500, n_docs // 64)
+    tif_path = f"/dev/shm/ocr_spark_bench_tif_{os.getpid()}"
+
+    def _gen_tifs(batches):
+        import numpy as np
+        import pandas as pd
+        from ocr_spark.textlib import tiffcodec as tfc
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                rng = np.random.RandomState(int(mid) % (2 ** 31))
+                arr = rng.randint(0, 256, size=(32, 32, 3)).astype(np.uint8)
+                payloads.append(tfc.encode_tiff(arr, compression=5,
+                                                predictor=2))
+            yield pd.DataFrame({"media_id": pdf["media_id"].astype(str),
+                                "kind": "image", "payload": payloads})
+
+    (spark.range(n_tif).withColumnRenamed("id", "media_id")
+     .repartition(cpus * 2)
+     .mapInPandas(_gen_tifs,
+                  schema="media_id string, kind string, payload binary")
+     .write.mode("overwrite").parquet(tif_path))
+    tif_df = spark.read.parquet(tif_path)
+
+    @timed("tiff_decode")
+    def _td():
+        multimodal.extract_pixel_features(
+            tif_df, num_partitions=cpus * 2).count()
+
     # Progressive (SOF2) decode throughput: same images through the
     # Annex G scan-accumulation path (per-coefficient-bit Python walk
     # across 8 scans — inherently slower than baseline; the number
@@ -903,6 +935,8 @@ def main():
             n_pjpg / timings["jpeg_progressive"], 1),
         "gif_images_decoded": n_gif,
         "gif_decode_per_sec": round(n_gif / timings["gif_decode"], 1),
+        "tiff_images_decoded": n_tif,
+        "tiff_decode_per_sec": round(n_tif / timings["tiff_decode"], 1),
         "video_streams_sampled": n_vid,
         "video_frames_featurized": video_frame_count.get("frames"),
         "video_streams_per_sec": round(n_vid / timings["video_decode"], 1),

@@ -8,7 +8,9 @@ entropy decode, spectral selection + successive approximation,
 dequant, exact IDCT, 4:2:0 upsample, JFIF YCbCr->RGB) from scratch
 in textlib/jpegcodec.py; GIF87a/89a (variable-width LZW, interlace,
 transparency + disposal compositing, animated frame sampling) from
-scratch in textlib/gifcodec.py — no PIL/cv2 needed. The compressed
+scratch in textlib/gifcodec.py; TIFF 6.0 (strips, PackBits, MSB-first
+early-change LZW + predictor, WhiteIsZero/palette) from scratch in
+textlib/tiffcodec.py — no PIL/cv2 needed. The compressed
 audio/video codecs stay gated (the library swap-in points). Two
 featurizers feed downstream similarity:
 ``pixel_stats_v1`` (decoded-pixel stats + luma histogram) when the
@@ -55,8 +57,9 @@ def decode_image(payload: bytes):
 
     PNG / BMP / PPM decode natively (textlib/imagecodec.py), as do
     JPEG — baseline and progressive (textlib/jpegcodec.py; arithmetic
-    /hierarchical/lossless raise and fall back) — and GIF
-    (textlib/gifcodec.py, first frame). Raises
+    /hierarchical/lossless raise and fall back) — GIF
+    (textlib/gifcodec.py, first frame), and TIFF
+    (textlib/tiffcodec.py). Raises
     imagecodec.ImageFormatError on corrupt or unrecognized bytes
     (callers fall back to the byte featurizer).
     """
@@ -74,6 +77,9 @@ def decode_image(payload: bytes):
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         from ..textlib import gifcodec as gc
         return gc.decode_gif(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from ..textlib import tiffcodec as tc
+        return tc.decode_tiff(payload)
     raise ic.ImageFormatError("unrecognized image magic")
 
 
