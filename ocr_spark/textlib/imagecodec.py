@@ -12,7 +12,8 @@ implementations of the public formats, not stubs:
            all five filters (None/Sub/Up/Average/Paeth), tRNS palette
            alpha, and Adam7 interlacing.
   * BMP  — BITMAPINFOHEADER, uncompressed (BI_RGB) 24/32-bit,
-           bottom-up and top-down row orders.
+           bottom-up and top-down row orders, plus 8-bit paletted
+           with or without RLE8 compression (r5).
   * PPM  — Netpbm P6, maxval <= 255.
 
 JPEG (baseline sequential AND progressive) lives in its own module
@@ -357,7 +358,9 @@ def encode_png(arr: np.ndarray, filter_type: int = 0,
 # ---------------------------------------------------------------------------
 
 def decode_bmp(data: bytes) -> np.ndarray:
-    """Uncompressed (BI_RGB) 24/32-bit BMP -> (H, W, 3|4) uint8 RGB(A)."""
+    """BMP -> uint8 pixels: uncompressed (BI_RGB) 24/32-bit RGB(A),
+    plus 8-bit paletted with or without RLE8 (BI_RLE8) — the
+    compression classic old scanners emit."""
     if data[:2] != b"BM" or len(data) < 54:
         raise ImageFormatError("not a BMP")
     (pix_off,) = struct.unpack("<I", data[10:14])
@@ -367,13 +370,38 @@ def decode_bmp(data: bytes) -> np.ndarray:
     width, height = struct.unpack("<ii", data[18:26])
     planes, bits = struct.unpack("<HH", data[26:30])
     (compression,) = struct.unpack("<I", data[30:34])
-    if planes != 1 or compression != 0 or bits not in (24, 32):
-        raise ImageFormatError(
-            f"unsupported BMP (bits={bits}, compression={compression})")
+    (clr_used,) = struct.unpack("<I", data[46:50])
+    if planes != 1:
+        raise ImageFormatError("unsupported BMP planes")
     topdown = height < 0
     height = abs(height)
     if width <= 0 or height == 0:
         raise ImageFormatError("bad BMP dimensions")
+    if bits == 8 and compression in (0, 1):
+        n_colors = clr_used or 256
+        pal_off = 14 + hdr_size
+        pal_end = pal_off + 4 * n_colors
+        if pal_end > len(data):
+            raise ImageFormatError("truncated BMP palette")
+        pal = np.frombuffer(data[pal_off:pal_end],
+                            np.uint8).reshape(n_colors, 4)
+        rgb = pal[:, [2, 1, 0]]                   # BGRX -> RGB
+        if compression == 0:
+            stride = (width + 3) & ~3
+            need = pix_off + stride * height
+            if len(data) < need:
+                raise ImageFormatError("truncated BMP pixel data")
+            idx = np.frombuffer(data[pix_off:need], np.uint8) \
+                .reshape(height, stride)[:, :width]
+        else:
+            idx = _bmp_rle8(data[pix_off:], width, height)
+        if int(idx.max(initial=0)) >= n_colors:
+            raise ImageFormatError("BMP index outside palette")
+        img = rgb[idx]
+        return np.ascontiguousarray(img if topdown else img[::-1])
+    if compression != 0 or bits not in (24, 32):
+        raise ImageFormatError(
+            f"unsupported BMP (bits={bits}, compression={compression})")
     nch = bits // 8
     stride = (width * nch + 3) & ~3
     need = pix_off + stride * height
@@ -387,6 +415,51 @@ def decode_bmp(data: bytes) -> np.ndarray:
     # BGR(A) -> RGB(A)
     out = img[..., [2, 1, 0] + ([3] if nch == 4 else [])]
     return np.ascontiguousarray(out)
+
+
+def _bmp_rle8(src: bytes, width: int, height: int) -> np.ndarray:
+    """BI_RLE8 -> (H, W) palette indices, bottom-up row order as
+    stored (the caller flips). Escapes per the spec: 00 00 end of
+    line, 00 01 end of bitmap, 00 02 dx dy delta (skipped pixels stay
+    index 0), 00 n>=3 absolute run padded to a word boundary."""
+    out = np.zeros((height, width), np.uint8)
+    x = y = i = 0
+    n = len(src)
+    while i + 1 < n:
+        cnt, val = src[i], src[i + 1]
+        i += 2
+        if cnt > 0:                       # encoded run
+            end = min(x + cnt, width)
+            if y < height:
+                out[y, x:end] = val
+            x = end
+            continue
+        if val == 0:                      # end of line
+            x, y = 0, y + 1
+            if y > height:
+                raise ImageFormatError("RLE8 ran past bitmap height")
+            continue
+        if val == 1:                      # end of bitmap
+            return out
+        if val == 2:                      # delta
+            if i + 2 > n:
+                raise ImageFormatError("truncated RLE8 delta")
+            x += src[i]
+            y += src[i + 1]
+            i += 2
+            if x > width or y > height:
+                raise ImageFormatError("RLE8 delta out of range")
+            continue
+        run = val                          # absolute mode
+        pad = run & 1
+        if i + run + pad > n:
+            raise ImageFormatError("truncated RLE8 absolute run")
+        end = min(x + run, width)
+        if y < height:
+            out[y, x:end] = np.frombuffer(src[i:i + (end - x)], np.uint8)
+        x = end
+        i += run + pad
+    raise ImageFormatError("RLE8 stream missing end-of-bitmap")
 
 
 def decode_ppm(data: bytes) -> np.ndarray:

@@ -280,3 +280,72 @@ class TestPixelOps:
         assert feats[:3] == [2.0, 2.0, 1.0]
         assert feats[3] == 1.0
         assert feats[-1] == 1.0  # all luma in the top bin
+
+
+class TestBmpPaletted:
+    """8-bit paletted BMP, uncompressed and BI_RLE8 (the classic
+    scanner output) — fixtures hand-assembled per the spec since the
+    repo has no BMP writer for these modes."""
+
+    @staticmethod
+    def _bmp8(width, height, palette, pixel_bytes, compression):
+        import struct
+        pal = b"".join(bytes([b, g, r, 0]) for r, g, b in palette)
+        pix_off = 14 + 40 + len(pal)
+        info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 8,
+                           compression, len(pixel_bytes), 0, 0,
+                           len(palette), 0)
+        head = struct.pack("<2sIHHI", b"BM",
+                           pix_off + len(pixel_bytes), 0, 0, pix_off)
+        return head + info + pal + pixel_bytes
+
+    def test_uncompressed_8bit_palette(self):
+        # 3x2 bottom-up, stride padded to 4
+        palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255)]
+        rows = bytes([0, 1, 2, 0]) + bytes([2, 2, 1, 0])  # bottom, top
+        data = self._bmp8(3, 2, palette, rows, 0)
+        out = ic.decode_bmp(data)
+        want = np.array([[[0, 0, 255], [0, 0, 255], [0, 255, 0]],
+                         [[255, 0, 0], [0, 255, 0], [0, 0, 255]]],
+                        np.uint8)
+        assert np.array_equal(out, want)
+
+    def test_rle8_runs_absolute_delta_eol(self):
+        palette = [(10, 10, 10), (20, 20, 20), (30, 30, 30),
+                   (40, 40, 40)]
+        # 6x3 bottom-up:
+        # row0 (bottom): run 3x idx1, absolute run [2,3,3] (odd ->
+        #   one pad byte), EOL
+        # row1: delta dx=2 dy=0 (skipped pixels stay idx0), run 4x
+        #   idx2, EOL
+        # row2 (top): run 6x idx3, EOB
+        rle = bytes([3, 1, 0, 3, 2, 3, 3, 0, 0, 0,
+                     0, 2, 2, 0, 4, 2, 0, 0,
+                     6, 3, 0, 1])
+        out = ic.decode_bmp(self._bmp8(6, 3, palette, rle, 1))
+        assert out.shape == (3, 6, 3)
+        top, mid, bot = out[0], out[1], out[2]
+        assert np.all(top == 40)
+        assert np.all(mid[:2] == 10) and np.all(mid[2:] == 30)
+        assert np.all(bot[:3] == 20)
+        assert np.all(bot[3] == 30) and np.all(bot[4:] == 40)
+
+    def test_rle8_truncation_raises(self):
+        palette = [(1, 1, 1)]
+        with pytest.raises(ic.ImageFormatError):
+            ic.decode_bmp(self._bmp8(4, 2, palette, bytes([4, 0, 0, 0]), 1))
+
+    def test_index_outside_palette_raises(self):
+        palette = [(1, 1, 1), (2, 2, 2)]
+        rows = bytes([0, 5, 0, 0]) + bytes([0, 0, 0, 0])
+        with pytest.raises(ic.ImageFormatError):
+            ic.decode_bmp(self._bmp8(2, 2, palette, rows, 0))
+
+    def test_pil_cross_check_if_available(self):
+        PIL = pytest.importorskip("PIL.Image")
+        import io
+        palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255)]
+        rows = bytes([0, 1, 2, 0]) + bytes([2, 2, 1, 0])
+        data = self._bmp8(3, 2, palette, rows, 0)
+        ref = np.asarray(PIL.open(io.BytesIO(data)).convert("RGB"))
+        assert np.array_equal(ic.decode_bmp(data), ref)
